@@ -1,0 +1,18 @@
+"""Test configuration: CPU backend with 8 virtual devices, float64 enabled.
+
+Correctness tests run in f64 on a virtual 8-device CPU mesh (matching how the
+driver dry-runs multi-chip sharding); TPU benchmarking is separate (bench.py).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
