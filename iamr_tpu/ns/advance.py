@@ -1,0 +1,317 @@
+"""The Navier-Stokes timestep (single level).
+
+TPU-native re-implementation of NavierStokes::advance (reference
+Source/NavierStokes.cpp:542-691; algorithm: Docs TimeStep.rst "Time Step --
+Godunov"; Almgren-Bell-Colella-Howell-Welcome JCP 142, 1998):
+
+  1. predict time-centered MAC velocities (Godunov PLM extrapolation with
+     forcing (visc + rho g - Gp)/rho; NavierStokesBase.cpp:4376-4512)
+  2. MAC-project them (MacProj::mac_project)
+  3. Godunov advection of velocity (convective form) and scalars
+     (ComputeAofs, NavierStokesBase.cpp:4555-5099)
+  4. scalar updates: rho (conservative) then tracers, with semi-implicit CN
+     diffusion (scalar_advection_update / scalar_diffusion_update)
+  5. velocity update u* = u^n - dt aofs + dt (f - Gp)/rho_half, then CN
+     viscous solve (velocity_update, NavierStokesBase.cpp:3487-3655)
+  6. nodal approximate projection -> U^{n+1}, p^{n+1/2}, Gp
+
+The whole step is one jit-compiled functional program over dense level
+arrays; every stencil/solve is fused XLA. No host round-trips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from iamr_tpu.core.bc import (
+    BCRec,
+    DomainBC,
+    SCALAR_BC,
+    make_bcrec,
+    velocity_bcrec,
+)
+from iamr_tpu.core.fill import fill_ghost
+from iamr_tpu.ops.godunov import (
+    compute_edge_states,
+    compute_fluxes_and_aofs,
+    extrap_vel_to_faces,
+    grow_umac_transverse,
+)
+from iamr_tpu.ops.stencil import cell_to_face
+from iamr_tpu.solvers import diffusion as diff
+from iamr_tpu.solvers.mac import mac_project
+from iamr_tpu.solvers.nodal_proj import level_project
+from iamr_tpu.ns.state import NSConfig, NSState
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def _vel_bcrecs(cfg: NSConfig):
+    return [
+        velocity_bcrec(cfg.dom.phys_lo, cfg.dom.phys_hi, c) for c in range(cfg.dim)
+    ]
+
+
+def _scal_bcrec(cfg: NSConfig) -> BCRec:
+    return make_bcrec(cfg.dom.phys_lo, cfg.dom.phys_hi, SCALAR_BC)
+
+
+def _vel_bcvals(cfg: NSConfig, comp: int):
+    """ext_dir values for velocity component comp per (dim, side)."""
+    lo = tuple(cfg.dom.value(d, 0, comp) for d in range(cfg.dim))
+    hi = tuple(cfg.dom.value(d, 1, comp) for d in range(cfg.dim))
+    return lo, hi
+
+
+def _scal_bcvals(cfg: NSConfig, scomp: int):
+    """scomp: 0 = density, 1.. = tracers (bc_values layout dim + scomp)."""
+    lo = tuple(cfg.dom.value(d, 0, cfg.dim + scomp) for d in range(cfg.dim))
+    hi = tuple(cfg.dom.value(d, 1, cfg.dim + scomp) for d in range(cfg.dim))
+    return lo, hi
+
+
+def fill_vel(cfg: NSConfig, vel, ng: int):
+    """Grow all velocity components with filled ghosts."""
+    recs = _vel_bcrecs(cfg)
+    out = []
+    for c in range(cfg.dim):
+        lo, hi = _vel_bcvals(cfg, c)
+        out.append(fill_ghost(vel[c], ng, recs[c], lo, hi))
+    return jnp.stack(out)
+
+
+def fill_scal(cfg: NSConfig, s, ng: int, scomp: int):
+    lo, hi = _scal_bcvals(cfg, scomp)
+    return fill_ghost(s, ng, _scal_bcrec(cfg), lo, hi)
+
+
+def mu_faces(cfg: NSConfig):
+    """Constant-viscosity face coefficients."""
+    n = cfg.geom.ncell
+    out = []
+    for d in range(cfg.dim):
+        shp = list(n)
+        shp[d] += 1
+        out.append(jnp.full(shp, cfg.vel_visc_coef, dtype=cfg.jdtype))
+    return tuple(out)
+
+
+def beta_faces(cfg: NSConfig, coef: float):
+    n = cfg.geom.ncell
+    out = []
+    for d in range(cfg.dim):
+        shp = list(n)
+        shp[d] += 1
+        out.append(jnp.full(shp, coef, dtype=cfg.jdtype))
+    return tuple(out)
+
+
+def get_force(cfg: NSConfig, rho):
+    """Default body force: rho * gravity in the last dim (NS_getForce.cpp:121-141).
+
+    Returns (dim, *n); rho-weighted like the reference.
+    """
+    dim = cfg.dim
+    f = [jnp.zeros_like(rho) for _ in range(dim)]
+    if abs(cfg.gravity) > 1e-4:
+        f[dim - 1] = cfg.gravity * rho
+    return jnp.stack(f)
+
+
+def visc_terms_vel(cfg: NSConfig, vel):
+    """Explicit div mu grad u per component (getViscTerms)."""
+    if cfg.vel_visc_coef <= 0.0:
+        return jnp.zeros_like(vel)
+    mf = mu_faces(cfg)
+    recs = _vel_bcrecs(cfg)
+    out = []
+    for c in range(cfg.dim):
+        lo, hi = _vel_bcvals(cfg, c)
+        out.append(
+            diff.visc_terms_component(vel[c], mf, cfg.geom.dx, recs[c], lo, hi)
+        )
+    return jnp.stack(out)
+
+
+def est_time_step(cfg: NSConfig, state: NSState):
+    """CFL timestep (estTimeStep, NavierStokesBase.cpp:1353-1510):
+    dt = cfl * min over cells/dims of dx_d / |u_d|, with a gravity-force
+    limit sqrt(2 dx / |f/rho|) when forces dominate."""
+    dx = cfg.geom.dx
+    eps = 1e-300 if cfg.dtype == "float64" else 1e-30
+    dt = jnp.asarray(jnp.inf, dtype=cfg.jdtype)
+    for d in range(cfg.dim):
+        dt = jnp.minimum(dt, dx[d] / jnp.maximum(jnp.max(jnp.abs(state.vel[d])), eps))
+    if abs(cfg.gravity) > 1e-4:
+        # force-limited dt: dx = 0.5*(f/rho)*dt^2
+        f = abs(cfg.gravity)
+        for d in range(cfg.dim):
+            dt = jnp.minimum(dt, jnp.sqrt(2.0 * dx[d] / f))
+    return cfg.cfl * dt
+
+
+# ---------------------------------------------------------------------------
+# the step
+
+
+def advance(state: NSState, cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):
+    """One timestep: consumes state^n, returns state^{n+1}.
+
+    fixed_mg_cycles: when set, all linear solves run a fixed number of
+    V-cycles (benchmark mode) instead of tolerance-driven while_loops.
+    """
+    dim = cfg.dim
+    dx = cfg.geom.dx
+    dt = state.dt
+    vel, rho, trac, p, gradp = state.vel, state.rho, state.trac, state.p, state.gradp
+    recs = _vel_bcrecs(cfg)
+    scal_rec = _scal_bcrec(cfg)
+    periodic = tuple(cfg.geom.periodic)
+
+    # --- 1. predict MAC velocities -------------------------------------
+    visc = visc_terms_vel(cfg, vel) if cfg.be_cn_theta != 1.0 else jnp.zeros_like(vel)
+    tf = get_force(cfg, rho)
+    forcing = (tf + visc - gradp) / rho  # (visc + rho g - Gp)/rho, cpp:4447-4471
+    vel_g = fill_vel(cfg, vel, 3)
+    force_g = jnp.stack(
+        [fill_ghost(forcing[c], 1, recs[c]) for c in range(dim)]
+    )
+    bcvals_lo = tuple(_vel_bcvals(cfg, c)[0] for c in range(dim))
+    bcvals_hi = tuple(_vel_bcvals(cfg, c)[1] for c in range(dim))
+    # reorganize per-dim: extrap wants bcvals_lo[d][c]
+    bl = tuple(tuple(bcvals_lo[c][d] for c in range(dim)) for d in range(dim))
+    bh = tuple(tuple(bcvals_hi[c][d] for c in range(dim)) for d in range(dim))
+    umac = extrap_vel_to_faces(
+        vel_g, force_g, dt, dx, cfg.geom.ncell, recs, bl, bh,
+        use_forces_in_trans=cfg.use_forces_in_trans,
+    )
+
+    # --- 2. MAC projection ---------------------------------------------
+    umac, mac_phi, _ = mac_project(
+        umac, rho, cfg.dom, dx,
+        rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
+    )
+    umac_g = grow_umac_transverse(umac, periodic)
+
+    # --- 3. velocity advection (convective form) ------------------------
+    aofs_vel = []
+    for c in range(dim):
+        sg = vel_g[c]  # already 3 ghosts
+        fg = force_g[c]
+        edges = compute_edge_states(
+            sg, umac_g, dt, dx, cfg.geom.ncell, iconserv=False,
+            force_g=fg, periodic=periodic,
+        )
+        _, a = compute_fluxes_and_aofs(edges, umac, dx, False, s_cc=vel[c])
+        aofs_vel.append(a)
+    aofs_vel = jnp.stack(aofs_vel)
+
+    # --- 4. scalar advection + updates ----------------------------------
+    # density: conservative, no forcing
+    rho_g = fill_scal(cfg, rho, 3, 0)
+    edges_rho = compute_edge_states(
+        rho_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=True, periodic=periodic
+    )
+    _, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True)
+    rho_new = rho - dt * aofs_rho
+    if cfg.do_denminmax:
+        rho_new = _scal_min_max(rho_g, rho_new)
+    rho_half = 0.5 * (rho + rho_new)
+
+    # tracers: convective by default (do_cons_trac for conservative)
+    trac_new = []
+    for t in range(cfg.ntrac):
+        s = trac[t]
+        s_g = fill_scal(cfg, s, 3, 1 + t)
+        icons = cfg.do_cons_trac
+        edges = compute_edge_states(
+            s_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=icons, periodic=periodic
+        )
+        _, aofs_s = compute_fluxes_and_aofs(
+            edges, umac, dx, icons, s_cc=s
+        )
+        s_star = s - dt * aofs_s
+        coef = cfg.scal_diff_coefs[t] if t < len(cfg.scal_diff_coefs) else 0.0
+        if coef > 0.0:
+            lo, hi = _scal_bcvals(cfg, 1 + t)
+            s_star, _ = diff.diffuse_scalar(
+                s_star, s, rho_new, rho, beta_faces(cfg, coef), dt, dx,
+                scal_rec, lo, hi, cfg.be_cn_theta,
+                rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+            )
+        trac_new.append(s_star)
+    trac_new = jnp.stack(trac_new)
+
+    # --- 5. velocity update + CN viscous solve ---------------------------
+    tf_half = get_force(cfg, rho_half)
+    vel_star = jnp.stack(
+        [
+            vel[c] - dt * aofs_vel[c] + dt * (tf_half[c] - gradp[c]) / rho_half
+            for c in range(dim)
+        ]
+    )
+    if cfg.vel_visc_coef > 0.0:
+        mf = mu_faces(cfg)
+        alpha = rho_half / dt
+        comps = []
+        for c in range(dim):
+            lo, hi = _vel_bcvals(cfg, c)
+            u_new, _ = diff.diffuse_scalar(
+                vel_star[c], vel[c], alpha, alpha, mf,
+                1.0,  # dt folded into alpha: (alpha - theta*1*L) with alpha=rho/dt
+                dx, recs[c], lo, hi, cfg.be_cn_theta,
+                rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+            )
+            comps.append(u_new)
+        vel_star = jnp.stack(comps)
+
+    # --- 6. nodal projection ---------------------------------------------
+    vel_new, p_new, gradp_new, _ = level_project(
+        vel_star, rho_half, p, gradp, dt, cfg.dom, dx,
+        rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
+    )
+
+    # --- next dt ----------------------------------------------------------
+    new_state = NSState(
+        vel=vel_new,
+        rho=rho_new,
+        trac=trac_new,
+        p=p_new,
+        gradp=gradp_new,
+        time=state.time + dt,
+        dt=dt,
+    )
+    dt_next = est_time_step(cfg, new_state)
+    dt_next = jnp.minimum(dt_next, cfg.change_max * dt)
+    new_state = new_state._replace(dt=dt_next)
+    return new_state
+
+
+def _scal_min_max(s_g, s_new):
+    """Clamp each new value to the 3x3(x3) old-neighborhood min/max
+    (ConvectiveScalMinMax, NavierStokesBase.cpp:4256-4368)."""
+    dim = s_new.ndim
+    ng = (s_g.shape[0] - s_new.shape[0]) // 2
+    lo = hi = None
+    import itertools
+
+    for off in itertools.product((-1, 0, 1), repeat=dim):
+        sl_ = s_g[
+            tuple(
+                slice(ng + off[d], ng + off[d] + s_new.shape[d]) for d in range(dim)
+            )
+        ]
+        lo = sl_ if lo is None else jnp.minimum(lo, sl_)
+        hi = sl_ if hi is None else jnp.maximum(hi, sl_)
+    return jnp.clip(s_new, lo, hi)
+
+
+def make_step(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):
+    """jit-compiled step function closed over the static config."""
+    return jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles))

@@ -1,0 +1,119 @@
+"""Simulation driver: init -> initial projection -> pressure iterations ->
+step loop (the Amr::coarseTimeStep + NavierStokes post_init equivalents,
+single level).
+
+Reference call stack being reproduced (SURVEY.md section 3.1):
+  main (main.cpp:26) -> Amr::init -> initData (prob ICs) -> post_init:
+    initialVelocityProject (Projection.cpp:615, init_vel_iter times)
+    post_init_press: init_iter x { advance; take p, Gp; reset state }
+      (NavierStokes.cpp:1305-1432)
+  then coarseTimeStep loop with computeNewDt, optional steady-state stop
+  (NavierStokesBase::steadyState, cpp:2212-2300).
+"""
+
+from __future__ import annotations
+
+import time as _time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.ns.advance import advance, est_time_step, make_step
+from iamr_tpu.ns.probs import init_state
+from iamr_tpu.ns.state import NSConfig, NSState, config_from_inputs
+from iamr_tpu.solvers.nodal_proj import initial_velocity_project
+
+
+def initialize(cfg: NSConfig, fixed_mg_cycles=None) -> NSState:
+    """Build the initial state: ICs, initial projection, dt estimate,
+    and the initial pressure iterations — one jitted program."""
+    state = init_state(cfg)
+
+    @jax.jit
+    def _init(state):
+        if cfg.do_init_proj:
+            vel_proj, _ = initial_velocity_project(
+                state.vel, state.rho, cfg.dom, cfg.geom.dx,
+                rtol=cfg.proj_tol, atol=cfg.proj_abs_tol,
+                fixed_cycles=fixed_mg_cycles,
+            )
+            state = state._replace(vel=vel_proj)
+
+        # first dt (init_shrink * cfl estimate, or init_dt override)
+        if cfg.init_dt > 0.0:
+            dt0 = jnp.asarray(cfg.init_dt, dtype=cfg.jdtype)
+        else:
+            dt0 = cfg.init_shrink * est_time_step(cfg, state)
+        state = state._replace(dt=dt0)
+
+        # initial pressure iterations: advance from the same IC, keep p/Gp
+        # (post_init_press, NavierStokes.cpp:1305-1432)
+        for _ in range(max(0, cfg.init_iter)):
+            trial = advance(state, cfg, fixed_mg_cycles)
+            state = state._replace(p=trial.p, gradp=trial.gradp)
+        return state
+
+    return _init(state)
+
+
+def steady_norm(prev: NSState, new: NSState):
+    """max_d | max|u_d^{n+1}| - max|u_d^n| | (steadyState semantics)."""
+    out = jnp.asarray(0.0, dtype=new.vel.dtype)
+    for d in range(new.vel.shape[0]):
+        out = jnp.maximum(
+            out,
+            jnp.abs(
+                jnp.max(jnp.abs(new.vel[d])) - jnp.max(jnp.abs(prev.vel[d]))
+            ),
+        )
+    return out
+
+
+def run(
+    cfg: NSConfig,
+    state: Optional[NSState] = None,
+    max_steps: Optional[int] = None,
+    callback: Optional[Callable[[int, NSState], None]] = None,
+    verbose: bool = False,
+    fixed_mg_cycles=None,
+) -> NSState:
+    """Advance until max_step / stop_time / steady state."""
+    if state is None:
+        state = initialize(cfg, fixed_mg_cycles)
+    step_fn = make_step(cfg, fixed_mg_cycles)
+
+    nmax = max_steps if max_steps is not None else (
+        cfg.max_step if cfg.max_step >= 0 else 10**9
+    )
+    step = 0
+    while step < nmax:
+        if cfg.stop_time >= 0.0 and float(state.time) >= cfg.stop_time:
+            break
+        # clip dt to hit stop_time exactly
+        if cfg.stop_time >= 0.0:
+            dt = jnp.minimum(state.dt, cfg.stop_time - state.time)
+            state = state._replace(dt=dt)
+        prev = state
+        state = step_fn(state)
+        step += 1
+        if verbose:
+            print(
+                f"STEP {step} time {float(state.time):.6g} dt {float(state.dt):.6g} "
+                f"max|u| {float(jnp.max(jnp.abs(state.vel))):.6g}"
+            )
+        if callback is not None:
+            callback(step, state)
+        if cfg.stop_when_steady:
+            if float(steady_norm(prev, state)) < cfg.steady_tol:
+                if verbose:
+                    print(f"steady state reached at step {step}")
+                break
+    return state
+
+
+def run_from_inputs(path: str, overrides=(), **kw) -> NSState:
+    pp = ParmParse.from_file(path, overrides)
+    cfg = config_from_inputs(pp)
+    return run(cfg, **kw)

@@ -1,0 +1,137 @@
+"""Problem initial conditions, dispatched on prob.probtype.
+
+Reproduces the reference's IC catalog (Source/prob/prob_init.cpp:102-160):
+  1  constant rho=1, U=0 (LidDrivenCavity via BCs)
+  2  bubble (heavy/light blob in ambient)
+  4  constant velocity + rho
+  5  DoubleShearLayer
+  7  Euler vortex tube
+  10 RayleighTaylor
+  11 TaylorGreen (prob_init.cpp:509-560)
+All ICs evaluate analytic fields at cell centers on the dense level arrays.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from iamr_tpu.ns.state import NSConfig, NSState
+
+
+def init_state(cfg: NSConfig) -> NSState:
+    geom = cfg.geom
+    dim = geom.dim
+    dtype = cfg.jdtype
+    X = geom.cell_centers()  # list of dim arrays
+    n = geom.ncell
+    vel = np.zeros((dim,) + n)
+    rho = np.ones(n)
+    trac = np.zeros((cfg.ntrac,) + n)
+
+    pt = cfg.probtype
+    P = cfg.prob_param
+    two_pi = 2.0 * np.pi
+
+    if pt == 1:
+        pass  # rest, rho = 1
+    elif pt == 4:
+        for d, nm in enumerate(["velocity_x", "velocity_y", "velocity_z"][:dim]):
+            vel[d] = P(nm, 0.0)
+        rho[...] = P("density", 1.0)
+        # tracer blob
+        r2 = sum((X[d] - P(f"blob_{'xyz'[d]}", 0.0)) ** 2 for d in range(dim))
+        trac[0] = np.where(np.sqrt(r2) < P("blob_radius", 0.1), 1.0, 0.0)
+    elif pt in (2, 6):
+        # falling/rising blob: density = 1 + (blob_density-1) inside blob
+        rho[...] = P("density", 1.0)
+        r2 = sum((X[d] - P(f"blob_{'xyz'[d]}", 0.0)) ** 2 for d in range(dim))
+        r = np.sqrt(r2)
+        radius = P("blob_radius", 0.1)
+        denfact = P("denfact", 2.0)
+        inside = 0.5 * (1.0 - np.tanh((r - radius) / (P("interface_width", 1.0) * min(geom.dx))))
+        rho[...] = 1.0 + (denfact - 1.0) * inside
+        trac[0] = inside
+    elif pt == 5:
+        # double shear layer (periodic): probtype 5, direction from prob
+        rho[...] = P("density", 1.0)
+        direction = int(P("direction", 0))
+        delta = P("interface_width", 0.05)
+        pert = P("pertamp", 0.05)
+        if direction == 0:
+            y = X[1]
+            vel[0] = np.tanh(30.0 * (0.25 - np.abs(y - 0.5)))
+            vel[1] = pert * np.sin(two_pi * X[0])
+        else:
+            x = X[0]
+            vel[1] = np.tanh(30.0 * (0.25 - np.abs(x - 0.5)))
+            vel[0] = pert * np.sin(two_pi * X[1])
+        trac[0] = 0.5 * (1.0 + np.tanh(30.0 * (0.25 - np.abs(X[1] - 0.5))))
+    elif pt == 7:
+        # Euler vortex tube: triply periodic swirl (velocity_factor a,b,c)
+        vf = P("velocity_factor", 1.0)
+        a, b = P("a", 1.0), P("b", 1.0)
+        x, y = X[0], X[1]
+        z = X[2] if dim == 3 else 0.0
+        vel[0] = vf * np.sin(two_pi * a * x) * np.cos(two_pi * b * y)
+        vel[1] = -vf * np.cos(two_pi * a * x) * np.sin(two_pi * b * y)
+        trac[0] = 0.5 * (1.0 + np.cos(two_pi * x))
+    elif pt == 10:
+        # Rayleigh-Taylor: heavy over light with perturbed interface
+        rho_1 = P("rho_1", 1.0)
+        rho_2 = P("rho_2", 2.0)
+        tra_1 = P("tra_1", 0.0)
+        tra_2 = P("tra_2", 1.0)
+        pertamp = P("pertamp", 1.0)
+        Ly = geom.prob_hi[dim - 1] - geom.prob_lo[dim - 1]
+        ymid = 0.5 * (geom.prob_hi[dim - 1] + geom.prob_lo[dim - 1])
+        if dim == 2:
+            Lx = geom.prob_hi[0] - geom.prob_lo[0]
+            pert = pertamp * 0.01 * Ly * np.cos(two_pi * X[0] / Lx)
+        else:
+            Lx = geom.prob_hi[0] - geom.prob_lo[0]
+            Lz = geom.prob_hi[1] - geom.prob_lo[1]
+            pert = (
+                pertamp
+                * 0.01
+                * Ly
+                * np.cos(two_pi * X[0] / Lx)
+                * np.cos(two_pi * X[1] / Lz)
+            )
+        yy = X[dim - 1]
+        width = P("interface_width", 1.0) * min(geom.dx)
+        frac = 0.5 * (1.0 + np.tanh((yy - (ymid + pert)) / width))
+        rho[...] = rho_1 + (rho_2 - rho_1) * frac
+        trac[0] = tra_1 + (tra_2 - tra_1) * frac
+    elif pt == 11:
+        # Taylor-Green vortex (reference prob_init.cpp:509-560)
+        vf = P("velocity_factor", 1.0)
+        a, b, c = P("a", 1.0), P("b", 1.0), P("c", 1.0)
+        x, y = X[0], X[1]
+        z = X[2] if dim == 3 else 0.0
+        cz = np.cos(c * two_pi * z) if dim == 3 else 1.0
+        vel[0] = vf * np.sin(a * two_pi * x) * np.cos(b * two_pi * y) * cz
+        vel[1] = -vf * np.cos(a * two_pi * x) * np.sin(b * two_pi * y) * cz
+        rho[...] = P("density", 1.0)
+        # tracer carries the analytic pressure perturbation (reference does)
+        if dim == 2:
+            trac[0] = (rho * vf * vf / 4.0) * (
+                np.cos(2 * a * two_pi * x) + np.cos(2 * b * two_pi * y)
+            )
+        else:
+            trac[0] = (rho * vf * vf / 16.0) * (2.0 + np.cos(2 * c * two_pi * z)) * (
+                np.cos(2 * a * two_pi * x) + np.cos(2 * b * two_pi * y)
+            )
+    else:
+        raise ValueError(f"unknown probtype {pt}")
+
+    zero = jnp.zeros((), dtype=dtype)
+    return NSState(
+        vel=jnp.asarray(vel, dtype=dtype),
+        rho=jnp.asarray(rho, dtype=dtype),
+        trac=jnp.asarray(trac, dtype=dtype),
+        p=jnp.zeros(tuple(x + 1 for x in n), dtype=dtype),
+        gradp=jnp.zeros((dim,) + n, dtype=dtype),
+        time=zero,
+        dt=zero,
+    )

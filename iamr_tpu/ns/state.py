@@ -1,0 +1,187 @@
+"""Navier-Stokes level state and solver configuration.
+
+State mirrors the reference's StateData organization (NS_setup.cpp:228-341):
+cell-centered velocity + scalars (Density, Tracer(s), [Temp later]),
+node-centered pressure, cell-centered Gradp — as one functional pytree per
+level instead of old/new StateData pairs (time levels are carried by the
+step function: it consumes state^n and returns state^{n+1}).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.core.bc import BC_NAMES, DomainBC, PhysBC
+from iamr_tpu.core.geometry import Geometry
+
+
+class NSState(NamedTuple):
+    """Single-level flow state (a jax pytree)."""
+
+    vel: jnp.ndarray      # (dim, *ncell)
+    rho: jnp.ndarray      # (*ncell)
+    trac: jnp.ndarray     # (ntrac, *ncell)
+    p: jnp.ndarray        # (*ncell+1) node-centered
+    gradp: jnp.ndarray    # (dim, *ncell)
+    time: jnp.ndarray     # scalar
+    dt: jnp.ndarray       # scalar (dt used for the NEXT step)
+
+
+@dataclasses.dataclass(frozen=True)
+class NSConfig:
+    """Static solver configuration (hashable; safe as a jit static arg).
+
+    Defaults reproduce the reference's (SURVEY.md section 5.6;
+    NavierStokesBase.cpp:97-180, NavierStokes.cpp:85-311).
+    """
+
+    geom: Geometry
+    dom: DomainBC
+    ntrac: int = 1
+    cfl: float = 0.8
+    init_shrink: float = 1.0
+    init_iter: int = 2
+    init_vel_iter: int = 1
+    init_dt: float = -1.0
+    change_max: float = 1.1
+    fixed_dt: float = -1.0
+    gravity: float = 0.0
+    vel_visc_coef: float = 0.0
+    scal_diff_coefs: Tuple[float, ...] = (0.0,)
+    be_cn_theta: float = 0.5
+    do_init_proj: bool = True
+    do_mom_diff: bool = False
+    do_cons_trac: bool = False
+    do_denminmax: bool = False
+    do_scalminmax: bool = False
+    stop_when_steady: bool = False
+    steady_tol: float = 1e-10
+    advection_scheme: str = "Godunov_PLM"
+    use_forces_in_trans: bool = False
+    visc_tol: float = 1e-10
+    visc_abs_tol: float = 1e-14
+    mac_tol: float = 1e-12
+    mac_abs_tol: float = 1e-16
+    proj_tol: float = 1e-12
+    proj_abs_tol: float = 1e-16
+    max_step: int = -1
+    stop_time: float = -1.0
+    probtype: int = 1
+    prob: Tuple[Tuple[str, float], ...] = ()
+    dtype: str = "float64"
+
+    @property
+    def dim(self) -> int:
+        return self.geom.dim
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+    def prob_param(self, name: str, default: float = 0.0) -> float:
+        for k, v in self.prob:
+            if k == name:
+                return v
+        return default
+
+
+def _phys_bcs(pp: ParmParse, dim: int, periodic):
+    ns = pp.scoped("ns")
+    lo = ns.queryarr("lo_bc", [0] * dim)[:dim]
+    hi = ns.queryarr("hi_bc", [0] * dim)[:dim]
+    names = ["x", "y", "z"][:dim]
+    phys_lo, phys_hi = [], []
+    for d in range(dim):
+        plo, phi_ = PhysBC(int(lo[d])), PhysBC(int(hi[d]))
+        # string BC blocks override integer codes (xlo.type = mass_inflow...)
+        for side, cur in (("lo", plo), ("hi", phi_)):
+            t = pp.scoped(f"{names[d]}{side}").query("type")
+            if t is not None:
+                cur = BC_NAMES[str(t).lower()]
+            if side == "lo":
+                plo = cur
+            else:
+                phi_ = cur
+        if periodic[d]:
+            plo = phi_ = PhysBC.Interior
+        phys_lo.append(plo)
+        phys_hi.append(phi_)
+    # BC values: <side>.velocity / density / tracer / temp
+    bc_values = {}
+    for d in range(dim):
+        for s, side in ((0, "lo"), (1, "hi")):
+            sc = pp.scoped(f"{names[d]}{side}")
+            vals = []
+            v = sc.queryarr("velocity")
+            vals.extend([float(x) for x in (v[:dim] if v else [0.0] * dim)])
+            rho = sc.query("density", 1.0)
+            vals.append(float(rho))
+            tr = sc.queryarr("tracer", [0.0])
+            vals.extend(float(x) for x in tr)
+            bc_values[(d, s)] = tuple(vals)
+    return tuple(phys_lo), tuple(phys_hi), bc_values
+
+
+def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfig:
+    """Build an NSConfig from a reference-format inputs table."""
+    amr = pp.scoped("amr")
+    geo = pp.scoped("geometry")
+    ns = pp.scoped("ns")
+    prob = pp.scoped("prob")
+
+    ncell = [int(x) for x in amr.getarr("n_cell")]
+    dim = dim_hint or len(ncell)
+    ncell = ncell[:dim]
+    prob_lo = [float(x) for x in geo.queryarr("prob_lo", [0.0] * dim)[:dim]]
+    prob_hi = [float(x) for x in geo.queryarr("prob_hi", [1.0] * dim)[:dim]]
+    periodic = [bool(int(x)) for x in geo.queryarr("is_periodic", [0] * dim)[:dim]]
+    geom = Geometry(
+        ncell=tuple(ncell),
+        prob_lo=tuple(prob_lo),
+        prob_hi=tuple(prob_hi),
+        periodic=tuple(periodic),
+        coord_sys=int(geo.query("coord_sys", 0)),
+    )
+    phys_lo, phys_hi, bc_values = _phys_bcs(pp, dim, periodic)
+    dom = DomainBC(phys_lo=phys_lo, phys_hi=phys_hi, bc_values=bc_values)
+
+    diff = ns.queryarr("scal_diff_coefs", [0.0])
+    prob_params = tuple(
+        (k, float(prob.get(k)))
+        for k in prob.keys()
+        if k != "probtype" and isinstance(prob.query(k), (int, float))
+    )
+
+    return NSConfig(
+        geom=geom,
+        dom=dom,
+        ntrac=max(1, len(diff)),
+        cfl=float(ns.query("cfl", 0.8)),
+        init_shrink=float(ns.query("init_shrink", 1.0)),
+        init_iter=int(ns.query("init_iter", 2)),
+        init_dt=float(ns.query("init_dt", -1.0)),
+        change_max=float(ns.query("change_max", 1.1)),
+        fixed_dt=float(ns.query("fixed_dt", -1.0)),
+        gravity=float(ns.query("gravity", 0.0)),
+        vel_visc_coef=float(ns.query("vel_visc_coef", 0.0)),
+        scal_diff_coefs=tuple(float(x) for x in diff),
+        be_cn_theta=float(ns.query("be_cn_theta", 0.5)),
+        do_init_proj=bool(int(ns.query("do_init_proj", 1))),
+        do_mom_diff=bool(int(ns.query("do_mom_diff", 0))),
+        do_cons_trac=bool(int(ns.query("do_cons_trac", 0))),
+        do_denminmax=bool(int(ns.query("do_denminmax", 0))),
+        do_scalminmax=bool(int(ns.query("do_scalminmax", 0))),
+        stop_when_steady=bool(int(ns.query("stop_when_steady", 0))),
+        steady_tol=float(ns.query("steady_tol", 1e-10)),
+        advection_scheme=str(ns.query("advection_scheme", "Godunov_PLM")),
+        visc_tol=float(ns.query("visc_tol", 1e-10)),
+        max_step=int(pp.query("max_step", -1)),
+        stop_time=float(pp.query("stop_time", -1.0)),
+        probtype=int(prob.query("probtype", 1)),
+        prob=prob_params,
+    )

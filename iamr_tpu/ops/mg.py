@@ -1,0 +1,374 @@
+"""Geometric multigrid for the cell-centered ABecLaplacian.
+
+TPU-native equivalent of amrex MLABecLaplacian + MLMG (reference call sites:
+Source/Diffusion.cpp:325-352 for Crank-Nicolson diffusion solves,
+Source/MacProj.cpp:1133-1183 for the MAC Poisson solve). Solves
+
+    (a_scalar * alpha(x)  -  b_scalar * div(beta(x) grad)) phi = rhs
+
+with beta on faces (MAC staggering), on one dense level array per MG level.
+
+Design (idiomatic XLA, not a port):
+  * MG hierarchy is built by factor-2 coarsening at trace time (static level
+    count); the V-cycle recursion unrolls in the jaxpr.
+  * Smoother: red-black Gauss-Seidel via checkerboard masks — each color
+    update is one fused stencil evaluation over the whole level (VPU work,
+    bandwidth bound; later a Pallas kernel fuses both colors in VMEM).
+  * Domain BCs per (dim, side): periodic / Dirichlet-on-face / Neumann.
+    Inhomogeneous Dirichlet/Neumann values are folded into the RHS once
+    (boundary lifting), so all MG internals are homogeneous.
+  * Tolerance-driven iteration with lax.while_loop (no host round-trips);
+    fixed-cycle mode for benchmarking.
+
+Dirichlet ghost uses the 3-point 2nd-order formula g = (8/3)b - 2c0 + (1/3)c1
+(face value b), matching MLMG's maxorder=3-equivalent accuracy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from iamr_tpu.ops.stencil import checkerboard, sl
+
+# BC kinds (static ints)
+PERIODIC = 0
+DIRICHLET = 1
+NEUMANN = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class PoissonBC:
+    """Per-dim, per-side BC kinds for a cell-centered solve."""
+
+    lo: Tuple[int, ...]
+    hi: Tuple[int, ...]
+
+    @property
+    def dim(self):
+        return len(self.lo)
+
+
+def _pad_phi(phi, bc: PoissonBC):
+    """Fill one homogeneous ghost layer around phi per the BC kinds."""
+    for d in range(phi.ndim):
+        n = phi.shape[d]
+        if bc.lo[d] == PERIODIC:
+            lo = sl(phi, d, n - 1, n)
+            hi = sl(phi, d, 0, 1)
+        else:
+            c0l, c1l = sl(phi, d, 0, 1), sl(phi, d, 1, 2)
+            c0h, c1h = sl(phi, d, n - 1, n), sl(phi, d, n - 2, n - 1)
+            if bc.lo[d] == DIRICHLET:
+                lo = -2.0 * c0l + (1.0 / 3.0) * c1l
+            else:  # NEUMANN: zero-flux
+                lo = c0l
+            if bc.hi[d] == DIRICHLET:
+                hi = -2.0 * c0h + (1.0 / 3.0) * c1h
+            else:
+                hi = c0h
+        phi = jnp.concatenate([lo, phi, hi], axis=d)
+    return phi
+
+
+def _boundary_lift(shape, bc: PoissonBC, bvals, dtype):
+    """Ghost-only array holding the inhomogeneous part of the BC fill.
+
+    bvals: dict (d, side) -> face-value array broadcastable to the boundary
+    slice (Dirichlet: value on face; Neumann: prescribed gradient d(phi)/dn
+    outward). Returns phi-with-ghosts sized array that is zero in the
+    interior; adding it to the homogeneous ghost fill of phi reproduces the
+    inhomogeneous fill (fill is affine in (phi, bvals)).
+    """
+    dim = len(shape)
+    g = jnp.zeros(tuple(s + 2 for s in shape), dtype=dtype)
+    if not bvals:
+        return g
+    for (d, side), val in bvals.items():
+        if bc.lo[d] == PERIODIC:
+            continue
+        kind = bc.lo[d] if side == 0 else bc.hi[d]
+        idx = [slice(1, -1)] * dim
+        idx[d] = slice(0, 1) if side == 0 else slice(-1, None)
+        v = jnp.asarray(val, dtype=dtype)
+        if v.ndim == dim - 1:
+            v = jnp.expand_dims(v, axis=d)
+        if kind == DIRICHLET:
+            contrib = (8.0 / 3.0) * v
+        else:  # NEUMANN with prescribed outward gradient: ghost = c0 + dn*dx...
+            # handled by caller scaling; here ghost += val (val = grad*dx)
+            contrib = v
+        g = g.at[tuple(idx)].add(contrib)
+    return g
+
+
+def _face_lo(beta_d, d):
+    return sl(beta_d, d, 0, -1)
+
+
+def _face_hi(beta_d, d):
+    return sl(beta_d, d, 1, None)
+
+
+def apply_op(phi_g, alpha, beta, a, b, dx, shape):
+    """L(phi) given phi WITH one filled ghost layer (phi_g)."""
+    dim = len(shape)
+    ctr = phi_g[tuple(slice(1, -1) for _ in range(dim))]
+    out = a * alpha * ctr if a != 0.0 else jnp.zeros_like(ctr)
+    for d in range(dim):
+        idx_lo = [slice(1, -1)] * dim
+        idx_hi = [slice(1, -1)] * dim
+        idx_lo[d] = slice(0, -2)
+        idx_hi[d] = slice(2, None)
+        lo_n = phi_g[tuple(idx_lo)]
+        hi_n = phi_g[tuple(idx_hi)]
+        bl = _face_lo(beta[d], d)
+        bh = _face_hi(beta[d], d)
+        lap = (bh * (hi_n - ctr) - bl * (ctr - lo_n)) / (dx[d] * dx[d])
+        out = out - b * lap
+    return out
+
+
+def _diag(alpha, beta, a, b, dx, bc: PoissonBC, shape, dtype):
+    """Diagonal of the operator, including boundary-modified coefficients.
+
+    Interior face contributes beta/dx^2; a Dirichlet boundary face contributes
+    3*beta/dx^2 (from the 3-point ghost), a Neumann boundary face 0.
+    """
+    dim = len(shape)
+    diag = a * alpha if a != 0.0 else jnp.zeros(shape, dtype=dtype)
+    for d in range(dim):
+        bl = _face_lo(beta[d], d)
+        bh = _face_hi(beta[d], d)
+        cl = jnp.ones(shape, dtype=dtype)
+        ch = jnp.ones(shape, dtype=dtype)
+        edge_lo = [slice(None)] * dim
+        edge_lo[d] = slice(0, 1)
+        edge_hi = [slice(None)] * dim
+        edge_hi[d] = slice(-1, None)
+        if bc.lo[d] == DIRICHLET:
+            cl = cl.at[tuple(edge_lo)].set(3.0)
+        elif bc.lo[d] == NEUMANN:
+            cl = cl.at[tuple(edge_lo)].set(0.0)
+        if bc.hi[d] == DIRICHLET:
+            ch = ch.at[tuple(edge_hi)].set(3.0)
+        elif bc.hi[d] == NEUMANN:
+            ch = ch.at[tuple(edge_hi)].set(0.0)
+        diag = diag + b * (cl * bl + ch * bh) / (dx[d] * dx[d])
+    return diag
+
+
+def _coarsen_cell(a, dim):
+    """2x average coarsening of a cell array."""
+    for d in range(dim):
+        a = 0.5 * (a[_every2(a, d, 0)] + a[_every2(a, d, 1)])
+    return a
+
+
+def _every2(a, d, offset):
+    idx = [slice(None)] * a.ndim
+    idx[d] = slice(offset, None, 2)
+    return tuple(idx)
+
+
+def _coarsen_face(beta_d, d, dim):
+    """Coarsen a face coefficient array for faces normal to d."""
+    # average transverse pairs, take every other face in the normal dim
+    out = beta_d
+    for t in range(dim):
+        if t == d:
+            continue
+        out = 0.5 * (out[_every2(out, t, 0)] + out[_every2(out, t, 1)])
+    out = out[_every2(out, d, 0)]
+    return out
+
+
+def _prolong(e_c, dim):
+    """Piecewise-constant prolongation (2x repeat per dim)."""
+    for d in range(dim):
+        e_c = jnp.repeat(e_c, 2, axis=d)
+    return e_c
+
+
+@dataclasses.dataclass
+class MGLevelData:
+    alpha: jnp.ndarray
+    beta: Tuple[jnp.ndarray, ...]
+    diag: jnp.ndarray
+    dx: Tuple[float, ...]
+    shape: Tuple[int, ...]
+    red: jnp.ndarray
+    black: jnp.ndarray
+
+
+def build_hierarchy(
+    alpha,
+    beta,
+    a: float,
+    b: float,
+    dx: Sequence[float],
+    bc: PoissonBC,
+    min_size: int = 2,
+    max_levels: int = 30,
+):
+    """Build the MG level list (runs under jit; level count is static)."""
+    dim = alpha.ndim
+    levels = []
+    shape = tuple(alpha.shape)
+    dtype = alpha.dtype
+    cur_alpha, cur_beta, cur_dx = alpha, tuple(beta), tuple(dx)
+    while True:
+        diag = _diag(cur_alpha, cur_beta, a, b, cur_dx, bc, shape, dtype)
+        red = checkerboard(shape, 0, dtype)
+        black = checkerboard(shape, 1, dtype)
+        levels.append(
+            MGLevelData(cur_alpha, cur_beta, diag, cur_dx, shape, red, black)
+        )
+        if (
+            len(levels) >= max_levels
+            or any(n % 2 != 0 for n in shape)
+            or min(shape) <= min_size
+        ):
+            break
+        cur_alpha = _coarsen_cell(cur_alpha, dim)
+        cur_beta = tuple(_coarsen_face(cur_beta[d], d, dim) for d in range(dim))
+        cur_dx = tuple(2.0 * h for h in cur_dx)
+        shape = tuple(n // 2 for n in shape)
+    return levels
+
+
+def _smooth_rb(phi, rhs, lev: MGLevelData, a, b, bc, nsweeps: int):
+    """nsweeps red-black Gauss-Seidel sweeps."""
+
+    def one_color(phi, mask):
+        phi_g = _pad_phi(phi, bc)
+        r = rhs - apply_op(phi_g, lev.alpha, lev.beta, a, b, lev.dx, lev.shape)
+        return phi + mask * r / lev.diag
+
+    def body(_, phi):
+        phi = one_color(phi, lev.red)
+        phi = one_color(phi, lev.black)
+        return phi
+
+    return jax.lax.fori_loop(0, nsweeps, body, phi)
+
+
+def _residual(phi, rhs, lev: MGLevelData, a, b, bc):
+    phi_g = _pad_phi(phi, bc)
+    return rhs - apply_op(phi_g, lev.alpha, lev.beta, a, b, lev.dx, lev.shape)
+
+
+def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
+    lev = levels[lev_idx]
+    dim = len(lev.shape)
+    phi = jnp.zeros_like(rhs)
+    if lev_idx == len(levels) - 1:
+        return _smooth_rb(phi, rhs, lev, a, b, bc, nu_bottom)
+    phi = _smooth_rb(phi, rhs, lev, a, b, bc, nu1)
+    r = _residual(phi, rhs, lev, a, b, bc)
+    r_c = _coarsen_cell(r, dim)
+    e_c = _vcycle(r_c, levels, a, b, bc, lev_idx + 1, nu1, nu2, nu_bottom)
+    phi = phi + _prolong(e_c, dim)
+    phi = _smooth_rb(phi, rhs, lev, a, b, bc, nu2)
+    return phi
+
+
+def mg_solve(
+    rhs,
+    alpha,
+    beta,
+    a: float,
+    b: float,
+    dx: Sequence[float],
+    bc: PoissonBC,
+    phi0=None,
+    bvals: Optional[Dict] = None,
+    rtol: float = 1e-11,
+    atol: float = 1e-16,
+    max_vcycles: int = 100,
+    nu1: int = 2,
+    nu2: int = 2,
+    nu_bottom: int = 16,
+    fixed_cycles: Optional[int] = None,
+):
+    """Solve (a*alpha - b*div(beta grad)) phi = rhs to tolerance.
+
+    Singular (all-periodic/Neumann, a=0) problems are handled by projecting
+    the mean out of rhs and phi each cycle.
+
+    Returns (phi, final_resnorm, n_cycles).
+    """
+    dim = rhs.ndim
+    dtype = rhs.dtype
+    shape = tuple(rhs.shape)
+    phi = jnp.zeros_like(rhs) if phi0 is None else phi0
+
+    singular = a == 0.0 and all(
+        bc.lo[d] != DIRICHLET and bc.hi[d] != DIRICHLET for d in range(dim)
+    )
+
+    # boundary lifting: fold inhomogeneous BC values into the RHS
+    if bvals:
+        g = _boundary_lift(shape, bc, bvals, dtype)
+        rhs = rhs - apply_op(g, alpha, beta, a, b, dx, shape)
+
+    if singular:
+        rhs = rhs - jnp.mean(rhs)
+
+    levels = build_hierarchy(alpha, beta, a, b, dx, bc)
+
+    bnorm = jnp.max(jnp.abs(rhs))
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    def do_cycle(phi):
+        r = _residual(phi, rhs, levels[0], a, b, bc)
+        e = _vcycle(r, levels, a, b, bc, 0, nu1, nu2, nu_bottom)
+        phi = phi + e
+        if singular:
+            phi = phi - jnp.mean(phi)
+        return phi
+
+    if fixed_cycles is not None:
+        for _ in range(fixed_cycles):
+            phi = do_cycle(phi)
+        res = jnp.max(jnp.abs(_residual(phi, rhs, levels[0], a, b, bc)))
+        return phi, res, jnp.asarray(fixed_cycles)
+
+    def cond(state):
+        phi, res, it = state
+        return jnp.logical_and(res > tol, it < max_vcycles)
+
+    def body(state):
+        phi, _, it = state
+        phi = do_cycle(phi)
+        res = jnp.max(jnp.abs(_residual(phi, rhs, levels[0], a, b, bc)))
+        return phi, res, it + 1
+
+    res0 = jnp.max(jnp.abs(_residual(phi, rhs, levels[0], a, b, bc)))
+    phi, res, it = jax.lax.while_loop(cond, body, (phi, res0, jnp.asarray(0)))
+    return phi, res, it
+
+
+def get_fluxes(phi, beta, b: float, dx, bc: PoissonBC, bvals: Optional[Dict] = None):
+    """-b * beta * grad(phi) on all faces (for flux registers / MAC correction).
+
+    Returns a tuple of face arrays (shape +1 in dim d).
+    """
+    dim = phi.ndim
+    phi_g = _pad_phi(phi, bc)
+    if bvals:
+        phi_g = phi_g + _boundary_lift(tuple(phi.shape), bc, bvals, phi.dtype)
+    fluxes = []
+    for d in range(dim):
+        idx_all = [slice(1, -1)] * dim
+        idx_all[d] = slice(None)
+        line = phi_g[tuple(idx_all)]
+        # note: ghost-difference at a Dirichlet face equals the 2nd-order
+        # one-sided gradient (-8/3 b + 3 c0 - 1/3 c1)/dx exactly
+        grad = (sl(line, d, 1, None) - sl(line, d, 0, -1)) / dx[d]
+        fluxes.append(-b * beta[d] * grad)
+    return tuple(fluxes)

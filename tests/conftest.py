@@ -16,3 +16,10 @@ if "host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the jitted step/solver programs are large and
+# CPU XLA compiles are slow; cache them across test processes
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
