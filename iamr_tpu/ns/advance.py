@@ -112,16 +112,37 @@ def beta_faces(cfg: NSConfig, coef: float):
     return tuple(out)
 
 
-def get_force(cfg: NSConfig, rho):
-    """Default body force: rho * gravity in the last dim (NS_getForce.cpp:121-141).
+def get_force(cfg: NSConfig, rho, time=None, hit=None):
+    """Body force (rho-weighted, like the reference's getForce).
 
-    Returns (dim, *n); rho-weighted like the reference.
+    Default: rho * gravity in the last dim (NS_getForce.cpp:121-141).
+    HIT: + spectral turbulent forcing evaluated at `time`
+    (Tutorials/HIT/NS_getForce.cpp override).
     """
     dim = cfg.dim
     f = [jnp.zeros_like(rho) for _ in range(dim)]
     if abs(cfg.gravity) > 1e-4:
         f[dim - 1] = cfg.gravity * rho
-    return jnp.stack(f)
+    out = jnp.stack(f)
+    if hit is not None and time is not None:
+        out = out + hit.eval(cfg.geom, time, dtype=cfg.jdtype)
+    return out
+
+
+def make_hit_forcing(cfg: NSConfig):
+    """Build the HIT forcing mode tables when configured (turb.* namespace)."""
+    if cfg.forcing != "hit":
+        return None
+    from iamr_tpu.ns.forcing_hit import HITForcing
+
+    return HITForcing.create(
+        cfg.geom,
+        nmodes=int(cfg.turb_param("nmodes", 4)),
+        div_free=bool(cfg.turb_param("div_free_force", 1)),
+        mode_start=int(cfg.turb_param("mode_start", 0)),
+        force_scale=float(cfg.turb_param("force_scale", 1.0)),
+        seed=int(cfg.turb_param("seed", 111397)),
+    )
 
 
 def visc_terms_vel(cfg: NSConfig, vel):
@@ -160,11 +181,18 @@ def est_time_step(cfg: NSConfig, state: NSState):
 # the step
 
 
-def advance(state: NSState, cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):
+def advance(
+    state: NSState,
+    cfg: NSConfig,
+    fixed_mg_cycles: Optional[int] = None,
+    hit=None,
+    return_umac: bool = False,
+):
     """One timestep: consumes state^n, returns state^{n+1}.
 
     fixed_mg_cycles: when set, all linear solves run a fixed number of
     V-cycles (benchmark mode) instead of tolerance-driven while_loops.
+    hit: optional HITForcing mode tables (make_hit_forcing).
     """
     dim = cfg.dim
     dx = cfg.geom.dx
@@ -173,10 +201,11 @@ def advance(state: NSState, cfg: NSConfig, fixed_mg_cycles: Optional[int] = None
     recs = _vel_bcrecs(cfg)
     scal_rec = _scal_bcrec(cfg)
     periodic = tuple(cfg.geom.periodic)
+    t_half = state.time + 0.5 * dt
 
     # --- 1. predict MAC velocities -------------------------------------
     visc = visc_terms_vel(cfg, vel) if cfg.be_cn_theta != 1.0 else jnp.zeros_like(vel)
-    tf = get_force(cfg, rho)
+    tf = get_force(cfg, rho, t_half, hit)
     forcing = (tf + visc - gradp) / rho  # (visc + rho g - Gp)/rho, cpp:4447-4471
     vel_g = fill_vel(cfg, vel, 3)
     force_g = jnp.stack(
@@ -249,7 +278,7 @@ def advance(state: NSState, cfg: NSConfig, fixed_mg_cycles: Optional[int] = None
     trac_new = jnp.stack(trac_new)
 
     # --- 5. velocity update + CN viscous solve ---------------------------
-    tf_half = get_force(cfg, rho_half)
+    tf_half = get_force(cfg, rho_half, t_half, hit)
     vel_star = jnp.stack(
         [
             vel[c] - dt * aofs_vel[c] + dt * (tf_half[c] - gradp[c]) / rho_half
@@ -290,6 +319,8 @@ def advance(state: NSState, cfg: NSConfig, fixed_mg_cycles: Optional[int] = None
     dt_next = est_time_step(cfg, new_state)
     dt_next = jnp.minimum(dt_next, cfg.change_max * dt)
     new_state = new_state._replace(dt=dt_next)
+    if return_umac:
+        return new_state, umac
     return new_state
 
 
@@ -314,4 +345,23 @@ def _scal_min_max(s_g, s_new):
 
 def make_step(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):
     """jit-compiled step function closed over the static config."""
-    return jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles))
+    hit = make_hit_forcing(cfg)
+    return jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles, hit=hit))
+
+
+def make_step_with_particles(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):
+    """Step that also advects tracer particles with the step's MAC
+    velocities (AdvectWithUmac in advance, NavierStokes.cpp:672-677)."""
+    from iamr_tpu.ns.particles import advect_with_umac
+
+    hit = make_hit_forcing(cfg)
+
+    @jax.jit
+    def step(state, parts):
+        new_state, umac = advance(
+            state, cfg, fixed_mg_cycles, hit=hit, return_umac=True
+        )
+        parts = advect_with_umac(parts, umac, state.dt, cfg.geom)
+        return new_state, parts
+
+    return step

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from iamr_tpu.config.parmparse import ParmParse
-from iamr_tpu.ns.advance import advance, est_time_step, make_step
+from iamr_tpu.ns.advance import advance, est_time_step, make_hit_forcing, make_step
 from iamr_tpu.ns.probs import init_state
 from iamr_tpu.ns.state import NSConfig, NSState, config_from_inputs
 from iamr_tpu.solvers.nodal_proj import initial_velocity_project
@@ -30,6 +30,7 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None) -> NSState:
     """Build the initial state: ICs, initial projection, dt estimate,
     and the initial pressure iterations — one jitted program."""
     state = init_state(cfg)
+    hit = make_hit_forcing(cfg)
 
     @jax.jit
     def _init(state):
@@ -51,7 +52,7 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None) -> NSState:
         # initial pressure iterations: advance from the same IC, keep p/Gp
         # (post_init_press, NavierStokes.cpp:1305-1432)
         for _ in range(max(0, cfg.init_iter)):
-            trial = advance(state, cfg, fixed_mg_cycles)
+            trial = advance(state, cfg, fixed_mg_cycles, hit=hit)
             state = state._replace(p=trial.p, gradp=trial.gradp)
         return state
 

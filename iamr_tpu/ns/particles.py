@@ -1,0 +1,171 @@
+"""Passive tracer particles.
+
+TPU-native equivalent of the reference's AmrTracerParticleContainer use
+(NavierStokesBase.cpp:3754-4055): `AdvectWithUmac` (RK2 midpoint advection
+with MAC-velocity interpolation, called from advance NavierStokes.cpp:672-677),
+`Redistribute` (periodic wrapping / domain clamp), `Timestamp` output, ascii
+init files (particles.particle_init_file), and particle_count derives.
+
+Design: a fixed-size structure-of-arrays (positions (N, dim) + alive mask) —
+static shapes for jit; no per-box bucketing is needed because a level is one
+dense array (interpolation is a vectorized gather, not an MPI redistribute).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from iamr_tpu.core.geometry import Geometry
+
+
+class Particles(NamedTuple):
+    pos: jnp.ndarray    # (N, dim)
+    alive: jnp.ndarray  # (N,) bool — False for slots that left the domain
+
+
+def from_positions(pos, dtype=jnp.float64) -> Particles:
+    pos = jnp.asarray(pos, dtype=dtype)
+    return Particles(pos=pos, alive=jnp.ones(pos.shape[0], dtype=bool))
+
+
+def read_ascii_init_file(path: str, dim: int) -> np.ndarray:
+    """particles.particle_init_file format: first line = count, then one
+    position per line (reference Exec/run_2d_particles/particle_file)."""
+    with open(path) as f:
+        toks = f.read().split()
+    n = int(toks[0])
+    vals = np.asarray([float(t) for t in toks[1 : 1 + n * dim]])
+    return vals.reshape(n, dim)
+
+
+def _interp_mac(umac, pos, geom: Geometry):
+    """Interpolate MAC velocities to particle positions (linear per dim).
+
+    Component d is face-centered in d (node coordinates) and cell-centered
+    in the others; periodic dims wrap, non-periodic clamp to the domain.
+    """
+    dim = geom.dim
+    dx = geom.dx
+    out = []
+    for d in range(dim):
+        u = umac[d]
+        # fractional index per axis
+        idxs = []
+        for e in range(dim):
+            xe = (pos[:, e] - geom.prob_lo[e]) / dx[e]
+            fe = xe if e == d else xe - 0.5  # face vs cell centering
+            idxs.append(fe)
+        # multilinear gather with wrap/clamp
+        val = _multilinear(u, idxs, geom, face_dim=d)
+        out.append(val)
+    return jnp.stack(out, axis=-1)  # (N, dim)
+
+
+def _multilinear(a, fidx: Sequence, geom: Geometry, face_dim: int):
+    dim = a.ndim
+    n = geom.ncell
+    base = []
+    frac = []
+    for e in range(dim):
+        f0 = jnp.floor(fidx[e])
+        base.append(f0.astype(jnp.int32))
+        frac.append(fidx[e] - f0)
+
+    val = 0.0
+    for corner in range(2**dim):
+        w = 1.0
+        idx = []
+        for e in range(dim):
+            bit = (corner >> e) & 1
+            ie = base[e] + bit
+            we = frac[e] if bit else (1.0 - frac[e])
+            size = a.shape[e]
+            if geom.periodic[e]:
+                if e == face_dim:
+                    # face array carries the duplicated face (size n+1);
+                    # wrap on the n real faces
+                    ie = jnp.mod(ie, n[e])
+                else:
+                    ie = jnp.mod(ie, size)
+            else:
+                ie = jnp.clip(ie, 0, size - 1)
+            idx.append(ie)
+            w = w * we
+        val = val + w * a[tuple(idx)]
+    return val
+
+
+def advect_with_umac(
+    parts: Particles, umac, dt, geom: Geometry
+) -> Particles:
+    """RK2 midpoint advection (AdvectWithUmac semantics):
+    x* = x + dt/2 u(x); x^{n+1} = x + dt u(x*), then redistribute."""
+    u1 = _interp_mac(umac, parts.pos, geom)
+    mid = parts.pos + 0.5 * dt * u1
+    mid = _wrap(mid, geom)
+    u2 = _interp_mac(umac, mid, geom)
+    new = parts.pos + dt * u2
+    return redistribute(parts._replace(pos=new), geom)
+
+
+def _wrap(pos, geom: Geometry):
+    cols = []
+    for e in range(geom.dim):
+        x = pos[:, e]
+        lo, hi = geom.prob_lo[e], geom.prob_hi[e]
+        if geom.periodic[e]:
+            x = lo + jnp.mod(x - lo, hi - lo)
+        cols.append(x)
+    return jnp.stack(cols, axis=-1)
+
+
+def redistribute(parts: Particles, geom: Geometry) -> Particles:
+    """Wrap periodic positions; deactivate particles leaving the domain
+    through non-periodic boundaries (Redistribute semantics)."""
+    pos = parts.pos
+    alive = parts.alive
+    cols = []
+    for e in range(geom.dim):
+        x = pos[:, e]
+        lo, hi = geom.prob_lo[e], geom.prob_hi[e]
+        if geom.periodic[e]:
+            x = lo + jnp.mod(x - lo, hi - lo)
+        else:
+            alive = alive & (x >= lo) & (x <= hi)
+        cols.append(x)
+    return Particles(pos=jnp.stack(cols, axis=-1), alive=alive)
+
+
+def particle_count(parts: Particles, geom: Geometry):
+    """Cells' particle counts (ParticleDerive particle_count,
+    NavierStokesBase.cpp:3956-4055)."""
+    dim = geom.dim
+    n = geom.ncell
+    idx = []
+    for e in range(dim):
+        ie = jnp.floor(
+            (parts.pos[:, e] - geom.prob_lo[e]) / geom.dx[e]
+        ).astype(jnp.int32)
+        idx.append(jnp.clip(ie, 0, n[e] - 1))
+    flat = jnp.zeros(int(np.prod(n)), dtype=jnp.int32)
+    lin = idx[0]
+    for e in range(1, dim):
+        lin = lin * n[e] + idx[e]
+    flat = flat.at[lin].add(parts.alive.astype(jnp.int32))
+    return flat.reshape(n)
+
+
+def timestamp(parts: Particles, path: str, time: float):
+    """Append particle positions to a timestamp file (Timestamp output)."""
+    pos = np.asarray(parts.pos)
+    alive = np.asarray(parts.alive)
+    with open(path, "a") as f:
+        for i in range(pos.shape[0]):
+            if alive[i]:
+                f.write(
+                    f"{i} {time:.12e} " + " ".join(f"{x:.12e}" for x in pos[i]) + "\n"
+                )

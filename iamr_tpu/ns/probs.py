@@ -122,6 +122,18 @@ def init_state(cfg: NSConfig) -> NSState:
             trac[0] = (rho * vf * vf / 16.0) * (2.0 + np.cos(2 * c * two_pi * z)) * (
                 np.cos(2 * a * two_pi * x) + np.cos(2 * b * two_pi * y)
             )
+    elif pt == 100:
+        # HIT: solenoidal random field with a k^4 exp spectrum (the
+        # reference reads a gen_hit_ic.py file; Tutorials/HIT/prob_init.cpp:43-86)
+        from iamr_tpu.ns.forcing_hit import init_hit_velocity
+
+        vel[...] = init_hit_velocity(
+            geom,
+            urms=P("urms", 1.0),
+            kpeak=P("kpeak", 4.0),
+            seed=int(P("seed", 0)),
+        )
+        rho[...] = P("density", 1.0)
     else:
         raise ValueError(f"unknown probtype {pt}")
 

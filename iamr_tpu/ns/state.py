@@ -73,6 +73,8 @@ class NSConfig:
     stop_time: float = -1.0
     probtype: int = 1
     prob: Tuple[Tuple[str, float], ...] = ()
+    forcing: str = "default"  # "default" (buoyancy) | "hit" (spectral)
+    turb: Tuple[Tuple[str, float], ...] = ()  # turb.* namespace (HIT)
     dtype: str = "float64"
 
     @property
@@ -85,6 +87,12 @@ class NSConfig:
 
     def prob_param(self, name: str, default: float = 0.0) -> float:
         for k, v in self.prob:
+            if k == name:
+                return v
+        return default
+
+    def turb_param(self, name: str, default: float = 0.0) -> float:
+        for k, v in self.turb:
             if k == name:
                 return v
         return default
@@ -156,6 +164,14 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         for k in prob.keys()
         if k != "probtype" and isinstance(prob.query(k), (int, float))
     )
+    turb = pp.scoped("turb")
+    turb_params = tuple(
+        (k, float(turb.get(k)))
+        for k in turb.keys()
+        if isinstance(turb.query(k), (int, float))
+    )
+    probtype = int(prob.query("probtype", 1))
+    forcing = "hit" if (probtype == 100 or turb.contains("nmodes")) else "default"
 
     return NSConfig(
         geom=geom,
@@ -182,6 +198,8 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         visc_tol=float(ns.query("visc_tol", 1e-10)),
         max_step=int(pp.query("max_step", -1)),
         stop_time=float(pp.query("stop_time", -1.0)),
-        probtype=int(prob.query("probtype", 1)),
+        probtype=probtype,
         prob=prob_params,
+        forcing=forcing,
+        turb=turb_params,
     )

@@ -15,6 +15,10 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# the environment's sitecustomize force-registers the axon TPU backend with
+# jax_platforms="axon,cpu" (env JAX_PLATFORMS is overridden); force CPU here
+# so correctness tests run in true f64 with fast local compiles
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the jitted step/solver programs are large and

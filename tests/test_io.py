@@ -1,0 +1,104 @@
+"""Plotfile round-trip, checkpoint/restart determinism (the reference's
+Euler_restart regression requirement, Test/IAMR-tests.ini:115-127), and
+derived-field sanity."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.core.geometry import Geometry
+from iamr_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+from iamr_tpu.io.plotfile import read_plotfile, write_plotfile
+from iamr_tpu.ns.advance import make_step
+from iamr_tpu.ns.derive import derive, max_values, sum_integrated_quantities
+from iamr_tpu.ns.driver import initialize
+from iamr_tpu.ns.state import config_from_inputs
+
+
+def test_plotfile_roundtrip(tmp_path):
+    geom = Geometry(
+        ncell=(8, 6), prob_lo=(0.0, 0.0), prob_hi=(1.0, 0.75),
+        periodic=(True, True),
+    )
+    rng = np.random.default_rng(0)
+    fields = {
+        "x_velocity": rng.standard_normal((8, 6)),
+        "density": rng.uniform(1, 2, (8, 6)),
+    }
+    p = str(tmp_path / "plt00000")
+    write_plotfile(p, geom, fields, time=1.5)
+    back, t = read_plotfile(p)
+    assert t == 1.5
+    for k in fields:
+        np.testing.assert_array_equal(back[k], fields[k])
+
+
+def test_plotfile_roundtrip_3d(tmp_path):
+    geom = Geometry(
+        ncell=(4, 6, 8), prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3,
+        periodic=(True,) * 3,
+    )
+    rng = np.random.default_rng(1)
+    fields = {"density": rng.standard_normal((4, 6, 8))}
+    p = str(tmp_path / "plt00001")
+    write_plotfile(p, geom, fields)
+    back, _ = read_plotfile(p)
+    np.testing.assert_array_equal(back["density"], fields["density"])
+
+
+TG = """
+max_step = 10
+amr.n_cell = 16 16
+ns.cfl = 0.5
+ns.init_iter = 1
+ns.vel_visc_coef = 1e-2
+geometry.prob_lo = 0. 0.
+geometry.prob_hi = 1. 1.
+geometry.is_periodic = 1 1
+ns.lo_bc = 0 0
+ns.hi_bc = 0 0
+prob.probtype = 11
+prob.velocity_factor = 1.0
+"""
+
+
+def test_restart_determinism(tmp_path):
+    cfg = config_from_inputs(ParmParse.from_string(TG))
+    state = initialize(cfg)
+    step = make_step(cfg)
+    # run 3 steps, checkpoint, run 3 more
+    for _ in range(3):
+        state = step(state)
+    ck = str(tmp_path / "chk00003")
+    save_checkpoint(ck, state, step=3)
+    cont = state
+    for _ in range(3):
+        cont = step(cont)
+
+    # restart from the checkpoint and run the same 3 steps
+    restored, nstep = load_checkpoint(ck, cfg)
+    assert nstep == 3
+    for _ in range(3):
+        restored = step(restored)
+
+    np.testing.assert_array_equal(np.asarray(cont.vel), np.asarray(restored.vel))
+    np.testing.assert_array_equal(np.asarray(cont.p), np.asarray(restored.p))
+    np.testing.assert_array_equal(np.asarray(cont.rho), np.asarray(restored.rho))
+    assert float(cont.time) == float(restored.time)
+
+
+def test_derive_and_diagnostics():
+    cfg = config_from_inputs(ParmParse.from_string(TG))
+    state = initialize(cfg)
+    mv = derive(cfg, state, "mag_vort")
+    assert mv.shape == cfg.geom.ncell
+    # TG vorticity: max = 2 * 2pi * vf approximately
+    assert 10.0 < float(jnp.max(mv)) < 14.0
+    ke = derive(cfg, state, "energy")
+    assert float(jnp.max(ke)) <= 0.5 + 1e-12
+    q = sum_integrated_quantities(cfg, state)
+    np.testing.assert_allclose(q["mass"], 1.0, rtol=1e-12)
+    mx = max_values(state)
+    assert 0.9 < mx["max|ux|"] <= 1.0

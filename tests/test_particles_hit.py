@@ -1,0 +1,128 @@
+"""Tracer-particle advection tests + HIT forcing/IC sanity."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from iamr_tpu.core.geometry import Geometry
+from iamr_tpu.ns.forcing_hit import HITForcing, init_hit_velocity
+from iamr_tpu.ns.particles import (
+    advect_with_umac,
+    from_positions,
+    particle_count,
+    read_ascii_init_file,
+    redistribute,
+)
+
+
+def _geom2(n=16, periodic=True):
+    return Geometry(
+        ncell=(n, n), prob_lo=(0.0, 0.0), prob_hi=(1.0, 1.0),
+        periodic=(periodic, periodic),
+    )
+
+
+def test_uniform_translation():
+    geom = _geom2()
+    parts = from_positions([[0.25, 0.5], [0.7, 0.1]])
+    umac = (jnp.full((17, 16), 0.5), jnp.full((16, 17), -0.25))
+    dt = 0.1
+    for _ in range(4):
+        parts = advect_with_umac(parts, umac, dt, geom)
+    np.testing.assert_allclose(
+        np.asarray(parts.pos[0]), [(0.25 + 0.2) % 1, (0.5 - 0.1) % 1], rtol=1e-12
+    )
+
+
+def test_rotation_stays_on_circle():
+    # solid-body-like rotation about domain center from a streamfunction
+    n = 64
+    geom = _geom2(n)
+    dx = 1.0 / n
+    xn = np.arange(n + 1) * dx
+    xc = (np.arange(n) + 0.5) * dx
+    # psi = -0.5 * r^2 (solid rotation omega=1)
+    PSI = lambda x, y: -0.5 * ((x - 0.5) ** 2 + (y - 0.5) ** 2)
+    psi_xfaces = PSI(xn[:, None], xc[None, :] * 0 + xc[None, :])
+    u = np.zeros((n + 1, n))
+    v = np.zeros((n, n + 1))
+    # u = -dpsi/dy at x-faces
+    psi_nodes = PSI(xn[:, None], xn[None, :])
+    u = -(psi_nodes[:, 1:] - psi_nodes[:, :-1]) / dx
+    v = (psi_nodes[1:, :] - psi_nodes[:-1, :]) / dx
+    parts = from_positions([[0.8, 0.5]])
+    dt = 0.02
+    r0 = 0.3
+    for _ in range(50):
+        parts = advect_with_umac(parts, (jnp.asarray(u), jnp.asarray(v)), dt, geom)
+    p = np.asarray(parts.pos[0])
+    r = np.hypot(p[0] - 0.5, p[1] - 0.5)
+    assert abs(r - r0) < 2e-3, (r, r0)
+
+
+def test_redistribute_kills_escapees():
+    geom = _geom2(periodic=False)
+    parts = from_positions([[0.5, 0.5], [1.2, 0.5], [-0.1, 0.3]])
+    parts = redistribute(parts, geom)
+    np.testing.assert_array_equal(np.asarray(parts.alive), [True, False, False])
+
+
+def test_particle_count():
+    geom = _geom2(4)
+    parts = from_positions([[0.1, 0.1], [0.12, 0.13], [0.9, 0.9]])
+    cnt = particle_count(parts, geom)
+    assert int(cnt[0, 0]) == 2
+    assert int(cnt[3, 3]) == 1
+    assert int(jnp.sum(cnt)) == 3
+
+
+def test_ascii_init_file(tmp_path):
+    p = tmp_path / "particle_file"
+    p.write_text("3\n0.1 0.2\n0.3 0.4\n0.5 0.6\n")
+    pos = read_ascii_init_file(str(p), 2)
+    assert pos.shape == (3, 2)
+    np.testing.assert_allclose(pos[2], [0.5, 0.6])
+
+
+def _geom3(n=16):
+    return Geometry(
+        ncell=(n, n, n), prob_lo=(0.0,) * 3, prob_hi=(1.0,) * 3,
+        periodic=(True,) * 3,
+    )
+
+
+def test_hit_forcing_divergence_free():
+    geom = _geom3(32)
+    f = HITForcing.create(geom, nmodes=2, div_free=True, seed=7)
+    assert f.k.shape[0] > 5
+    force = f.eval(geom, 0.3, dtype=jnp.float64)
+    assert force.shape == (3, 32, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(force)))
+    # spectral divergence of the analytic curl field: ~0 relative to |f|
+    fh = [np.fft.fftn(np.asarray(force[c])) for c in range(3)]
+    k = np.fft.fftfreq(32, d=1.0 / 32) * 2j * np.pi
+    div = (
+        fh[0] * k[:, None, None] + fh[1] * k[None, :, None] + fh[2] * k[None, None, :]
+    )
+    rel = np.abs(div).max() / max(np.abs(fh[0]).max(), 1e-30)
+    assert rel < 1e-10, rel
+
+
+def test_hit_forcing_time_modulation():
+    geom = _geom3(8)
+    f = HITForcing.create(geom, nmodes=1, seed=3)
+    f0 = f.eval(geom, 0.0, dtype=jnp.float64)
+    f1 = f.eval(geom, 0.5, dtype=jnp.float64)
+    assert float(jnp.max(jnp.abs(f0 - f1))) > 1e-8  # time-varying
+
+
+def test_hit_ic_properties():
+    geom = _geom3(32)
+    u = init_hit_velocity(geom, urms=1.5, kpeak=4.0, seed=1)
+    rms = np.sqrt(np.mean(np.sum(u**2, axis=0)) / 3.0)
+    np.testing.assert_allclose(rms, 1.5, rtol=1e-10)
+    uh = [np.fft.fftn(u[c]) for c in range(3)]
+    k = np.fft.fftfreq(32, d=1.0 / 32) * 2j * np.pi
+    div = (
+        uh[0] * k[:, None, None] + uh[1] * k[None, :, None] + uh[2] * k[None, None, :]
+    )
+    assert np.abs(div).max() / np.abs(uh[0]).max() < 1e-10
