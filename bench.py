@@ -33,15 +33,19 @@ def main():
     cfg, state = _make(n, dim=3, dtype="float32", nu=1e-3)
     step = jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles=4))
 
-    # warmup/compile
+    import jax.numpy as jnp
+
+    # warmup/compile; the scalar fetch forces full execution (the tunneled
+    # TPU backend's block_until_ready can return before remote work lands)
     state = step(state)
-    state.vel.block_until_ready()
+    _ = float(jnp.max(jnp.abs(state.vel)))
 
     t0 = time.perf_counter()
     for _ in range(steps):
         state = step(state)
-    state.vel.block_until_ready()
+    checksum = float(jnp.max(jnp.abs(state.vel)))
     dt_wall = time.perf_counter() - t0
+    assert np.isfinite(checksum), "non-finite state after bench steps"
 
     cells = n**3
     cups = cells * steps / dt_wall

@@ -1,0 +1,155 @@
+"""Two-level (coarse + fine patch) composite timestep.
+
+TPU-native equivalent of the reference's multilevel advance in its
+non-subcycled mode (amr.subcycling_mode=None, Docs/Debugging.rst:22-23):
+both levels advance with the SAME dt each coarse step; afterwards
+  * avgDown replaces covered coarse data with restricted fine data
+    (NavierStokes.cpp:1844-1873)
+  * reflux corrects uncovered coarse cells at the C-F interface with the
+    advective flux mismatch for conservatively-advected scalars
+    (NavierStokes.cpp:1735-1838)
+The fine level's ghost cells / solver BCs come from the coarse level via a
+CoarseFineBCProvider (FillPatch + coarse-fine Dirichlet semantics).
+
+Subcycled advance (fine takes r steps per coarse step) + the sync
+projections (mac_sync, MLsyncProject, SyncRegister machinery,
+NavierStokesBase.cpp:1927-2044) are the next stage of this module.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from iamr_tpu.amr.hierarchy import (
+    LevelSpec,
+    avg_down,
+    avg_down_node,
+    crse_region,
+    prolong_cell,
+    reflux_correct,
+)
+from iamr_tpu.ns.advance import advance, est_time_step, make_hit_forcing
+from iamr_tpu.ns.bcprovider import CoarseFineBCProvider, _prolong_node_patch
+from iamr_tpu.ns.state import NSConfig, NSState
+
+
+class MLState(NamedTuple):
+    crse: NSState
+    fine: NSState
+
+
+def make_fine_config(cfg: NSConfig, spec: LevelSpec) -> NSConfig:
+    fine_geom = spec.fine_geom(cfg.geom)
+    return dataclasses.replace(cfg, geom=fine_geom)
+
+
+def init_fine_from_coarse(cfg: NSConfig, spec: LevelSpec, crse: NSState) -> NSState:
+    """Interpolate the coarse state onto the fine patch (FillCoarsePatch /
+    init-from-coarser semantics, NavierStokesBase.cpp:1759-1807)."""
+    r = spec.ratio
+
+    def pc(a):
+        return prolong_cell(a, r)[
+            tuple(slice(spec.lo[d], spec.lo[d] + spec.ncell[d]) for d in range(spec.dim))
+        ]
+
+    vel = jnp.stack([pc(crse.vel[c]) for c in range(crse.vel.shape[0])])
+    trac = jnp.stack([pc(crse.trac[t]) for t in range(crse.trac.shape[0])])
+    p = _prolong_node_patch(crse.p, spec)
+    gradp = jnp.stack([pc(crse.gradp[c]) for c in range(crse.gradp.shape[0])])
+    return NSState(
+        vel=vel, rho=pc(crse.rho), trac=trac, p=p, gradp=gradp,
+        time=crse.time, dt=crse.dt,
+    )
+
+
+def advance_two_level(
+    ml: MLState,
+    cfg: NSConfig,
+    spec: LevelSpec,
+    fixed_mg_cycles: Optional[int] = None,
+    hit=None,
+):
+    """One composite (non-subcycled) step. Returns the new MLState."""
+    cfg_f = make_fine_config(cfg, spec)
+    dim = cfg.dim
+    r = spec.ratio
+    dt = jnp.minimum(ml.crse.dt, ml.fine.dt)
+    crse = ml.crse._replace(dt=dt)
+    fine = ml.fine._replace(dt=dt)
+
+    # --- 1. advance the coarse level (its own physical BCs) -------------
+    crse_new, crse_aux = advance(
+        crse, cfg, fixed_mg_cycles, hit=hit, return_aux=True
+    )
+
+    # --- 2. advance the fine level with coarse-fed BCs ------------------
+    crse_old_d = {"vel": crse.vel, "rho": crse.rho, "trac": crse.trac}
+    crse_new_d = {"vel": crse_new.vel, "rho": crse_new.rho, "trac": crse_new.trac}
+    bcp = CoarseFineBCProvider(
+        cfg_f, spec, cfg.geom, crse_old_d, crse_new_d,
+        crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
+    )
+    fine_new, fine_aux = advance(
+        fine, cfg_f, fixed_mg_cycles, hit=hit, bcp=bcp, return_aux=True
+    )
+
+    # --- 3. avgDown (State, Press, Gradp; NavierStokes.cpp:1844-1873) ---
+    rho_c = avg_down(crse_new.rho, fine_new.rho, spec)
+    vel_c = jnp.stack(
+        [avg_down(crse_new.vel[c], fine_new.vel[c], spec) for c in range(dim)]
+    )
+    trac_c = jnp.stack(
+        [
+            avg_down(crse_new.trac[t], fine_new.trac[t], spec)
+            for t in range(cfg.ntrac)
+        ]
+    )
+    p_c = avg_down_node(crse_new.p, fine_new.p, spec)
+    gradp_c = jnp.stack(
+        [avg_down(crse_new.gradp[c], fine_new.gradp[c], spec) for c in range(dim)]
+    )
+
+    # --- 4. reflux conservative scalars (rho always; tracers if
+    # conservative) against the advective flux mismatch -------------------
+    dxc = cfg.geom.dx
+    dt_over_dx = tuple(dt / dxc[d] for d in range(dim))
+    rho_c = reflux_correct(
+        rho_c, crse_aux["flux_rho"], fine_aux["flux_rho"], spec, dt_over_dx
+    )
+    if cfg.do_cons_trac:
+        trac_list = []
+        for t in range(cfg.ntrac):
+            trac_list.append(
+                reflux_correct(
+                    trac_c[t],
+                    crse_aux["flux_trac"][t],
+                    fine_aux["flux_trac"][t],
+                    spec,
+                    dt_over_dx,
+                )
+            )
+        trac_c = jnp.stack(trac_list)
+
+    crse_out = crse_new._replace(
+        rho=rho_c, vel=vel_c, trac=trac_c, p=p_c, gradp=gradp_c
+    )
+
+    # --- next dt: min over levels (computeNewDt, cpp:944-1035) -----------
+    dt_c = est_time_step(cfg, crse_out)
+    dt_f = est_time_step(cfg_f, fine_new)
+    dt_next = jnp.minimum(jnp.minimum(dt_c, dt_f), cfg.change_max * dt)
+    crse_out = crse_out._replace(dt=dt_next)
+    fine_out = fine_new._replace(dt=dt_next)
+    return MLState(crse=crse_out, fine=fine_out)
+
+
+def make_two_level_step(cfg: NSConfig, spec: LevelSpec, fixed_mg_cycles=None):
+    hit = make_hit_forcing(cfg)
+    return jax.jit(
+        lambda ml: advance_two_level(ml, cfg, spec, fixed_mg_cycles, hit=hit)
+    )

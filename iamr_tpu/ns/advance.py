@@ -187,32 +187,52 @@ def advance(
     fixed_mg_cycles: Optional[int] = None,
     hit=None,
     return_umac: bool = False,
+    bcp=None,
+    return_aux: bool = False,
 ):
     """One timestep: consumes state^n, returns state^{n+1}.
 
     fixed_mg_cycles: when set, all linear solves run a fixed number of
     V-cycles (benchmark mode) instead of tolerance-driven while_loops.
     hit: optional HITForcing mode tables (make_hit_forcing).
+    bcp: boundary-condition provider (default PhysBCProvider; fine AMR
+    levels pass a CoarseFineBCProvider).
+    return_aux: also return {"umac", "mac_phi", "flux_rho", "flux_trac"}
+    for particle advection and coarse-fine flux registers.
     """
+    if bcp is None:
+        from iamr_tpu.ns.bcprovider import PhysBCProvider
+
+        bcp = PhysBCProvider(cfg)
     dim = cfg.dim
     dx = cfg.geom.dx
     dt = state.dt
     vel, rho, trac, p, gradp = state.vel, state.rho, state.trac, state.p, state.gradp
-    recs = _vel_bcrecs(cfg)
-    scal_rec = _scal_bcrec(cfg)
+    recs = [bcp.vel_bcrec(c) for c in range(dim)]
     periodic = tuple(cfg.geom.periodic)
     t_half = state.time + 0.5 * dt
 
     # --- 1. predict MAC velocities -------------------------------------
-    visc = visc_terms_vel(cfg, vel) if cfg.be_cn_theta != 1.0 else jnp.zeros_like(vel)
+    if cfg.vel_visc_coef > 0.0 and cfg.be_cn_theta != 1.0:
+        mf0 = mu_faces(cfg)
+        visc = jnp.stack(
+            [
+                diff.visc_terms_component(
+                    vel[c], mf0, dx, recs[c],
+                    poisson_bc=bcp.vel_diff_bc(c)[0],
+                    poisson_bvals=bcp.vel_diff_bc(c)[1],
+                )
+                for c in range(dim)
+            ]
+        )
+    else:
+        visc = jnp.zeros_like(vel)
     tf = get_force(cfg, rho, t_half, hit)
     forcing = (tf + visc - gradp) / rho  # (visc + rho g - Gp)/rho, cpp:4447-4471
-    vel_g = fill_vel(cfg, vel, 3)
-    force_g = jnp.stack(
-        [fill_ghost(forcing[c], 1, recs[c]) for c in range(dim)]
-    )
-    bcvals_lo = tuple(_vel_bcvals(cfg, c)[0] for c in range(dim))
-    bcvals_hi = tuple(_vel_bcvals(cfg, c)[1] for c in range(dim))
+    vel_g = bcp.fill_vel(vel, 3)
+    force_g = bcp.fill_force(forcing)
+    bcvals_lo = tuple(bcp.vel_bcvals(c)[0] for c in range(dim))
+    bcvals_hi = tuple(bcp.vel_bcvals(c)[1] for c in range(dim))
     # reorganize per-dim: extrap wants bcvals_lo[d][c]
     bl = tuple(tuple(bcvals_lo[c][d] for c in range(dim)) for d in range(dim))
     bh = tuple(tuple(bcvals_hi[c][d] for c in range(dim)) for d in range(dim))
@@ -222,9 +242,11 @@ def advance(
     )
 
     # --- 2. MAC projection ---------------------------------------------
+    mac_bc, mac_bvals = bcp.mac_bc()
     umac, mac_phi, _ = mac_project(
         umac, rho, cfg.dom, dx,
         rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
+        bc=mac_bc, bvals=mac_bvals,
     )
     umac_g = grow_umac_transverse(umac, periodic)
 
@@ -243,11 +265,11 @@ def advance(
 
     # --- 4. scalar advection + updates ----------------------------------
     # density: conservative, no forcing
-    rho_g = fill_scal(cfg, rho, 3, 0)
+    rho_g = bcp.fill_scal(rho, 3, 0)
     edges_rho = compute_edge_states(
         rho_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=True, periodic=periodic
     )
-    _, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True)
+    flux_rho, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True)
     rho_new = rho - dt * aofs_rho
     if cfg.do_denminmax:
         rho_new = _scal_min_max(rho_g, rho_new)
@@ -255,24 +277,27 @@ def advance(
 
     # tracers: convective by default (do_cons_trac for conservative)
     trac_new = []
+    flux_trac = []
     for t in range(cfg.ntrac):
         s = trac[t]
-        s_g = fill_scal(cfg, s, 3, 1 + t)
+        s_g = bcp.fill_scal(s, 3, 1 + t)
         icons = cfg.do_cons_trac
         edges = compute_edge_states(
             s_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=icons, periodic=periodic
         )
-        _, aofs_s = compute_fluxes_and_aofs(
+        flux_s, aofs_s = compute_fluxes_and_aofs(
             edges, umac, dx, icons, s_cc=s
         )
+        flux_trac.append(flux_s)
         s_star = s - dt * aofs_s
         coef = cfg.scal_diff_coefs[t] if t < len(cfg.scal_diff_coefs) else 0.0
         if coef > 0.0:
-            lo, hi = _scal_bcvals(cfg, 1 + t)
+            sbc, sbv = bcp.scal_diff_bc(1 + t)
             s_star, _ = diff.diffuse_scalar(
                 s_star, s, rho_new, rho, beta_faces(cfg, coef), dt, dx,
-                scal_rec, lo, hi, cfg.be_cn_theta,
+                bcp._scal_rec, theta=cfg.be_cn_theta,
                 rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                poisson_bc=sbc, poisson_bvals=sbv,
             )
         trac_new.append(s_star)
     trac_new = jnp.stack(trac_new)
@@ -290,20 +315,23 @@ def advance(
         alpha = rho_half / dt
         comps = []
         for c in range(dim):
-            lo, hi = _vel_bcvals(cfg, c)
+            vbc, vbv = bcp.vel_diff_bc(c)
             u_new, _ = diff.diffuse_scalar(
                 vel_star[c], vel[c], alpha, alpha, mf,
                 1.0,  # dt folded into alpha: (alpha - theta*1*L) with alpha=rho/dt
-                dx, recs[c], lo, hi, cfg.be_cn_theta,
+                dx, recs[c], theta=cfg.be_cn_theta,
                 rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                poisson_bc=vbc, poisson_bvals=vbv,
             )
             comps.append(u_new)
         vel_star = jnp.stack(comps)
 
     # --- 6. nodal projection ---------------------------------------------
+    nodal_bc_, nodal_phi_bc = bcp.nodal()
     vel_new, p_new, gradp_new, _ = level_project(
         vel_star, rho_half, p, gradp, dt, cfg.dom, dx,
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
+        bc=nodal_bc_, phi_bc=nodal_phi_bc,
     )
 
     # --- next dt ----------------------------------------------------------
@@ -319,6 +347,14 @@ def advance(
     dt_next = est_time_step(cfg, new_state)
     dt_next = jnp.minimum(dt_next, cfg.change_max * dt)
     new_state = new_state._replace(dt=dt_next)
+    if return_aux:
+        aux = {
+            "umac": umac,
+            "mac_phi": mac_phi,
+            "flux_rho": flux_rho,
+            "flux_trac": tuple(flux_trac),
+        }
+        return new_state, aux
     if return_umac:
         return new_state, umac
     return new_state

@@ -368,17 +368,28 @@ def nodal_solve(
     nu2: int = 4,
     nu_bottom: int = 40,
     fixed_cycles: Optional[int] = None,
+    phi_bc=None,
 ):
-    """Solve D(sigma G phi) = rhs. Returns (phi, resnorm, iters).
+    """Solve L(phi) = rhs (FEM nodal Laplacian). Returns (phi, resnorm, iters).
 
-    Singular when no Dirichlet (outflow) side exists: rhs and phi are
-    mean-projected each cycle (the reference's nodal solve has the same
-    nullspace; MLMG handles it via bottom-solve tolerance).
+    phi_bc: optional node array whose values on Dirichlet boundary nodes are
+    imposed (inhomogeneous Dirichlet — the coarse-fine boundary condition of
+    a fine-level projection; reference MLNodeLaplacian setCoarseFineBC).
+    Solved by lifting: phi = phi_b + psi with psi = 0 on the boundary.
+
+    Singular when no Dirichlet side exists: rhs and phi are mean-projected
+    each cycle (the reference's nodal solve has the same nullspace).
     """
     dim = sigma.ndim
     levels = build_nodal_hierarchy(sigma, dx, bc)
     lev0 = levels[0]
     phi = jnp.zeros(lev0.nshape, dtype=rhs.dtype) if phi0 is None else phi0
+
+    phi_b = None
+    if phi_bc is not None:
+        phi_b = (1.0 - lev0.mask) * phi_bc
+        rhs = rhs - apply_nodal(phi_b, sigma, dx, bc)
+        phi = lev0.mask * phi
 
     singular = all(
         bc.lo[d] != N_DIRICHLET and bc.hi[d] != N_DIRICHLET for d in range(dim)
@@ -410,11 +421,14 @@ def nodal_solve(
             phi = demean(phi)
         return phi
 
+    def finalize(phi):
+        return phi if phi_b is None else phi + phi_b
+
     if fixed_cycles is not None:
         for _ in range(fixed_cycles):
             phi = do_cycle(phi)
         res = jnp.max(jnp.abs(_nodal_residual(phi, rhs, lev0, bc)))
-        return phi, res, jnp.asarray(fixed_cycles)
+        return finalize(phi), res, jnp.asarray(fixed_cycles)
 
     def cond(state):
         _, res, it = state
@@ -428,4 +442,4 @@ def nodal_solve(
 
     res0 = jnp.max(jnp.abs(_nodal_residual(phi, rhs, lev0, bc)))
     phi, res, it = jax.lax.while_loop(cond, body, (phi, res0, jnp.asarray(0)))
-    return phi, res, it
+    return finalize(phi), res, it

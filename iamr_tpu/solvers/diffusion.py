@@ -85,6 +85,8 @@ def diffuse_scalar(
     rtol: float = 1e-10,
     atol: float = 1e-14,
     fixed_cycles: Optional[int] = None,
+    poisson_bc: Optional[PoissonBC] = None,
+    poisson_bvals: Optional[Dict] = None,
 ):
     """CN diffusion update after advection.
 
@@ -101,10 +103,14 @@ def diffuse_scalar(
     wiring arrives with multilevel support).
     """
     dim = s_star.ndim
-    bc = poisson_bc_from_bcrec(bcrec)
-    vals_lo = bvals_lo if bvals_lo is not None else (0.0,) * dim
-    vals_hi = bvals_hi if bvals_hi is not None else (0.0,) * dim
-    bvals = bvals_from_scalar(bcrec, vals_lo, vals_hi, dim)
+    if poisson_bc is not None:
+        bc = poisson_bc
+        bvals = poisson_bvals or {}
+    else:
+        bc = poisson_bc_from_bcrec(bcrec)
+        vals_lo = bvals_lo if bvals_lo is not None else (0.0,) * dim
+        vals_hi = bvals_hi if bvals_hi is not None else (0.0,) * dim
+        bvals = bvals_from_scalar(bcrec, vals_lo, vals_hi, dim)
 
     lap_old = apply_diffusion_op(s_old, beta, dx, bc, bvals)
     rhs = alpha_new * s_star + (1.0 - theta) * dt * lap_old
@@ -170,9 +176,20 @@ def diffuse_velocity_component(
     )
 
 
-def visc_terms_component(u, mu_faces, dx, bcrec: BCRec, bvals_lo=None, bvals_hi=None):
+def visc_terms_component(
+    u,
+    mu_faces,
+    dx,
+    bcrec: BCRec,
+    bvals_lo=None,
+    bvals_hi=None,
+    poisson_bc: Optional[PoissonBC] = None,
+    poisson_bvals: Optional[Dict] = None,
+):
     """Explicit viscous term div mu grad u (getViscTerms equivalent)."""
     dim = u.ndim
+    if poisson_bc is not None:
+        return apply_diffusion_op(u, mu_faces, dx, poisson_bc, poisson_bvals or {})
     bc = poisson_bc_from_bcrec(bcrec)
     vals_lo = bvals_lo if bvals_lo is not None else (0.0,) * dim
     vals_hi = bvals_hi if bvals_hi is not None else (0.0,) * dim

@@ -62,10 +62,16 @@ def mac_project(
     rtol: float = 1e-12,
     atol: float = 1e-16,
     fixed_cycles: Optional[int] = None,
+    bc: Optional[PoissonBC] = None,
+    bvals=None,
 ):
-    """Project the MAC velocities. Returns (umac_corrected, phi, stats)."""
+    """Project the MAC velocities. Returns (umac_corrected, phi, stats).
+
+    bc/bvals override the domain-derived BCs (fine levels pass Dirichlet
+    coarse-fine values from the parent's mac_phi)."""
     dim = rho.ndim
-    bc = mac_poisson_bc(dom)
+    if bc is None:
+        bc = mac_poisson_bc(dom)
     beta = beta_from_rho(rho, dom)
 
     div = mac_div(umac, dx)
@@ -83,12 +89,13 @@ def mac_project(
         dx,
         bc,
         phi0=phi0,
+        bvals=bvals,
         rtol=rtol,
         atol=atol,
         fixed_cycles=fixed_cycles,
     )
     # correction fluxes: get_fluxes returns -b*beta*grad(phi) = -beta grad phi
-    corr = mg.get_fluxes(phi, beta, 1.0, dx, bc)
+    corr = mg.get_fluxes(phi, beta, 1.0, dx, bc, bvals=bvals)
     umac_new = []
     for d in range(dim):
         u = umac[d] + corr[d]

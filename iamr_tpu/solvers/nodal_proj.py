@@ -60,14 +60,19 @@ def level_project(
     rtol: float = 1e-12,
     atol: float = 1e-16,
     fixed_cycles: Optional[int] = None,
+    bc: Optional[NodalBC] = None,
+    phi_bc=None,
 ):
     """Approximate nodal projection of the provisional velocity.
 
     vel_star: (dim, *n) un-projected new-time velocity (updated with -Gp
-    forcing); returns (vel_new, p_new, gradp_new, stats).
+    forcing); returns (vel_new, p_new, gradp_new, stats). bc/phi_bc override
+    the domain BCs with coarse-fine Dirichlet values on fine levels
+    (reference doMLMGNodalProjection coarse-fine handling).
     """
     dim = rho_half.ndim
-    bc = nodal_bc(dom)
+    if bc is None:
+        bc = nodal_bc(dom)
     sigma = 1.0 / rho_half
 
     vs = tuple(
@@ -75,7 +80,8 @@ def level_project(
     )
     rhs = div_cell_to_node(vs, dx, bc)
     phi, res, it = nodal_solve(
-        rhs, sigma, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles
+        rhs, sigma, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
+        phi_bc=phi_bc,
     )
     gphi = grad_node_to_cell(phi, dx)
     vel_new = jnp.stack(
