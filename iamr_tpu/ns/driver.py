@@ -114,7 +114,68 @@ def run(
     return state
 
 
-def run_from_inputs(path: str, overrides=(), **kw) -> NSState:
+def default_fine_spec(cfg: NSConfig):
+    """LevelSpec from amr.fixed_fine_patch (lo..., size...), or the centered
+    half-domain patch when max_level>=1 without an explicit patch."""
+    from iamr_tpu.amr.hierarchy import LevelSpec
+
+    dim = cfg.dim
+    r = cfg.ref_ratio
+    if cfg.fine_patch and len(cfg.fine_patch) == 2 * dim:
+        lo = cfg.fine_patch[:dim]
+        size = cfg.fine_patch[dim:]
+        return LevelSpec(lo=tuple(lo), ncell=tuple(size), ratio=r)
+    # default: refine the central half of the domain
+    n = cfg.geom.ncell
+    return LevelSpec(
+        lo=tuple(r * (x // 4) for x in n),
+        ncell=tuple(r * (x // 2) for x in n),
+        ratio=r,
+    )
+
+
+def run_multilevel(
+    cfg: NSConfig,
+    max_steps: Optional[int] = None,
+    verbose: bool = False,
+    fixed_mg_cycles=None,
+):
+    """Two-level composite run (max_level = 1, non-subcycled)."""
+    from iamr_tpu.amr.multilevel import (
+        MLState,
+        init_fine_from_coarse,
+        make_two_level_step,
+    )
+
+    spec = default_fine_spec(cfg)
+    crse = initialize(cfg, fixed_mg_cycles)
+    fine = init_fine_from_coarse(cfg, spec, crse)
+    ml = MLState(crse=crse, fine=fine)
+    step_fn = make_two_level_step(cfg, spec, fixed_mg_cycles)
+
+    nmax = max_steps if max_steps is not None else (
+        cfg.max_step if cfg.max_step >= 0 else 10**9
+    )
+    step = 0
+    while step < nmax:
+        if cfg.stop_time >= 0.0 and float(ml.crse.time) >= cfg.stop_time:
+            break
+        ml = step_fn(ml)
+        step += 1
+        if verbose:
+            print(
+                f"STEP {step} time {float(ml.crse.time):.6g} "
+                f"dt {float(ml.crse.dt):.6g} "
+                f"max|u| L0 {float(jnp.max(jnp.abs(ml.crse.vel))):.6g} "
+                f"L1 {float(jnp.max(jnp.abs(ml.fine.vel))):.6g}"
+            )
+    return ml
+
+
+def run_from_inputs(path: str, overrides=(), **kw):
     pp = ParmParse.from_file(path, overrides)
     cfg = config_from_inputs(pp)
+    if cfg.max_level >= 1:
+        kw.pop("max_steps", None)
+        return run_multilevel(cfg, verbose=kw.get("verbose", False))
     return run(cfg, **kw)

@@ -75,6 +75,11 @@ class NSConfig:
     prob: Tuple[Tuple[str, float], ...] = ()
     forcing: str = "default"  # "default" (buoyancy) | "hit" (spectral)
     turb: Tuple[Tuple[str, float], ...] = ()  # turb.* namespace (HIT)
+    max_level: int = 0
+    ref_ratio: int = 2
+    # static fine patch (fine-level index space): lo then size per dim —
+    # the fixed-grids analogue of amr.regrid_file (Docs RunningProblems.rst)
+    fine_patch: Tuple[int, ...] = ()
     dtype: str = "float64"
 
     @property
@@ -202,4 +207,9 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         prob=prob_params,
         forcing=forcing,
         turb=turb_params,
+        max_level=int(amr.query("max_level", 0)),
+        ref_ratio=int(amr.queryarr("ref_ratio", [2])[0]),
+        fine_patch=tuple(
+            int(x) for x in amr.queryarr("fixed_fine_patch", [])
+        ),
     )
