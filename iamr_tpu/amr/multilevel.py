@@ -62,8 +62,8 @@ def init_fine_from_coarse(cfg: NSConfig, spec: LevelSpec, crse: NSState) -> NSSt
     p = _prolong_node_patch(crse.p, spec)
     gradp = jnp.stack([pc(crse.gradp[c]) for c in range(crse.gradp.shape[0])])
     return NSState(
-        vel=vel, rho=pc(crse.rho), trac=trac, p=p, gradp=gradp,
-        time=crse.time, dt=crse.dt,
+        vel=vel, rho=pc(crse.rho), trac=trac, temp=pc(crse.temp), p=p,
+        gradp=gradp, time=crse.time, dt=crse.dt,
     )
 
 
@@ -88,8 +88,13 @@ def advance_two_level(
     )
 
     # --- 2. advance the fine level with coarse-fed BCs ------------------
-    crse_old_d = {"vel": crse.vel, "rho": crse.rho, "trac": crse.trac}
-    crse_new_d = {"vel": crse_new.vel, "rho": crse_new.rho, "trac": crse_new.trac}
+    crse_old_d = {
+        "vel": crse.vel, "rho": crse.rho, "trac": crse.trac, "temp": crse.temp
+    }
+    crse_new_d = {
+        "vel": crse_new.vel, "rho": crse_new.rho, "trac": crse_new.trac,
+        "temp": crse_new.temp,
+    }
     bcp = CoarseFineBCProvider(
         cfg_f, spec, cfg.geom, crse_old_d, crse_new_d,
         crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
@@ -135,8 +140,9 @@ def advance_two_level(
             )
         trac_c = jnp.stack(trac_list)
 
+    temp_c = avg_down(crse_new.temp, fine_new.temp, spec)
     crse_out = crse_new._replace(
-        rho=rho_c, vel=vel_c, trac=trac_c, p=p_c, gradp=gradp_c
+        rho=rho_c, vel=vel_c, trac=trac_c, temp=temp_c, p=p_c, gradp=gradp_c
     )
 
     # --- next dt: min over levels (computeNewDt, cpp:944-1035) -----------

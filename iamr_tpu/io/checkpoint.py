@@ -29,6 +29,7 @@ def save_checkpoint(path: str, state: NSState, step: int = 0):
         vel=np.asarray(state.vel),
         rho=np.asarray(state.rho),
         trac=np.asarray(state.trac),
+        temp=np.asarray(state.temp),
         p=np.asarray(state.p),
         gradp=np.asarray(state.gradp),
     )
@@ -53,6 +54,7 @@ def load_checkpoint(path: str, cfg: NSConfig) -> Tuple[NSState, int]:
         vel=jnp.asarray(z["vel"], dtype=dtype),
         rho=jnp.asarray(z["rho"], dtype=dtype),
         trac=jnp.asarray(z["trac"], dtype=dtype),
+        temp=jnp.asarray(z["temp"], dtype=dtype),
         p=jnp.asarray(z["p"], dtype=dtype),
         gradp=jnp.asarray(z["gradp"], dtype=dtype),
         time=jnp.asarray(meta["time"], dtype=dtype),

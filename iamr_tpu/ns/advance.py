@@ -242,9 +242,20 @@ def advance(
     )
 
     # --- 2. MAC projection ---------------------------------------------
+    # thermal divergence source S = div(lambda/cp grad T)/(rho T)
+    # (calc_divu, NavierStokes.cpp:1879-1957)
+    divu_src = None
+    if cfg.do_temp and cfg.temp_cond_coef > 0.0:
+        lam = beta_faces(cfg, cfg.temp_cond_coef)
+        tbc, tbv = bcp.temp_diff_bc()
+        lapT = diff.visc_terms_component(
+            state.temp, lam, dx, bcp._temp_rec, poisson_bc=tbc, poisson_bvals=tbv
+        )
+        divu_src = lapT / (rho * state.temp)
+
     mac_bc, mac_bvals = bcp.mac_bc()
     umac, mac_phi, _ = mac_project(
-        umac, rho, cfg.dom, dx,
+        umac, rho, cfg.dom, dx, divu_src=divu_src,
         rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
         bc=mac_bc, bvals=mac_bvals,
     )
@@ -302,6 +313,29 @@ def advance(
         trac_new.append(s_star)
     trac_new = jnp.stack(trac_new)
 
+    # --- 4b. temperature: advect (convective) + CN conduction -------------
+    temp_new = state.temp
+    if cfg.do_temp:
+        t_g = bcp.fill_temp(state.temp, 3)
+        edges_t = compute_edge_states(
+            t_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=False, periodic=periodic
+        )
+        _, aofs_t = compute_fluxes_and_aofs(
+            edges_t, umac, dx, False, s_cc=state.temp
+        )
+        temp_new = state.temp - dt * aofs_t
+        if cfg.temp_cond_coef > 0.0:
+            tbc, tbv = bcp.temp_diff_bc()
+            # rho cp dT/dt = div lambda grad T -> alpha = rho (cp folded
+            # into temp_cond_coef = lambda/cp, NavierStokes.cpp:2061-2187)
+            temp_new, _ = diff.diffuse_scalar(
+                temp_new, state.temp, rho_new, rho,
+                beta_faces(cfg, cfg.temp_cond_coef), dt, dx,
+                bcp._temp_rec, theta=cfg.be_cn_theta,
+                rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                poisson_bc=tbc, poisson_bvals=tbv,
+            )
+
     # --- 5. velocity update + CN viscous solve ---------------------------
     tf_half = get_force(cfg, rho_half, t_half, hit)
     vel_star = jnp.stack(
@@ -327,11 +361,19 @@ def advance(
         vel_star = jnp.stack(comps)
 
     # --- 6. nodal projection ---------------------------------------------
+    divu_new = None
+    if cfg.do_temp and cfg.temp_cond_coef > 0.0:
+        lam = beta_faces(cfg, cfg.temp_cond_coef)
+        tbc, tbv = bcp.temp_diff_bc()
+        lapT_new = diff.visc_terms_component(
+            temp_new, lam, dx, bcp._temp_rec, poisson_bc=tbc, poisson_bvals=tbv
+        )
+        divu_new = lapT_new / (rho_new * temp_new)
     nodal_bc_, nodal_phi_bc = bcp.nodal()
     vel_new, p_new, gradp_new, _ = level_project(
         vel_star, rho_half, p, gradp, dt, cfg.dom, dx,
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
-        bc=nodal_bc_, phi_bc=nodal_phi_bc,
+        bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new,
     )
 
     # --- next dt ----------------------------------------------------------
@@ -339,6 +381,7 @@ def advance(
         vel=vel_new,
         rho=rho_new,
         trac=trac_new,
+        temp=temp_new,
         p=p_new,
         gradp=gradp_new,
         time=state.time + dt,

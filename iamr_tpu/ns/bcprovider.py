@@ -27,6 +27,7 @@ from iamr_tpu.core.bc import (
     MathBC,
     PhysBC,
     SCALAR_BC,
+    TEMP_BC,
     make_bcrec,
     velocity_bcrec,
 )
@@ -49,6 +50,7 @@ class PhysBCProvider:
             for c in range(self.dim)
         ]
         self._scal_rec = make_bcrec(cfg.dom.phys_lo, cfg.dom.phys_hi, SCALAR_BC)
+        self._temp_rec = make_bcrec(cfg.dom.phys_lo, cfg.dom.phys_hi, TEMP_BC)
 
     # --- ghost fills ------------------------------------------------------
     def vel_bcvals(self, comp):
@@ -77,6 +79,21 @@ class PhysBCProvider:
         for c in range(self.dim):
             out.append(fill_ghost(f[c], 1, self._vel_recs[c]))
         return jnp.stack(out)
+
+    def temp_bcvals(self):
+        comp = self.dim + 1 + self.cfg.ntrac
+        lo = tuple(self.cfg.dom.value(d, 0, comp) for d in range(self.dim))
+        hi = tuple(self.cfg.dom.value(d, 1, comp) for d in range(self.dim))
+        return lo, hi
+
+    def fill_temp(self, s, ng):
+        lo, hi = self.temp_bcvals()
+        return fill_ghost(s, ng, self._temp_rec, lo, hi)
+
+    def temp_diff_bc(self) -> Tuple[PoissonBC, Dict]:
+        rec = self._temp_rec
+        lo, hi = self.temp_bcvals()
+        return poisson_bc_from_bcrec(rec), bvals_from_scalar(rec, lo, hi, self.dim)
 
     # --- BC descriptors for the advection face pinning --------------------
     def vel_bcrec(self, comp) -> BCRec:
@@ -148,6 +165,7 @@ class CoarseFineBCProvider(PhysBCProvider):
 
         self._vel_recs = [_mask_cf(r) for r in self._vel_recs]
         self._scal_rec = _mask_cf(self._scal_rec)
+        self._temp_rec = _mask_cf(self._temp_rec)
 
     # --- fills: coarse interpolation + physical overwrite on domain sides -
     def _fill_from(self, fine, crse, ng, bcrec: BCRec, vals_lo, vals_hi):
@@ -270,6 +288,14 @@ class CoarseFineBCProvider(PhysBCProvider):
             self.crse_new["rho"] if scomp == 0 else self.crse_new["trac"][scomp - 1]
         )
         return self._with_cf_dirichlet(bc, bv, crse)
+
+    def fill_temp(self, s, ng):
+        lo, hi = self.temp_bcvals()
+        return self._fill_from(s, self.crse_old["temp"], ng, self._temp_rec, lo, hi)
+
+    def temp_diff_bc(self):
+        bc, bv = super().temp_diff_bc()
+        return self._with_cf_dirichlet(bc, bv, self.crse_new["temp"])
 
     def mac_bc(self):
         bc, _ = super().mac_bc()

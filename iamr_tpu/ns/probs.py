@@ -28,6 +28,7 @@ def init_state(cfg: NSConfig) -> NSState:
     vel = np.zeros((dim,) + n)
     rho = np.ones(n)
     trac = np.zeros((cfg.ntrac,) + n)
+    temp = np.ones(n)
 
     pt = cfg.probtype
     P = cfg.prob_param
@@ -38,23 +39,36 @@ def init_state(cfg: NSConfig) -> NSState:
     elif pt == 4:
         for d, nm in enumerate(["velocity_x", "velocity_y", "velocity_z"][:dim]):
             vel[d] = P(nm, 0.0)
-        rho[...] = P("density", 1.0)
+        rho[...] = P("density_ic", 1.0)
         # tracer blob
         r2 = sum((X[d] - P(f"blob_{'xyz'[d]}", 0.0)) ** 2 for d in range(dim))
         trac[0] = np.where(np.sqrt(r2) < P("blob_radius", 0.1), 1.0, 0.0)
     elif pt in (2, 6):
-        # falling/rising blob: density = 1 + (blob_density-1) inside blob
-        rho[...] = P("density", 1.0)
+        # falling/rising blob (reference init_bubble, prob_init.cpp:165-231);
+        # velocity_ic background flow, density_ic the density factor
+        for d in range(dim):
+            vel[d] = P(f"velocity_{'xyz'[d]}", 0.0)
         r2 = sum((X[d] - P(f"blob_{'xyz'[d]}", 0.0)) ** 2 for d in range(dim))
         r = np.sqrt(r2)
         radius = P("blob_radius", 0.1)
-        denfact = P("denfact", 2.0)
-        inside = 0.5 * (1.0 - np.tanh((r - radius) / (P("interface_width", 1.0) * min(geom.dx))))
-        rho[...] = 1.0 + (denfact - 1.0) * inside
-        trac[0] = inside
+        denfact = P("density_ic", 2.0)
+        if pt == 6:
+            # hot (less dense) rising bubble: reference prob_init.cpp:216-222
+            w = P("interface_width", 1.0)
+            rho[...] = 1.0 / denfact + 0.5 * (1.0 - 1.0 / denfact) * (
+                1.0 + np.tanh(40.0 * (r - radius) / w)
+            )
+            temp[...] = 1.0 / rho
+            trac[0] = np.where(r < radius, 1.0, 0.0)
+        else:
+            inside = 0.5 * (
+                1.0 - np.tanh(30.0 * (r - radius) / P("interface_width", 1.0))
+            )
+            rho[...] = 1.0 + (denfact - 1.0) * inside
+            trac[0] = np.where(r < radius, 1.0, 0.0)
     elif pt == 5:
         # double shear layer (periodic): probtype 5, direction from prob
-        rho[...] = P("density", 1.0)
+        rho[...] = P("density_ic", 1.0)
         direction = int(P("direction", 0))
         delta = P("interface_width", 0.05)
         pert = P("pertamp", 0.05)
@@ -82,7 +96,7 @@ def init_state(cfg: NSConfig) -> NSState:
         rho_2 = P("rho_2", 2.0)
         tra_1 = P("tra_1", 0.0)
         tra_2 = P("tra_2", 1.0)
-        pertamp = P("pertamp", 1.0)
+        pertamp = P("perturbation_amplitude", 1.0)
         Ly = geom.prob_hi[dim - 1] - geom.prob_lo[dim - 1]
         ymid = 0.5 * (geom.prob_hi[dim - 1] + geom.prob_lo[dim - 1])
         if dim == 2:
@@ -142,6 +156,7 @@ def init_state(cfg: NSConfig) -> NSState:
         vel=jnp.asarray(vel, dtype=dtype),
         rho=jnp.asarray(rho, dtype=dtype),
         trac=jnp.asarray(trac, dtype=dtype),
+        temp=jnp.asarray(temp, dtype=dtype),
         p=jnp.zeros(tuple(x + 1 for x in n), dtype=dtype),
         gradp=jnp.zeros((dim,) + n, dtype=dtype),
         time=zero,

@@ -21,11 +21,16 @@ from iamr_tpu.core.geometry import Geometry
 
 
 class NSState(NamedTuple):
-    """Single-level flow state (a jax pytree)."""
+    """Single-level flow state (a jax pytree).
+
+    temp is carried even when ns.do_temp=0 (constant ones; the reference
+    adds/removes the Temp state component at setup, NS_setup.cpp:285-320 —
+    a fixed pytree schema keeps jit signatures stable instead)."""
 
     vel: jnp.ndarray      # (dim, *ncell)
     rho: jnp.ndarray      # (*ncell)
     trac: jnp.ndarray     # (ntrac, *ncell)
+    temp: jnp.ndarray     # (*ncell)
     p: jnp.ndarray        # (*ncell+1) node-centered
     gradp: jnp.ndarray    # (dim, *ncell)
     time: jnp.ndarray     # scalar
@@ -53,6 +58,8 @@ class NSConfig:
     gravity: float = 0.0
     vel_visc_coef: float = 0.0
     scal_diff_coefs: Tuple[float, ...] = (0.0,)
+    do_temp: bool = False
+    temp_cond_coef: float = 0.0
     be_cn_theta: float = 0.5
     do_init_proj: bool = True
     do_mom_diff: bool = False
@@ -136,6 +143,7 @@ def _phys_bcs(pp: ParmParse, dim: int, periodic):
             vals.append(float(rho))
             tr = sc.queryarr("tracer", [0.0])
             vals.extend(float(x) for x in tr)
+            vals.append(float(sc.query("temp", 1.0)))
             bc_values[(d, s)] = tuple(vals)
     return tuple(phys_lo), tuple(phys_hi), bc_values
 
@@ -164,11 +172,23 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
     dom = DomainBC(phys_lo=phys_lo, phys_hi=phys_hi, bc_values=bc_values)
 
     diff = ns.queryarr("scal_diff_coefs", [0.0])
-    prob_params = tuple(
-        (k, float(prob.get(k)))
-        for k in prob.keys()
-        if k != "probtype" and isinstance(prob.query(k), (int, float))
-    )
+    # prob.* intake (prob_init.cpp:30-70): scalars pass through; list-valued
+    # keys expand to per-dim names (blob_center -> blob_x/blob_y/blob_z,
+    # velocity_ic -> velocity_x/...)
+    prob_params = []
+    for k in prob.keys():
+        if k == "probtype":
+            continue
+        vals = prob.getarr(k)
+        if not all(isinstance(v, (int, float)) for v in vals):
+            continue
+        if len(vals) == 1:
+            prob_params.append((k, float(vals[0])))
+        else:
+            base = {"blob_center": "blob", "velocity_ic": "velocity"}.get(k, k)
+            for d, v in enumerate(vals[:3]):
+                prob_params.append((f"{base}_{'xyz'[d]}", float(v)))
+    prob_params = tuple(prob_params)
     turb = pp.scoped("turb")
     turb_params = tuple(
         (k, float(turb.get(k)))
@@ -191,6 +211,8 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         gravity=float(ns.query("gravity", 0.0)),
         vel_visc_coef=float(ns.query("vel_visc_coef", 0.0)),
         scal_diff_coefs=tuple(float(x) for x in diff),
+        do_temp=bool(int(ns.query("do_temp", 0))),
+        temp_cond_coef=float(ns.query("temp_cond_coef", 0.0)),
         be_cn_theta=float(ns.query("be_cn_theta", 0.5)),
         do_init_proj=bool(int(ns.query("do_init_proj", 1))),
         do_mom_diff=bool(int(ns.query("do_mom_diff", 0))),

@@ -217,6 +217,11 @@ def apply_nodal(phi, sigma, dx, bc: NodalBC):
     return out
 
 
+def avg_cell_to_node(s, bc: NodalBC):
+    """Average a cell field to nodes (for divu sources in the nodal rhs)."""
+    return _adjacent_cell_sum(s, bc) / (2 ** s.ndim)
+
+
 def _adjacent_cell_sum(sigma, bc: NodalBC):
     """Sum of sigma over the 2^dim cells adjacent to each node."""
     dim = sigma.ndim

@@ -62,13 +62,16 @@ def level_project(
     fixed_cycles: Optional[int] = None,
     bc: Optional[NodalBC] = None,
     phi_bc=None,
+    divu_src=None,
 ):
     """Approximate nodal projection of the provisional velocity.
 
     vel_star: (dim, *n) un-projected new-time velocity (updated with -Gp
     forcing); returns (vel_new, p_new, gradp_new, stats). bc/phi_bc override
     the domain BCs with coarse-fine Dirichlet values on fine levels
-    (reference doMLMGNodalProjection coarse-fine handling).
+    (reference doMLMGNodalProjection coarse-fine handling). divu_src: cell
+    field S with div(U^{n+1}) = S (thermal divergence; subtracted from the
+    rhs as S/dt averaged to nodes).
     """
     dim = rho_half.ndim
     if bc is None:
@@ -79,6 +82,10 @@ def level_project(
         vel_star[d] / dt + gradp_old[d] * sigma for d in range(dim)
     )
     rhs = div_cell_to_node(vs, dx, bc)
+    if divu_src is not None:
+        from iamr_tpu.ops.mg_nodal import avg_cell_to_node
+
+        rhs = rhs - avg_cell_to_node(divu_src, bc) / dt
     phi, res, it = nodal_solve(
         rhs, sigma, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
         phi_bc=phi_bc,
