@@ -154,8 +154,98 @@ def advance_two_level(
     return MLState(crse=crse_out, fine=fine_out)
 
 
-def make_two_level_step(cfg: NSConfig, spec: LevelSpec, fixed_mg_cycles=None):
+def advance_two_level_subcycled(
+    ml: MLState,
+    cfg: NSConfig,
+    spec: LevelSpec,
+    fixed_mg_cycles: Optional[int] = None,
+    hit=None,
+):
+    """One coarse step with r fine subcycles (the reference's default
+    subcycled advance: Amr::timeStep recursion with n_cycle = ref_ratio,
+    SURVEY.md section 2.3.6). Fine ghost fills use time-interpolated coarse
+    data (FillPatchTwoLevels linear time interp); refluxing uses the
+    time-averaged fine interface fluxes. The mac_sync / sync-projection
+    corrections (NavierStokes.cpp:1437-1730, NavierStokesBase.cpp:1927-2044)
+    are not yet applied after the subcycles."""
+    cfg_f = make_fine_config(cfg, spec)
+    dim = cfg.dim
+    r = spec.ratio
+    dt_c = ml.crse.dt
+    crse = ml.crse
+    fine = ml.fine
+
+    crse_new, crse_aux = advance(
+        crse, cfg, fixed_mg_cycles, hit=hit, return_aux=True
+    )
+
+    def interp_state(theta):
+        return {
+            "vel": (1 - theta) * crse.vel + theta * crse_new.vel,
+            "rho": (1 - theta) * crse.rho + theta * crse_new.rho,
+            "trac": (1 - theta) * crse.trac + theta * crse_new.trac,
+            "temp": (1 - theta) * crse.temp + theta * crse_new.temp,
+        }
+
+    dt_f = dt_c / r
+    fine_k = fine._replace(dt=dt_f)
+    flux_sum = None
+    for k in range(r):
+        th0 = k / r
+        th1 = (k + 1) / r
+        bcp = CoarseFineBCProvider(
+            cfg_f, spec, cfg.geom, interp_state(th0), interp_state(th1),
+            crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
+        )
+        fine_k, aux_k = advance(
+            fine_k._replace(dt=dt_f), cfg_f, fixed_mg_cycles, hit=hit,
+            bcp=bcp, return_aux=True,
+        )
+        fr = aux_k["flux_rho"]
+        if flux_sum is None:
+            flux_sum = [f / r for f in fr]
+        else:
+            flux_sum = [s + f / r for s, f in zip(flux_sum, fr)]
+    fine_new = fine_k
+
+    # avgDown + reflux with time-averaged fine fluxes
+    rho_c = avg_down(crse_new.rho, fine_new.rho, spec)
+    vel_c = jnp.stack(
+        [avg_down(crse_new.vel[c], fine_new.vel[c], spec) for c in range(dim)]
+    )
+    trac_c = jnp.stack(
+        [avg_down(crse_new.trac[t], fine_new.trac[t], spec) for t in range(cfg.ntrac)]
+    )
+    temp_c = avg_down(crse_new.temp, fine_new.temp, spec)
+    p_c = avg_down_node(crse_new.p, fine_new.p, spec)
+    gradp_c = jnp.stack(
+        [avg_down(crse_new.gradp[c], fine_new.gradp[c], spec) for c in range(dim)]
+    )
+    dxc = cfg.geom.dx
+    rho_c = reflux_correct(
+        rho_c, crse_aux["flux_rho"], tuple(flux_sum), spec,
+        tuple(dt_c / dxc[d] for d in range(dim)),
+    )
+    crse_out = crse_new._replace(
+        rho=rho_c, vel=vel_c, trac=trac_c, temp=temp_c, p=p_c, gradp=gradp_c
+    )
+
+    # next coarse dt: min(est_c, r * est_f) (computeNewDt n_factor logic)
+    dt_next = jnp.minimum(
+        est_time_step(cfg, crse_out), r * est_time_step(cfg_f, fine_new)
+    )
+    dt_next = jnp.minimum(dt_next, cfg.change_max * dt_c)
+    return MLState(
+        crse=crse_out._replace(dt=dt_next),
+        fine=fine_new._replace(dt=dt_next / r),
+    )
+
+
+def make_two_level_step(
+    cfg: NSConfig, spec: LevelSpec, fixed_mg_cycles=None, subcycle: bool = False
+):
     hit = make_hit_forcing(cfg)
+    fn = advance_two_level_subcycled if subcycle else advance_two_level
     return jax.jit(
-        lambda ml: advance_two_level(ml, cfg, spec, fixed_mg_cycles, hit=hit)
+        lambda ml: fn(ml, cfg, spec, fixed_mg_cycles, hit=hit)
     )

@@ -212,9 +212,22 @@ def advance(
     periodic = tuple(cfg.geom.periodic)
     t_half = state.time + 0.5 * dt
 
+    # effective face viscosity: molecular + LES eddy viscosity at t^n
+    # (getViscosity + calc_mut_LES hook, NavierStokes.cpp:2139-2152)
+    if cfg.do_les:
+        from iamr_tpu.ns.les import eddy_viscosity_faces
+
+        mut = eddy_viscosity_faces(cfg, bcp, vel)
+        mu_eff = tuple(m + t for m, t in zip(mu_faces(cfg), mut))
+    else:
+        mu_eff = None
+
+    def _mu():
+        return mu_eff if mu_eff is not None else mu_faces(cfg)
+
     # --- 1. predict MAC velocities -------------------------------------
-    if cfg.vel_visc_coef > 0.0 and cfg.be_cn_theta != 1.0:
-        mf0 = mu_faces(cfg)
+    if (cfg.vel_visc_coef > 0.0 or cfg.do_les) and cfg.be_cn_theta != 1.0:
+        mf0 = _mu()
         visc = jnp.stack(
             [
                 diff.visc_terms_component(
@@ -344,8 +357,8 @@ def advance(
             for c in range(dim)
         ]
     )
-    if cfg.vel_visc_coef > 0.0:
-        mf = mu_faces(cfg)
+    if cfg.vel_visc_coef > 0.0 or cfg.do_les:
+        mf = _mu()
         alpha = rho_half / dt
         comps = []
         for c in range(dim):

@@ -60,6 +60,10 @@ class NSConfig:
     scal_diff_coefs: Tuple[float, ...] = (0.0,)
     do_temp: bool = False
     temp_cond_coef: float = 0.0
+    do_les: bool = False
+    les_model: str = "Smagorinsky"
+    smago_cs: float = 0.18
+    sigma_cs: float = 1.5
     be_cn_theta: float = 0.5
     do_init_proj: bool = True
     do_mom_diff: bool = False
@@ -213,6 +217,10 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         scal_diff_coefs=tuple(float(x) for x in diff),
         do_temp=bool(int(ns.query("do_temp", 0))),
         temp_cond_coef=float(ns.query("temp_cond_coef", 0.0)),
+        do_les=bool(int(ns.query("do_LES", 0))),
+        les_model=str(ns.query("LES_model", "Smagorinsky")),
+        smago_cs=float(ns.query("smago_Cs_cst", 0.18)),
+        sigma_cs=float(ns.query("sigma_Cs_cst", 1.5)),
         be_cn_theta=float(ns.query("be_cn_theta", 0.5)),
         do_init_proj=bool(int(ns.query("do_init_proj", 1))),
         do_mom_diff=bool(int(ns.query("do_mom_diff", 0))),

@@ -107,3 +107,34 @@ def test_avg_down_consistency():
         np.asarray(restrict_cell(ml.fine.rho, spec.ratio)),
         rtol=1e-12,
     )
+
+
+def test_subcycled_two_level():
+    # subcycled advance: fine takes ratio steps per coarse step; TG accuracy
+    # + mass conservation with time-averaged reflux
+    n, nu = 32, 1e-2
+    cfg, spec, ml = _setup(n, nu)
+    step = make_two_level_step(cfg, spec, subcycle=True)
+    for _ in range(4):
+        ml = step(ml)
+    assert bool(jnp.all(jnp.isfinite(ml.fine.vel)))
+    # fine time caught up with coarse time
+    np.testing.assert_allclose(float(ml.fine.time), float(ml.crse.time), rtol=1e-12)
+    t = float(ml.fine.time)
+    xf = 0.25 + (np.arange(32) + 0.5) / 64.0
+    Xf, Yf = np.meshgrid(xf, xf, indexing="ij")
+    decay = np.exp(-2.0 * (2 * np.pi) ** 2 * nu * t)
+    uex = np.sin(2 * np.pi * Xf) * np.cos(2 * np.pi * Yf) * decay
+    err = np.max(np.abs(np.asarray(ml.fine.vel[0]) - uex))
+    assert err < 0.05, err
+
+
+def test_subcycled_mass_conservation():
+    cfg, spec, ml = _setup(32, nu=0.0)
+    vol_c = cfg.geom.cell_volume
+    m0 = float(jnp.sum(ml.crse.rho)) * vol_c
+    step = make_two_level_step(cfg, spec, subcycle=True)
+    for _ in range(3):
+        ml = step(ml)
+    m1 = float(jnp.sum(ml.crse.rho)) * vol_c
+    np.testing.assert_allclose(m1, m0, rtol=1e-11)
