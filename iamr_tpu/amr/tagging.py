@@ -1,0 +1,207 @@
+"""Error tagging and regridding.
+
+TPU-native equivalent of the reference's refinement machinery
+(Source/NS_error.cpp:10-145): runtime-configurable refinement indicators
+from `amr.refinement_indicators` supporting value_greater / value_less /
+vorticity_greater / adjacent_difference_greater, each tied to a field
+(derived or state) with optional start/end time and max-level gates.
+
+Clustering: the tagged cells are reduced (on host, between jitted step
+segments) to a single rectangular patch — the bounding box of the tags,
+padded by n_error_buf and aligned to blocking_factor — the dense-patch
+analogue of Berger-Rigoutsos box generation. Regridding is out-of-band:
+when the patch changes, the step function recompiles for the new shapes
+and the state transfers (fine-where-overlap, interpolate-coarse elsewhere).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from iamr_tpu.amr.hierarchy import LevelSpec, prolong_cell
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.ns.derive import derive, mag_vort
+from iamr_tpu.ns.state import NSConfig, NSState
+
+
+@dataclasses.dataclass(frozen=True)
+class ErrorTag:
+    """One refinement indicator (AMRErrorTag semantics, NS_error.cpp:10-115)."""
+
+    field: str               # state/derived field name
+    test: str                # value_greater | value_less | adjacent_difference_greater | vorticity_greater
+    value: float
+    start_time: float = -1e200
+    end_time: float = 1e200
+    max_level: int = 10
+
+
+def parse_refinement_indicators(pp: ParmParse) -> List[ErrorTag]:
+    """amr.refinement_indicators = name1 name2...; amr.name1.field_name etc.
+    (Docs RunningProblems.rst / NS_error.cpp intake)."""
+    amr = pp.scoped("amr")
+    names = amr.queryarr("refinement_indicators", [])
+    tags = []
+    for name in names:
+        sc = pp.scoped(f"amr.{name}")
+        field = str(sc.query("field_name", name))
+        if sc.contains("value_greater"):
+            test, value = "value_greater", float(sc.get("value_greater"))
+        elif sc.contains("value_less"):
+            test, value = "value_less", float(sc.get("value_less"))
+        elif sc.contains("adjacent_difference_greater"):
+            test, value = "adjacent_difference_greater", float(
+                sc.get("adjacent_difference_greater")
+            )
+        elif sc.contains("vorticity_greater"):
+            test, value = "vorticity_greater", float(sc.get("vorticity_greater"))
+            field = "mag_vort"
+        else:
+            raise ValueError(f"refinement indicator {name}: no test given")
+        tags.append(
+            ErrorTag(
+                field=field,
+                test=test,
+                value=value,
+                start_time=float(sc.query("start_time", -1e200)),
+                end_time=float(sc.query("end_time", 1e200)),
+                max_level=int(sc.query("max_level", 10)),
+            )
+        )
+    return tags
+
+
+def _get_field(cfg: NSConfig, state: NSState, name: str):
+    if name in ("density", "rho"):
+        return state.rho
+    if name == "tracer":
+        return state.trac[0]
+    if name in ("temp", "temperature"):
+        return state.temp
+    if name in ("x_velocity", "y_velocity", "z_velocity"):
+        return state.vel["xyz".index(name[0])]
+    if name == "mag_vort":
+        return mag_vort(cfg, state)
+    return derive(cfg, state, name)
+
+
+def tag_cells(cfg: NSConfig, state: NSState, tags: List[ErrorTag]):
+    """Boolean tag array over the level (errorEst, NS_error.cpp:118-145)."""
+    out = jnp.zeros(cfg.geom.ncell, dtype=bool)
+    t = float(state.time)
+    for tag in tags:
+        if not (tag.start_time <= t <= tag.end_time):
+            continue
+        f = _get_field(cfg, state, tag.field)
+        if tag.test in ("value_greater", "vorticity_greater"):
+            m = f > tag.value
+        elif tag.test == "value_less":
+            m = f < tag.value
+        elif tag.test == "adjacent_difference_greater":
+            m = jnp.zeros_like(out)
+            for d in range(cfg.dim):
+                df = jnp.abs(jnp.diff(f, axis=d))
+                pad_lo = [(0, 0)] * cfg.dim
+                pad_lo[d] = (1, 0)
+                pad_hi = [(0, 0)] * cfg.dim
+                pad_hi[d] = (0, 1)
+                m = m | (jnp.pad(df, pad_hi) > tag.value) | (
+                    jnp.pad(df, pad_lo) > tag.value
+                )
+        else:
+            raise ValueError(tag.test)
+        out = out | m
+    return out
+
+
+def cluster_to_patch(
+    tags_np: np.ndarray,
+    ratio: int,
+    n_error_buf: int = 1,
+    blocking_factor: int = 4,
+    min_size: int = 8,
+) -> Optional[LevelSpec]:
+    """Bounding-box clustering of tagged coarse cells -> a fine LevelSpec.
+
+    Host-side (runs between jitted segments at regrid_int cadence). Returns
+    None when nothing is tagged."""
+    if not tags_np.any():
+        return None
+    dim = tags_np.ndim
+    lo, hi = [], []
+    for d in range(dim):
+        axes = tuple(e for e in range(dim) if e != d)
+        proj = tags_np.any(axis=axes)
+        idx = np.nonzero(proj)[0]
+        a = max(0, int(idx[0]) - n_error_buf)
+        b = min(tags_np.shape[d], int(idx[-1]) + 1 + n_error_buf)
+        # align to blocking factor (in coarse cells)
+        bf = max(1, blocking_factor // ratio)
+        a = (a // bf) * bf
+        b = -((-b) // bf) * bf
+        b = min(b, tags_np.shape[d])
+        a = min(a, b - 1)
+        # enforce min patch size
+        while (b - a) * ratio < min_size:
+            if a > 0:
+                a -= 1
+            elif b < tags_np.shape[d]:
+                b += 1
+            else:
+                break
+        lo.append(a * ratio)
+        hi.append(b * ratio)
+    return LevelSpec(
+        lo=tuple(lo), ncell=tuple(h - l for l, h in zip(lo, hi)), ratio=ratio
+    )
+
+
+def regrid_fine_state(
+    cfg: NSConfig,
+    old_spec: Optional[LevelSpec],
+    new_spec: LevelSpec,
+    crse: NSState,
+    fine_old: Optional[NSState],
+) -> NSState:
+    """Build the fine state on a new patch: interpolate from coarse, then
+    copy the overlap from the previous fine level (init(old) semantics,
+    NavierStokesBase.cpp:1713-1757)."""
+    from iamr_tpu.amr.multilevel import init_fine_from_coarse
+
+    new = init_fine_from_coarse(cfg, new_spec, crse)
+    if fine_old is None or old_spec is None:
+        return new
+    # overlap in fine index space
+    r = new_spec.ratio
+    lo = [max(old_spec.lo[d], new_spec.lo[d]) for d in range(cfg.dim)]
+    hi = [
+        min(old_spec.lo[d] + old_spec.ncell[d], new_spec.lo[d] + new_spec.ncell[d])
+        for d in range(cfg.dim)
+    ]
+    if any(h <= l for l, h in zip(lo, hi)):
+        return new
+    src = tuple(slice(lo[d] - old_spec.lo[d], hi[d] - old_spec.lo[d]) for d in range(cfg.dim))
+    dst = tuple(slice(lo[d] - new_spec.lo[d], hi[d] - new_spec.lo[d]) for d in range(cfg.dim))
+
+    def paste(new_a, old_a, ncomp_axis=False):
+        if ncomp_axis:
+            return new_a.at[(slice(None),) + dst].set(old_a[(slice(None),) + src])
+        return new_a.at[dst].set(old_a[src])
+
+    # node overlap for p
+    src_n = tuple(slice(s.start, s.stop + 1) for s in src)
+    dst_n = tuple(slice(s.start, s.stop + 1) for s in dst)
+    return new._replace(
+        vel=paste(new.vel, fine_old.vel, True),
+        rho=paste(new.rho, fine_old.rho),
+        trac=paste(new.trac, fine_old.trac, True),
+        temp=paste(new.temp, fine_old.temp),
+        gradp=paste(new.gradp, fine_old.gradp, True),
+        p=new.p.at[dst_n].set(fine_old.p[src_n]),
+        time=fine_old.time,
+        dt=fine_old.dt,
+    )

@@ -139,19 +139,44 @@ def run_multilevel(
     max_steps: Optional[int] = None,
     verbose: bool = False,
     fixed_mg_cycles=None,
+    subcycle: bool = False,
+    error_tags=None,
+    regrid_int: int = 0,
 ):
-    """Two-level composite run (max_level = 1, non-subcycled)."""
+    """Two-level run (max_level = 1), optionally subcycled + dynamically
+    regridded. Regrids happen out-of-band between jitted step segments:
+    tag -> cluster to a patch -> transfer state -> recompile for the new
+    shapes (SURVEY.md regrid-as-recompile)."""
+    import numpy as np
+
     from iamr_tpu.amr.multilevel import (
         MLState,
         init_fine_from_coarse,
         make_two_level_step,
     )
+    from iamr_tpu.amr.tagging import cluster_to_patch, regrid_fine_state, tag_cells
 
-    spec = default_fine_spec(cfg)
     crse = initialize(cfg, fixed_mg_cycles)
+
+    def spec_from_tags(crse_state, default_ok=True):
+        if error_tags:
+            tags = np.asarray(tag_cells(cfg, crse_state, error_tags))
+            s = cluster_to_patch(tags, cfg.ref_ratio)
+            if s is not None:
+                return s
+        return default_fine_spec(cfg) if default_ok else None
+
+    spec = spec_from_tags(crse)
     fine = init_fine_from_coarse(cfg, spec, crse)
     ml = MLState(crse=crse, fine=fine)
-    step_fn = make_two_level_step(cfg, spec, fixed_mg_cycles)
+    step_cache = {}
+
+    def get_step(s):
+        if s not in step_cache:
+            step_cache[s] = make_two_level_step(
+                cfg, s, fixed_mg_cycles, subcycle=subcycle
+            )
+        return step_cache[s]
 
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
@@ -160,7 +185,15 @@ def run_multilevel(
     while step < nmax:
         if cfg.stop_time >= 0.0 and float(ml.crse.time) >= cfg.stop_time:
             break
-        ml = step_fn(ml)
+        if error_tags and regrid_int > 0 and step > 0 and step % regrid_int == 0:
+            new_spec = spec_from_tags(ml.crse)
+            if new_spec != spec:
+                fine = regrid_fine_state(cfg, spec, new_spec, ml.crse, ml.fine)
+                spec = new_spec
+                ml = MLState(crse=ml.crse, fine=fine)
+                if verbose:
+                    print(f"REGRID at step {step}: patch lo={spec.lo} n={spec.ncell}")
+        ml = get_step(spec)(ml)
         step += 1
         if verbose:
             print(
@@ -176,6 +209,16 @@ def run_from_inputs(path: str, overrides=(), **kw):
     pp = ParmParse.from_file(path, overrides)
     cfg = config_from_inputs(pp)
     if cfg.max_level >= 1:
-        kw.pop("max_steps", None)
-        return run_multilevel(cfg, verbose=kw.get("verbose", False))
+        from iamr_tpu.amr.tagging import parse_refinement_indicators
+
+        tags = parse_refinement_indicators(pp)
+        regrid_int = int(pp.scoped("amr").queryarr("regrid_int", [0])[0])
+        subcycling = str(pp.scoped("amr").query("subcycling_mode", "Auto"))
+        return run_multilevel(
+            cfg,
+            verbose=kw.get("verbose", False),
+            subcycle=subcycling.lower() != "none",
+            error_tags=tags or None,
+            regrid_int=regrid_int,
+        )
     return run(cfg, **kw)

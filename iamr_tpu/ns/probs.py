@@ -97,23 +97,19 @@ def init_state(cfg: NSConfig) -> NSState:
         tra_1 = P("tra_1", 0.0)
         tra_2 = P("tra_2", 1.0)
         pertamp = P("perturbation_amplitude", 1.0)
-        Ly = geom.prob_hi[dim - 1] - geom.prob_lo[dim - 1]
         ymid = 0.5 * (geom.prob_hi[dim - 1] + geom.prob_lo[dim - 1])
+        Lx = geom.prob_hi[0] - geom.prob_lo[0]
         if dim == 2:
-            Lx = geom.prob_hi[0] - geom.prob_lo[0]
-            pert = pertamp * 0.01 * Ly * np.cos(two_pi * X[0] / Lx)
+            # pertheight = ymid + pertamp cos(2 pi x / Lx); absolute
+            # interface_width (reference init_RayleighTaylor)
+            pert = pertamp * np.cos(two_pi * X[0] / Lx)
         else:
-            Lx = geom.prob_hi[0] - geom.prob_lo[0]
             Lz = geom.prob_hi[1] - geom.prob_lo[1]
             pert = (
-                pertamp
-                * 0.01
-                * Ly
-                * np.cos(two_pi * X[0] / Lx)
-                * np.cos(two_pi * X[1] / Lz)
+                pertamp * np.cos(two_pi * X[0] / Lx) * np.cos(two_pi * X[1] / Lz)
             )
         yy = X[dim - 1]
-        width = P("interface_width", 1.0) * min(geom.dx)
+        width = P("interface_width", 0.01)
         frac = 0.5 * (1.0 + np.tanh((yy - (ymid + pert)) / width))
         rho[...] = rho_1 + (rho_2 - rho_1) * frac
         trac[0] = tra_1 + (tra_2 - tra_1) * frac
