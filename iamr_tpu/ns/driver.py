@@ -72,6 +72,90 @@ def steady_norm(prev: NSState, new: NSState):
     return out
 
 
+def write_plotfile_for_state(cfg: NSConfig, state: NSState, path: str, step: int):
+    """State + derived fields in AMReX plotfile format (writePlotFile
+    equivalent; amr.derive_plot_vars)."""
+    import numpy as np
+
+    from iamr_tpu.io.plotfile import write_plotfile
+    from iamr_tpu.ns.derive import avg_pressure, kinetic_energy, mag_vort
+
+    fields = {}
+    for d in range(cfg.dim):
+        fields[f"{'xyz'[d]}_velocity"] = np.asarray(state.vel[d])
+    fields["density"] = np.asarray(state.rho)
+    for t in range(state.trac.shape[0]):
+        fields["tracer" if t == 0 else f"tracer{t+1}"] = np.asarray(state.trac[t])
+    if cfg.do_temp:
+        fields["temp"] = np.asarray(state.temp)
+    fields["avg_pressure"] = np.asarray(avg_pressure(state))
+    fields["mag_vort"] = np.asarray(mag_vort(cfg, state))
+    fields["energy"] = np.asarray(kinetic_energy(state))
+    write_plotfile(path, cfg.geom, fields, time=float(state.time), level_steps=step)
+
+
+def write_job_info(cfg: NSConfig, path: str, pp=None):
+    """job_info provenance file (NavierStokes.cpp:1107-1194)."""
+    import os
+    import subprocess
+
+    os.makedirs(path, exist_ok=True)
+    lines = ["==== iamr_tpu job_info ====", ""]
+    try:
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ).stdout.strip()
+    except Exception:
+        rev = "unknown"
+    lines.append(f"iamr_tpu git hash: {rev}")
+    import jax
+
+    lines.append(f"jax version: {jax.__version__}")
+    lines.append(f"devices: {[str(d) for d in jax.devices()]}")
+    lines.append("")
+    lines.append("==== inputs ====")
+    if pp is not None:
+        lines.append(pp.dump())
+    with open(os.path.join(path, "job_info"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+class IOHooks:
+    """Plot/checkpoint/diagnostics cadence (amr.plot_int / amr.check_int /
+    ns.sum_interval) driven from the inputs table."""
+
+    def __init__(self, cfg: NSConfig, pp=None):
+        self.cfg = cfg
+        self.pp = pp
+        g = (lambda k, d: pp.query(k, d)) if pp is not None else (lambda k, d: d)
+        amr = pp.scoped("amr") if pp is not None else None
+        ns = pp.scoped("ns") if pp is not None else None
+        self.plot_int = int(amr.query("plot_int", -1)) if amr else -1
+        self.plot_file = str(amr.query("plot_file", "plt")) if amr else "plt"
+        self.check_int = int(amr.query("check_int", -1)) if amr else -1
+        self.check_file = str(amr.query("check_file", "chk")) if amr else "chk"
+        self.sum_interval = int(ns.query("sum_interval", -1)) if ns else -1
+
+    def __call__(self, step: int, state: NSState):
+        from iamr_tpu.io.checkpoint import save_checkpoint
+        from iamr_tpu.ns.derive import sum_integrated_quantities
+
+        if self.plot_int > 0 and step % self.plot_int == 0:
+            path = f"{self.plot_file}{step:05d}"
+            write_plotfile_for_state(self.cfg, state, path, step)
+            write_job_info(self.cfg, path, self.pp)
+        if self.check_int > 0 and step % self.check_int == 0:
+            save_checkpoint(f"{self.check_file}{step:05d}", state, step)
+        if self.sum_interval > 0 and step % self.sum_interval == 0:
+            q = sum_integrated_quantities(self.cfg, state)
+            print(
+                f"TIME= {float(state.time):.8g} MASS= {q['mass']:.12g} "
+                f"TRAC= {q.get('tracer0', 0.0):.12g} "
+                f"KENG= {q['kinetic_energy']:.12g}"
+            )
+
+
 def run(
     cfg: NSConfig,
     state: Optional[NSState] = None,
@@ -208,6 +292,20 @@ def run_multilevel(
 def run_from_inputs(path: str, overrides=(), **kw):
     pp = ParmParse.from_file(path, overrides)
     cfg = config_from_inputs(pp)
+    # restart (amr.restart = chkNNNNN; section 3.5 restart path)
+    restart = pp.scoped("amr").query("restart")
+    state0 = None
+    if restart:
+        from iamr_tpu.io.checkpoint import load_checkpoint
+
+        state0, _ = load_checkpoint(str(restart), cfg)
+    hooks = IOHooks(cfg, pp)
+    if kw.get("callback") is None and (
+        hooks.plot_int > 0 or hooks.check_int > 0 or hooks.sum_interval > 0
+    ):
+        kw["callback"] = hooks
+    if state0 is not None:
+        kw["state"] = state0
     if cfg.max_level >= 1:
         from iamr_tpu.amr.tagging import parse_refinement_indicators
 

@@ -1,0 +1,82 @@
+"""Tagging + clustering + regrid-state-transfer unit tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from iamr_tpu.amr.hierarchy import LevelSpec
+from iamr_tpu.amr.tagging import (
+    ErrorTag,
+    cluster_to_patch,
+    parse_refinement_indicators,
+    regrid_fine_state,
+    tag_cells,
+)
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.ns.probs import init_state
+from iamr_tpu.ns.state import config_from_inputs
+
+BASE = """
+max_step = 1
+amr.n_cell = 32 32
+ns.cfl = 0.5
+geometry.is_periodic = 1 1
+ns.lo_bc = 0 0
+ns.hi_bc = 0 0
+prob.probtype = 11
+prob.velocity_factor = 1.0
+amr.refinement_indicators = vorticity hi_rho
+amr.vorticity.vorticity_greater = 0.1
+amr.hi_rho.field_name = density
+amr.hi_rho.value_greater = 1.5
+amr.hi_rho.start_time = 0.0
+"""
+
+
+def test_parse_indicators():
+    tags = parse_refinement_indicators(ParmParse.from_string(BASE))
+    assert len(tags) == 2
+    assert tags[0].test == "vorticity_greater" and tags[0].field == "mag_vort"
+    assert tags[1].field == "density" and tags[1].value == 1.5
+
+
+def test_tag_and_cluster():
+    cfg = config_from_inputs(ParmParse.from_string(BASE))
+    state = init_state(cfg)
+    tags = [ErrorTag(field="mag_vort", test="vorticity_greater", value=0.1)]
+    m = np.asarray(tag_cells(cfg, state, tags))
+    assert m.any()  # TG has |vort| up to ~4pi
+    spec = cluster_to_patch(m, ratio=2, blocking_factor=4)
+    assert spec is not None
+    assert all(l % 2 == 0 for l in spec.lo)
+    assert all(n % 2 == 0 for n in spec.ncell)
+
+
+def test_cluster_empty_returns_none():
+    assert cluster_to_patch(np.zeros((8, 8), dtype=bool), 2) is None
+
+
+def test_cluster_localized_blob():
+    m = np.zeros((32, 32), dtype=bool)
+    m[10:14, 20:22] = True
+    spec = cluster_to_patch(m, ratio=2, n_error_buf=1, blocking_factor=4, min_size=4)
+    # patch covers the tagged region + buffer
+    assert spec.lo[0] <= 2 * 9 and spec.lo[0] + spec.ncell[0] >= 2 * 15
+    assert spec.lo[1] <= 2 * 19 and spec.lo[1] + spec.ncell[1] >= 2 * 23
+
+
+def test_regrid_preserves_fine_overlap():
+    cfg = config_from_inputs(ParmParse.from_string(BASE))
+    crse = init_state(cfg)
+    old_spec = LevelSpec(lo=(16, 16), ncell=(16, 16), ratio=2)
+    new_spec = LevelSpec(lo=(20, 20), ncell=(16, 16), ratio=2)
+    from iamr_tpu.amr.multilevel import init_fine_from_coarse
+
+    fine_old = init_fine_from_coarse(cfg, old_spec, crse)
+    # stamp a marker in the overlap region (fine idx 20..31 in old coords 4..15)
+    fine_old = fine_old._replace(
+        rho=fine_old.rho.at[6, 6].set(42.0)  # global fine (22,22), in overlap
+    )
+    fine_new = regrid_fine_state(cfg, old_spec, new_spec, crse, fine_old)
+    # global fine (22,22) -> new coords (2,2)
+    assert float(fine_new.rho[2, 2]) == 42.0
+    assert fine_new.rho.shape == (16, 16)
