@@ -90,6 +90,27 @@ def init_state(cfg: NSConfig) -> NSState:
         vel[0] = vf * np.sin(two_pi * a * x) * np.cos(two_pi * b * y)
         vel[1] = -vf * np.cos(two_pi * a * x) * np.sin(two_pi * b * y)
         trac[0] = 0.5 * (1.0 + np.cos(two_pi * x))
+    elif pt == 8:
+        # convected isentropic vortex (init_ConvectedVortex): Gaussian
+        # vortex at (xvort, yvort), radius rvort, strength forcevort,
+        # superposed on a mean flow along meanFlowDir (+-1 x, +-2 y, +-3 both)
+        a = P("xvort", 0.5)
+        b = P("yvort", 0.5)
+        c = P("rvort", 0.07)
+        fv = P("forcevort", 6.0)
+        mdir = int(P("meanFlowDir", 1))
+        mmag = P("meanFlowMag", 0.0)
+        dxv = X[0] - a
+        dyv = X[1] - b
+        d2 = dxv * dxv + dyv * dyv
+        r2 = c * c
+        u_v = -fv * dyv / r2 * np.exp(-d2 / r2 / 2.0)
+        v_v = fv * dxv / r2 * np.exp(-d2 / r2 / 2.0)
+        sgn = -1.0 if mdir < 0 else 1.0
+        vel[0] = u_v + (sgn * mmag if abs(mdir) in (1, 3) else 0.0)
+        vel[1] = v_v + (sgn * mmag if abs(mdir) in (2, 3) else 0.0)
+        rho[...] = P("density_ic", 1.0)
+        trac[0] = np.exp(-d2 / r2 / 2.0)
     elif pt == 10:
         # Rayleigh-Taylor: heavy over light with perturbed interface
         rho_1 = P("rho_1", 1.0)
