@@ -241,13 +241,33 @@ def build_hierarchy(
     return levels
 
 
-def _smooth_rb(phi, rhs, lev: MGLevelData, a, b, bc, nsweeps: int):
-    """nsweeps red-black Gauss-Seidel sweeps."""
+def _use_pallas(lev: MGLevelData, dtype):
+    from iamr_tpu.ops.pallas_mg import pallas_ok
 
-    def one_color(phi, mask):
-        phi_g = _pad_phi(phi, bc)
-        r = rhs - apply_op(phi_g, lev.alpha, lev.beta, a, b, lev.dx, lev.shape)
-        return phi + mask * r / lev.diag
+    return pallas_ok(lev.shape, dtype)
+
+
+def _smooth_rb(phi, rhs, lev: MGLevelData, a, b, bc, nsweeps: int):
+    """nsweeps red-black Gauss-Seidel sweeps (fused Pallas kernel on TPU)."""
+    if _use_pallas(lev, phi.dtype):
+        from iamr_tpu.ops.pallas_mg import cell_sweep
+
+        # fold the (possibly traced) scalars a, b into arrays once
+        aalpha = a * lev.alpha
+        beta_b = tuple(b * bd for bd in lev.beta)
+
+        def one_color(phi, mask):
+            phip = _pad_phi(phi, bc)
+            return cell_sweep(
+                phip, rhs, aalpha, lev.diag, beta_b, mask, 1.0, lev.dx
+            )
+
+    else:
+
+        def one_color(phi, mask):
+            phi_g = _pad_phi(phi, bc)
+            r = rhs - apply_op(phi_g, lev.alpha, lev.beta, a, b, lev.dx, lev.shape)
+            return phi + mask * r / lev.diag
 
     def body(_, phi):
         phi = one_color(phi, lev.red)
@@ -258,6 +278,16 @@ def _smooth_rb(phi, rhs, lev: MGLevelData, a, b, bc, nsweeps: int):
 
 
 def _residual(phi, rhs, lev: MGLevelData, a, b, bc):
+    if _use_pallas(lev, phi.dtype):
+        from iamr_tpu.ops.pallas_mg import cell_sweep
+
+        aalpha = a * lev.alpha
+        beta_b = tuple(b * bd for bd in lev.beta)
+        phip = _pad_phi(phi, bc)
+        return cell_sweep(
+            phip, rhs, aalpha, lev.diag, beta_b, lev.red, 1.0, lev.dx,
+            update=False,
+        )
     phi_g = _pad_phi(phi, bc)
     return rhs - apply_op(phi_g, lev.alpha, lev.beta, a, b, lev.dx, lev.shape)
 

@@ -332,15 +332,54 @@ def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2, max_levels:
     return levels
 
 
+def _use_pallas(lev: NodalLevel, dtype):
+    from iamr_tpu.ops.pallas_mg import pallas_ok
+
+    return pallas_ok(lev.nshape, dtype)
+
+
+def _sigp_for_kernel(sigma, bc: NodalBC):
+    """Padded cells extended to nodes+2 per dim (kernel never reads the
+    extra end row)."""
+    sp = _pad_cells(sigma, bc, sigma.ndim)
+    return jnp.pad(sp, [(0, 1)] * sigma.ndim, mode="edge")
+
+
 def _jacobi(phi, rhs, lev: NodalLevel, bc: NodalBC, nsweeps: int, omega: float = 0.85):
-    def body(_, phi):
-        r = rhs - apply_nodal(phi, lev.sigma, lev.dx, bc)
-        return (phi + omega * lev.mask * r / lev.diag)
+    if _use_pallas(lev, phi.dtype):
+        from iamr_tpu.ops.pallas_mg import fem_K_table, nodal_sweep
+
+        K = fem_K_table(lev.dx)
+        vol = 1.0
+        for h in lev.dx:
+            vol *= h
+        sigp = _sigp_for_kernel(lev.sigma, bc)
+        upd = omega * lev.mask / lev.diag
+
+        def body(_, phi):
+            phip = _pad_nodes(phi, bc)
+            return nodal_sweep(phip, sigp, rhs, upd, K, vol)
+
+    else:
+
+        def body(_, phi):
+            r = rhs - apply_nodal(phi, lev.sigma, lev.dx, bc)
+            return (phi + omega * lev.mask * r / lev.diag)
 
     return jax.lax.fori_loop(0, nsweeps, body, phi)
 
 
 def _nodal_residual(phi, rhs, lev: NodalLevel, bc: NodalBC):
+    if _use_pallas(lev, phi.dtype):
+        from iamr_tpu.ops.pallas_mg import fem_K_table, nodal_sweep
+
+        K = fem_K_table(lev.dx)
+        vol = 1.0
+        for h in lev.dx:
+            vol *= h
+        sigp = _sigp_for_kernel(lev.sigma, bc)
+        phip = _pad_nodes(phi, bc)
+        return nodal_sweep(phip, sigp, rhs, lev.mask, K, vol, update=False)
     return lev.mask * (rhs - apply_nodal(phi, lev.sigma, lev.dx, bc))
 
 
