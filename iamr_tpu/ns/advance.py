@@ -189,6 +189,7 @@ def advance(
     return_umac: bool = False,
     bcp=None,
     return_aux: bool = False,
+    eb=None,
 ):
     """One timestep: consumes state^n, returns state^{n+1}.
 
@@ -199,6 +200,12 @@ def advance(
     levels pass a CoarseFineBCProvider).
     return_aux: also return {"umac", "mac_phi", "flux_rho", "flux_trac"}
     for particle advection and coarse-fine flux registers.
+    eb: optional EBData cut-cell geometry. The step then follows the
+    reference's EB path (EBGodunov + redistribution + MLEB* operators,
+    NavierStokesBase.cpp:4477-5001): advective tendencies get the hybrid
+    divergence + flux redistribution, the projections and diffusion use
+    area/volume-fraction-weighted operators with an implicit EB no-slip
+    wall drag, and covered cells carry the body state (vel 0).
     """
     if bcp is None:
         from iamr_tpu.ns.bcprovider import PhysBCProvider
@@ -210,6 +217,14 @@ def advance(
     vel, rho, trac, p, gradp = state.vel, state.rho, state.trac, state.p, state.gradp
     recs = [bcp.vel_bcrec(c) for c in range(dim)]
     periodic = tuple(cfg.geom.periodic)
+    scheme = {
+        "Godunov_PLM": "plm", "Godunov_PPM": "ppm", "BDS": "bds",
+    }.get(cfg.advection_scheme, "plm")
+    if scheme == "bds":
+        raise NotImplementedError(
+            "ns.advection_scheme=BDS: BDS edge states not yet implemented; "
+            "use Godunov_PLM (default) or Godunov_PPM"
+        )
     t_half = state.time + 0.5 * dt
 
     # effective face viscosity: molecular + LES eddy viscosity at t^n
@@ -225,9 +240,17 @@ def advance(
     def _mu():
         return mu_eff if mu_eff is not None else mu_faces(cfg)
 
+    # EB: face-fraction-scaled viscosity, wall-drag coefficient, body fill
+    if eb is not None:
+        from iamr_tpu.eb.redist import eb_aofs, set_body_state
+
+        ebmul = lambda mf: tuple(m * af for m, af in zip(mf, eb.afrac))
+        drag_v = cfg.vel_visc_coef * eb.aeb_vol / eb.d_eb  # mu Aeb/(V d)
+        vfs = jnp.maximum(eb.vfrac, 1e-12)
+
     # --- 1. predict MAC velocities -------------------------------------
     if (cfg.vel_visc_coef > 0.0 or cfg.do_les) and cfg.be_cn_theta != 1.0:
-        mf0 = _mu()
+        mf0 = _mu() if eb is None else ebmul(_mu())
         visc = jnp.stack(
             [
                 diff.visc_terms_component(
@@ -238,10 +261,17 @@ def advance(
                 for c in range(dim)
             ]
         )
+        if eb is not None:
+            # volume-weighted apply -> per-volume term + explicit wall drag
+            visc = jnp.stack(
+                [eb.fluid * (visc[c] / vfs - drag_v * vel[c]) for c in range(dim)]
+            )
     else:
         visc = jnp.zeros_like(vel)
     tf = get_force(cfg, rho, t_half, hit)
     forcing = (tf + visc - gradp) / rho  # (visc + rho g - Gp)/rho, cpp:4447-4471
+    if eb is not None:
+        forcing = forcing * eb.fluid
     vel_g = bcp.fill_vel(vel, 3)
     force_g = bcp.fill_force(forcing)
     bcvals_lo = tuple(bcp.vel_bcvals(c)[0] for c in range(dim))
@@ -251,7 +281,7 @@ def advance(
     bh = tuple(tuple(bcvals_hi[c][d] for c in range(dim)) for d in range(dim))
     umac = extrap_vel_to_faces(
         vel_g, force_g, dt, dx, cfg.geom.ncell, recs, bl, bh,
-        use_forces_in_trans=cfg.use_forces_in_trans,
+        use_forces_in_trans=cfg.use_forces_in_trans, scheme=scheme,
     )
 
     # --- 2. MAC projection ---------------------------------------------
@@ -270,7 +300,7 @@ def advance(
     umac, mac_phi, _ = mac_project(
         umac, rho, cfg.dom, dx, divu_src=divu_src,
         rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
-        bc=mac_bc, bvals=mac_bvals,
+        bc=mac_bc, bvals=mac_bvals, eb=eb,
     )
     umac_g = grow_umac_transverse(umac, periodic)
 
@@ -281,9 +311,11 @@ def advance(
         fg = force_g[c]
         edges = compute_edge_states(
             sg, umac_g, dt, dx, cfg.geom.ncell, iconserv=False,
-            force_g=fg, periodic=periodic,
+            force_g=fg, periodic=periodic, scheme=scheme,
         )
-        _, a = compute_fluxes_and_aofs(edges, umac, dx, False, s_cc=vel[c])
+        fl, a = compute_fluxes_and_aofs(edges, umac, dx, False, s_cc=vel[c])
+        if eb is not None:
+            a = eb_aofs(fl, umac, eb, dx, False, s_cc=vel[c], periodic=periodic)
         aofs_vel.append(a)
     aofs_vel = jnp.stack(aofs_vel)
 
@@ -291,12 +323,17 @@ def advance(
     # density: conservative, no forcing
     rho_g = bcp.fill_scal(rho, 3, 0)
     edges_rho = compute_edge_states(
-        rho_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=True, periodic=periodic
+        rho_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=True, periodic=periodic,
+        scheme=scheme,
     )
     flux_rho, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True)
+    if eb is not None:
+        aofs_rho = eb_aofs(flux_rho, umac, eb, dx, True, periodic=periodic)
     rho_new = rho - dt * aofs_rho
     if cfg.do_denminmax:
         rho_new = _scal_min_max(rho_g, rho_new)
+    if eb is not None:
+        rho_new = set_body_state(rho_new, eb) + eb.covered * rho
     rho_half = 0.5 * (rho + rho_new)
 
     # tracers: convective by default (do_cons_trac for conservative)
@@ -307,22 +344,39 @@ def advance(
         s_g = bcp.fill_scal(s, 3, 1 + t)
         icons = cfg.do_cons_trac
         edges = compute_edge_states(
-            s_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=icons, periodic=periodic
+            s_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=icons, periodic=periodic,
+            scheme=scheme,
         )
         flux_s, aofs_s = compute_fluxes_and_aofs(
             edges, umac, dx, icons, s_cc=s
         )
+        if eb is not None:
+            aofs_s = eb_aofs(flux_s, umac, eb, dx, icons, s_cc=s, periodic=periodic)
         flux_trac.append(flux_s)
         s_star = s - dt * aofs_s
         coef = cfg.scal_diff_coefs[t] if t < len(cfg.scal_diff_coefs) else 0.0
         if coef > 0.0:
             sbc, sbv = bcp.scal_diff_bc(1 + t)
-            s_star, _ = diff.diffuse_scalar(
-                s_star, s, rho_new, rho, beta_faces(cfg, coef), dt, dx,
-                bcp._scal_rec, theta=cfg.be_cn_theta,
-                rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
-                poisson_bc=sbc, poisson_bvals=sbv,
-            )
+            bcoef = beta_faces(cfg, coef)
+            if eb is None:
+                s_star, _ = diff.diffuse_scalar(
+                    s_star, s, rho_new, rho, bcoef, dt, dx,
+                    bcp._scal_rec, theta=cfg.be_cn_theta,
+                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    poisson_bc=sbc, poisson_bvals=sbv,
+                )
+            else:
+                # volume-weighted EB operator; no-flux at the EB wall
+                a_rhs = eb.vfrac * rho_new + eb.covered
+                s_star, _ = diff.diffuse_scalar(
+                    eb.fluid * s_star, eb.fluid * s, a_rhs,
+                    eb.vfrac * rho + eb.covered, ebmul(bcoef), dt, dx,
+                    bcp._scal_rec, theta=cfg.be_cn_theta,
+                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    poisson_bc=sbc, poisson_bvals=sbv,
+                )
+        if eb is not None:
+            s_star = eb.fluid * s_star + eb.covered * s
         trac_new.append(s_star)
     trac_new = jnp.stack(trac_new)
 
@@ -331,23 +385,35 @@ def advance(
     if cfg.do_temp:
         t_g = bcp.fill_temp(state.temp, 3)
         edges_t = compute_edge_states(
-            t_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=False, periodic=periodic
+            t_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=False, periodic=periodic,
+            scheme=scheme,
         )
-        _, aofs_t = compute_fluxes_and_aofs(
+        flux_t, aofs_t = compute_fluxes_and_aofs(
             edges_t, umac, dx, False, s_cc=state.temp
         )
+        if eb is not None:
+            aofs_t = eb_aofs(
+                flux_t, umac, eb, dx, False, s_cc=state.temp, periodic=periodic
+            )
         temp_new = state.temp - dt * aofs_t
         if cfg.temp_cond_coef > 0.0:
             tbc, tbv = bcp.temp_diff_bc()
             # rho cp dT/dt = div lambda grad T -> alpha = rho (cp folded
             # into temp_cond_coef = lambda/cp, NavierStokes.cpp:2061-2187)
+            lamf = beta_faces(cfg, cfg.temp_cond_coef)
+            a_new, a_old = rho_new, rho
+            if eb is not None:
+                lamf = ebmul(lamf)
+                a_new = eb.vfrac * rho_new + eb.covered
+                a_old = eb.vfrac * rho + eb.covered
             temp_new, _ = diff.diffuse_scalar(
-                temp_new, state.temp, rho_new, rho,
-                beta_faces(cfg, cfg.temp_cond_coef), dt, dx,
+                temp_new, state.temp, a_new, a_old, lamf, dt, dx,
                 bcp._temp_rec, theta=cfg.be_cn_theta,
                 rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
                 poisson_bc=tbc, poisson_bvals=tbv,
             )
+        if eb is not None:
+            temp_new = eb.fluid * temp_new + eb.covered * state.temp
 
     # --- 5. velocity update + CN viscous solve ---------------------------
     tf_half = get_force(cfg, rho_half, t_half, hit)
@@ -357,19 +423,40 @@ def advance(
             for c in range(dim)
         ]
     )
+    if eb is not None:
+        vel_star = vel_star * eb.fluid
     if cfg.vel_visc_coef > 0.0 or cfg.do_les:
         mf = _mu()
         alpha = rho_half / dt
+        theta = cfg.be_cn_theta
+        if eb is not None:
+            # volume-weighted MLEB operator + implicit no-slip wall drag
+            # (theta-weighted like the interior CN terms)
+            a_rhs = eb.vfrac * alpha + eb.covered
+            a_op = a_rhs + theta * drag_v
+            mf = ebmul(mf)
         comps = []
         for c in range(dim):
             vbc, vbv = bcp.vel_diff_bc(c)
-            u_new, _ = diff.diffuse_scalar(
-                vel_star[c], vel[c], alpha, alpha, mf,
-                1.0,  # dt folded into alpha: (alpha - theta*1*L) with alpha=rho/dt
-                dx, recs[c], theta=cfg.be_cn_theta,
-                rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
-                poisson_bc=vbc, poisson_bvals=vbv,
-            )
+            if eb is None:
+                u_new, _ = diff.diffuse_scalar(
+                    vel_star[c], vel[c], alpha, alpha, mf,
+                    1.0,  # dt folded into alpha: (alpha - theta*L), alpha=rho/dt
+                    dx, recs[c], theta=theta,
+                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    poisson_bc=vbc, poisson_bvals=vbv,
+                )
+            else:
+                # CN explicit half of the wall drag moves into the rhs via
+                # s_star (rhs = a_rhs*s_star' = a_rhs*s* - (1-th)*drag*u^n)
+                vs = vel_star[c] - (1.0 - theta) * drag_v * vel[c] / a_rhs
+                u_new, _ = diff.diffuse_scalar(
+                    vs, eb.fluid * vel[c], a_rhs, a_rhs, mf,
+                    1.0, dx, recs[c], theta=theta,
+                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    poisson_bc=vbc, poisson_bvals=vbv, alpha_op=a_op,
+                )
+                u_new = u_new * eb.fluid
             comps.append(u_new)
         vel_star = jnp.stack(comps)
 
@@ -386,7 +473,7 @@ def advance(
     vel_new, p_new, gradp_new, _ = level_project(
         vel_star, rho_half, p, gradp, dt, cfg.dom, dx,
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
-        bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new,
+        bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb,
     )
 
     # --- next dt ----------------------------------------------------------
@@ -435,10 +522,10 @@ def _scal_min_max(s_g, s_new):
     return jnp.clip(s_new, lo, hi)
 
 
-def make_step(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):
+def make_step(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None, eb=None):
     """jit-compiled step function closed over the static config."""
     hit = make_hit_forcing(cfg)
-    return jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles, hit=hit))
+    return jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles, hit=hit, eb=eb))
 
 
 def make_step_with_particles(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):

@@ -26,10 +26,15 @@ from iamr_tpu.ns.state import NSConfig, NSState, config_from_inputs
 from iamr_tpu.solvers.nodal_proj import initial_velocity_project
 
 
-def initialize(cfg: NSConfig, fixed_mg_cycles=None) -> NSState:
+def initialize(cfg: NSConfig, fixed_mg_cycles=None, eb=None) -> NSState:
     """Build the initial state: ICs, initial projection, dt estimate,
     and the initial pressure iterations — one jitted program."""
     state = init_state(cfg)
+    if eb is not None:
+        # covered cells carry the body state from step 0 (set_body_state
+        # semantics, NSB_K.H; InitialRedistribution is subsumed by the
+        # first step's flux redistribution)
+        state = state._replace(vel=state.vel * eb.fluid)
     hit = make_hit_forcing(cfg)
 
     @jax.jit
@@ -38,7 +43,7 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None) -> NSState:
             vel_proj, _ = initial_velocity_project(
                 state.vel, state.rho, cfg.dom, cfg.geom.dx,
                 rtol=cfg.proj_tol, atol=cfg.proj_abs_tol,
-                fixed_cycles=fixed_mg_cycles,
+                fixed_cycles=fixed_mg_cycles, eb=eb,
             )
             state = state._replace(vel=vel_proj)
 
@@ -52,7 +57,7 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None) -> NSState:
         # initial pressure iterations: advance from the same IC, keep p/Gp
         # (post_init_press, NavierStokes.cpp:1305-1432)
         for _ in range(max(0, cfg.init_iter)):
-            trial = advance(state, cfg, fixed_mg_cycles, hit=hit)
+            trial = advance(state, cfg, fixed_mg_cycles, hit=hit, eb=eb)
             state = state._replace(p=trial.p, gradp=trial.gradp)
         return state
 
@@ -163,11 +168,12 @@ def run(
     callback: Optional[Callable[[int, NSState], None]] = None,
     verbose: bool = False,
     fixed_mg_cycles=None,
+    eb=None,
 ) -> NSState:
     """Advance until max_step / stop_time / steady state."""
     if state is None:
-        state = initialize(cfg, fixed_mg_cycles)
-    step_fn = make_step(cfg, fixed_mg_cycles)
+        state = initialize(cfg, fixed_mg_cycles, eb=eb)
+    step_fn = make_step(cfg, fixed_mg_cycles, eb=eb)
 
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
@@ -306,6 +312,11 @@ def run_from_inputs(path: str, overrides=(), **kw):
         kw["callback"] = hooks
     if state0 is not None:
         kw["state"] = state0
+    from iamr_tpu.eb.geom import eb_from_inputs
+
+    eb = eb_from_inputs(pp, cfg.geom, dtype=cfg.dtype)
+    if eb is not None:
+        kw["eb"] = eb
     if cfg.max_level >= 1:
         from iamr_tpu.amr.tagging import parse_refinement_indicators
 

@@ -71,6 +71,63 @@ def slope4(qg, d):
     return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
 
 
+def ppm_lr(q3, d, cfl_L, cfl_R):
+    """PPM (Colella-Woodward 1984) normal predictor: L/R face states.
+
+    q3: quantity with 3 ghosts in dim d (extent n_d+6) and ng=1 transverse
+    extents matching the face arrays. cfl_L/cfl_R: nonnegative CFL numbers
+    of the L (from below) and R (from above) characteristics on the n_d+1
+    faces of the ng=1 region (extent n_d+3 cells -> n_d+1 interior... faces
+    between consecutive ng=1 cells).
+
+    Matches AMReX-Hydro Godunov_PPM.H: 4th-order interface interpolation,
+    the CW monotonization, and the parabola integral over the domain of
+    dependence. Returns (pL, pR) with extent n_d+1 in d.
+    """
+    m = q3.shape[d]
+    # 4th-order interface values on faces k+1/2 for k = 1..m-3
+    s_k = _shift(q3, d, 1, m - 3)
+    s_kp = _shift(q3, d, 2, m - 3)
+    s_km = _shift(q3, d, 0, m - 3)
+    s_kpp = _shift(q3, d, 3, m - 3)
+    sface = (7.0 / 12.0) * (s_k + s_kp) - (1.0 / 12.0) * (s_km + s_kpp)
+    # clamp interface values between the adjacent cell averages (limiter)
+    smin = jnp.minimum(s_k, s_kp)
+    smax = jnp.maximum(s_k, s_kp)
+    sface = jnp.clip(sface, smin, smax)
+
+    # per-cell (s_minus, s_plus) for cells 2..m-3 (extent m-4 = ng=1 cells)
+    mf = sface.shape[d]
+    sm = _shift(sface, d, 0, mf - 1)
+    sp = _shift(sface, d, 1, mf - 1)
+    c = _shift(q3, d, 2, m - 4)
+
+    # CW monotonization
+    extremum = (sp - c) * (c - sm) <= 0.0
+    sm = jnp.where(extremum, c, sm)
+    sp = jnp.where(extremum, c, sp)
+    delta = sp - sm
+    s6 = 6.0 * (c - 0.5 * (sm + sp))
+    over_p = delta * s6 > delta * delta
+    over_m = -delta * delta > delta * s6
+    sm = jnp.where(over_p, 3.0 * c - 2.0 * sp, sm)
+    sp = jnp.where(over_m, 3.0 * c - 2.0 * sm, sp)
+    delta = sp - sm
+    s6 = 6.0 * (c - 0.5 * (sm + sp))
+
+    # trace to faces at t+dt/2: face between ng=1 cells k (L) and k+1 (R)
+    mc = c.shape[d]  # n_d + 2
+    spL = _shift(sp, d, 0, mc - 1)
+    dL = _shift(delta, d, 0, mc - 1)
+    s6L = _shift(s6, d, 0, mc - 1)
+    smR = _shift(sm, d, 1, mc - 1)
+    dR = _shift(delta, d, 1, mc - 1)
+    s6R = _shift(s6, d, 1, mc - 1)
+    pL = spL - 0.5 * cfl_L * (dL - (1.0 - 2.0 * cfl_L / 3.0) * s6L)
+    pR = smR + 0.5 * cfl_R * (dR + (1.0 - 2.0 * cfl_R / 3.0) * s6R)
+    return pL, pR
+
+
 def _trim(a, keep_ng, have_ng, dims=None):
     """Trim a grown array from have_ng to keep_ng ghosts (per selected dims)."""
     dim = a.ndim
@@ -108,6 +165,7 @@ def extrap_vel_to_faces(
     bcvals_lo,
     bcvals_hi,
     use_forces_in_trans: bool = False,
+    scheme: str = "plm",
 ):
     """Predict time-centered normal velocities on faces (the MAC velocities).
 
@@ -125,11 +183,12 @@ def extrap_vel_to_faces(
     # limited slopes of every component in every dim, on the ng=1 region
     # slope4 output has ghost extent ng-2 = 1 in its own dim; trim others to 1
     slopes = [[None] * dim for _ in range(dim)]  # [comp][dir]
-    for c in range(dim):
-        for d in range(dim):
-            s = slope4(vel_g[c], d)  # ng-2 ghosts in d, ng elsewhere
-            s = _trim(s, 1, ng, dims=[e for e in range(dim) if e != d])
-            slopes[c][d] = s  # now ng=1 in every dim: extent n+2
+    if scheme != "ppm":
+        for c in range(dim):
+            for d in range(dim):
+                s = slope4(vel_g[c], d)  # ng-2 ghosts in d, ng elsewhere
+                s = _trim(s, 1, ng, dims=[e for e in range(dim) if e != d])
+                slopes[c][d] = s  # now ng=1 in every dim: extent n+2
 
     vel_1 = jnp.stack([_trim(vel_g[c], 1, ng) for c in range(dim)])  # ng=1
 
@@ -138,10 +197,20 @@ def extrap_vel_to_faces(
     # (real faces), n_e+2 in e != d (one ghost row for transverse terms)
     hat = [[None] * dim for _ in range(dim)]
     for d in range(dim):
+        m = vel_1[0].shape[d]  # n_d + 2
+        un_L = _shift(vel_1[d], d, 0, m - 1)
+        un_R = _shift(vel_1[d], d, 1, m - 1)
         for c in range(dim):
+            if scheme == "ppm":
+                q3 = _trim(
+                    vel_g[c], 1, ng, dims=[e for e in range(dim) if e != d]
+                )
+                cl = dt / dx[d] * jnp.maximum(un_L, 0.0)
+                cr = dt / dx[d] * jnp.maximum(-un_R, 0.0)
+                hat[d][c] = ppm_lr(q3, d, cl, cr)
+                continue
             q = vel_1[c]
             sq = slopes[c][d]
-            m = q.shape[d]  # n_d + 2
             # L from cell k, R from cell k+1, faces between all adjacent
             # ng=1 cells: extent m-1 = n_d+1 real faces (ghost-to-real faces
             # at each end are the domain boundary faces)
@@ -149,16 +218,11 @@ def extrap_vel_to_faces(
             qR_c = _shift(q, d, 1, m - 1)
             sL = _shift(sq, d, 0, m - 1)
             sR = _shift(sq, d, 1, m - 1)
-            un_L = _shift(vel_1[d], d, 0, m - 1)
-            un_R = _shift(vel_1[d], d, 1, m - 1)
             cfl_L = dt / dx[d] * jnp.maximum(un_L, 0.0)
             cfl_R = dt / dx[d] * jnp.minimum(un_R, 0.0)
             qL = qL_c + 0.5 * (1.0 - cfl_L) * sL
             qR = qR_c - 0.5 * (1.0 + cfl_R) * sR
-            if c == d:
-                hat[d][c] = (qL, qR)
-            else:
-                hat[d][c] = (qL, qR)
+            hat[d][c] = (qL, qR)
 
     # Riemann-resolved hat values (advective face velocities + upwinded
     # transverse components)
@@ -297,6 +361,7 @@ def compute_edge_states(
     iconserv: bool,
     force_g=None,
     periodic: Optional[Sequence[bool]] = None,
+    scheme: str = "plm",
 ):
     """Predict scalar edge states on all faces given time-centered u_mac.
 
@@ -306,45 +371,51 @@ def compute_edge_states(
 
     Transverse correction: conservative form uses the flux difference
     d(v_mac s_hat)/dy; convective form uses vbar * d(s_hat)/dy.
+
+    scheme: "plm" (4th-order limited slopes) or "ppm" (parabolic
+    reconstruction) — the reference's ns.advection_scheme Godunov_PLM /
+    Godunov_PPM normal predictors (NavierStokesBase.cpp:548-554).
     """
     dim = s_g.ndim
     ng = 3
     n = tuple(ncell)
 
     slopes = []
-    for d in range(dim):
-        s = slope4(s_g, d)
-        s = _trim(s, 1, ng, dims=[e for e in range(dim) if e != d])
-        slopes.append(s)
+    if scheme != "ppm":
+        for d in range(dim):
+            s = slope4(s_g, d)
+            s = _trim(s, 1, ng, dims=[e for e in range(dim) if e != d])
+            slopes.append(s)
     s_1 = _trim(s_g, 1, ng)
+
+    def _predict(d):
+        """Normal-predictor L/R states on the faces of the ng=1 region."""
+        u_f = umac_grown[d]  # extent n_d+1 in d, n_e+2 transverse
+        if scheme == "ppm":
+            q3 = _trim(s_g, 1, ng, dims=[e for e in range(dim) if e != d])
+            cl = dt / dx[d] * jnp.maximum(u_f, 0.0)
+            cr = dt / dx[d] * jnp.maximum(-u_f, 0.0)
+            return ppm_lr(q3, d, cl, cr)
+        q = s_1
+        m = q.shape[d]
+        qL = _shift(q, d, 0, m - 1)
+        qR = _shift(q, d, 1, m - 1)
+        sL = _shift(slopes[d], d, 0, m - 1)
+        sR = _shift(slopes[d], d, 1, m - 1)
+        cfl = dt / dx[d] * u_f
+        pL = qL + 0.5 * (1.0 - cfl) * sL
+        pR = qR - 0.5 * (1.0 + cfl) * sR
+        return pL, pR
 
     # hat states on faces of the ng=1 region (extent n_d+1 in d, n_e+2 else)
     hat_s = []
     for d in range(dim):
-        q = s_1
-        m = q.shape[d]
-        qL = _shift(q, d, 0, m - 1)
-        qR = _shift(q, d, 1, m - 1)
-        sL = _shift(slopes[d], d, 0, m - 1)
-        sR = _shift(slopes[d], d, 1, m - 1)
-        u_f = umac_grown[d]  # extent n_d+1 in d, n_e+2 transverse
-        cfl = dt / dx[d] * u_f
-        pL = qL + 0.5 * (1.0 - cfl) * sL
-        pR = qR - 0.5 * (1.0 + cfl) * sR
-        hat_s.append(_upwind(pL, pR, u_f))
+        pL, pR = _predict(d)
+        hat_s.append(_upwind(pL, pR, umac_grown[d]))
 
     edges = []
     for d in range(dim):
-        q = s_1
-        m = q.shape[d]
-        qL = _shift(q, d, 0, m - 1)
-        qR = _shift(q, d, 1, m - 1)
-        sL = _shift(slopes[d], d, 0, m - 1)
-        sR = _shift(slopes[d], d, 1, m - 1)
-        u_f = umac_grown[d]
-        cfl = dt / dx[d] * u_f
-        pL = qL + 0.5 * (1.0 - cfl) * sL
-        pR = qR - 0.5 * (1.0 + cfl) * sR
+        pL, pR = _predict(d)
 
         def to_real(a, face_dim):
             idx = []

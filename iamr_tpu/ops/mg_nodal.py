@@ -82,16 +82,30 @@ def grad_node_to_cell(phi, dx):
     return tuple(_corner_avg(phi, d, dim) / dx[d] for d in range(dim))
 
 
-def div_cell_to_node(u, dx, bc: NodalBC):
+def div_cell_to_node(u, dx, bc: NodalBC, inflow_vals=None):
     """D: cell vector field -> nodal divergence (adjoint of -G).
 
     u: tuple of cell arrays; exterior cells are zero (wall) or wrapped
     (periodic) per bc.
+
+    inflow_vals: optional {(d, side): value} of the prescribed NORMAL
+    velocity outside inflow faces — the reference keeps inflow velocity in
+    the projection divergence and zeroes the normal component only at
+    non-inflow faces (Projection::set_boundary_velocity,
+    Projection.cpp:2570-2620 + LinOpBCType::inflow mapping 2448-2462).
     """
     dim = len(u)
     out = None
     for d in range(dim):
         ud = _pad_cells(u[d], bc, dim)
+        if inflow_vals:
+            for side in (0, 1):
+                v = inflow_vals.get((d, side))
+                if v is None:
+                    continue
+                idx = [slice(None)] * dim
+                idx[d] = slice(0, 1) if side == 0 else slice(-1, None)
+                ud = ud.at[tuple(idx)].set(v)
         # difference along d (cells -> node-planes), average transversally
         t = sl(ud, d, 1, None) - sl(ud, d, 0, -1)
         for e in range(dim):
@@ -238,7 +252,10 @@ def nodal_diag(sigma, dx, bc: NodalBC):
     """
     dim = sigma.ndim
     kap = sum(1.0 / (3 ** (dim - 1) * dx[d] ** 2) for d in range(dim))
-    return -_adjacent_cell_sum(sigma, bc) * kap
+    d = -_adjacent_cell_sum(sigma, bc) * kap
+    # EB: nodes fully inside the body have sigma=0 all around -> diag 0;
+    # pin them (their residual is identically 0, so the update stays 0)
+    return jnp.where(d == 0.0, -kap, d)
 
 
 def _coarsen_sigma(sigma, dim):

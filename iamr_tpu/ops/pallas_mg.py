@@ -26,6 +26,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Whole transverse dims get (8,128)-tile padded (e.g. 131 lanes -> 256), so
+# big levels need more scoped VMEM than the 16M default; v5e+ has plenty.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
 _TILE = 8  # Mosaic requires pl.Element offsets divisible by the sublane
 # tiling (8 for f32), so the dim-0 slab tile is always 8; arrays whose
 # leading dim is not a multiple of 8 are end-padded and the result sliced.
@@ -177,6 +181,7 @@ def cell_sweep(
         in_specs=in_specs,
         out_specs=out_spec,
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
     return out[:n0] if pad else out
 
@@ -277,6 +282,7 @@ def nodal_sweep(
         in_specs=[halo_in, halo_in, flat, flat],
         out_specs=flat,
         interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
     )(phip, sigp, rhs_p, upd)
     return out[:n0] if pad else out
 

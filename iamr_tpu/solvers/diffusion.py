@@ -87,11 +87,16 @@ def diffuse_scalar(
     fixed_cycles: Optional[int] = None,
     poisson_bc: Optional[PoissonBC] = None,
     poisson_bvals: Optional[Dict] = None,
+    alpha_op=None,
 ):
     """CN diffusion update after advection.
 
-    Solves (alpha_new - theta dt div beta grad) S^{n+1}
+    Solves (alpha_op - theta dt div beta grad) S^{n+1}
          = alpha_old_weighted RHS:  alpha_new S* + (1-theta) dt div beta grad S^n
+
+    alpha_op defaults to alpha_new; EB callers pass alpha_op with the
+    implicit wall-drag coefficient added (MLEBABecLap EB-Dirichlet flux
+    folded into the diagonal) while alpha_new stays the rhs weight.
 
     where S* already contains the advective + forcing update (the reference
     assembles the same RHS split, Diffusion.cpp:380-470: old-time operator
@@ -115,12 +120,15 @@ def diffuse_scalar(
     lap_old = apply_diffusion_op(s_old, beta, dx, bc, bvals)
     rhs = alpha_new * s_star + (1.0 - theta) * dt * lap_old
 
+    if alpha_op is None:
+        alpha_op = alpha_new
+
     if theta == 0.0:
-        return rhs / alpha_new, None
+        return rhs / alpha_op, None
 
     s_new, res, it = mg.mg_solve(
         rhs,
-        alpha_new,
+        alpha_op,
         beta,
         1.0,
         theta * dt,

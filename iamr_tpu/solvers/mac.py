@@ -64,15 +64,44 @@ def mac_project(
     fixed_cycles: Optional[int] = None,
     bc: Optional[PoissonBC] = None,
     bvals=None,
+    eb=None,
 ):
     """Project the MAC velocities. Returns (umac_corrected, phi, stats).
 
     bc/bvals override the domain-derived BCs (fine levels pass Dirichlet
-    coarse-fine values from the parent's mac_phi)."""
+    coarse-fine values from the parent's mac_phi).
+
+    eb: optional EBData; the solve becomes the volume-weighted EB operator
+    (MLEBABecLap semantics — face coefficients scaled by area fractions,
+    covered cells pinned through the identity), so the corrected velocities
+    satisfy the CUT-CELL divergence sum_d d(afrac u)/dx = vfrac * S."""
     dim = rho.ndim
     if bc is None:
         bc = mac_poisson_bc(dom)
     beta = beta_from_rho(rho, dom)
+
+    if eb is not None:
+        import jax.numpy as _jnp
+
+        beta_op = tuple(b * af for b, af in zip(beta, eb.afrac))
+        div = mac_div(tuple(af * u for af, u in zip(eb.afrac, umac)), dx)
+        if divu_src is not None:
+            div = div - eb.vfrac * divu_src
+        phi, res, it = mg.mg_solve(
+            -div, eb.covered, beta_op, 1.0, 1.0, dx, bc,
+            phi0=phi0, bvals=bvals, rtol=rtol, atol=atol,
+            fixed_cycles=fixed_cycles,
+        )
+        corr = mg.get_fluxes(phi, beta, 1.0, dx, bc, bvals=bvals)
+        umac_new = []
+        for d in range(dim):
+            u = (umac[d] + corr[d]) * (eb.afrac[d] > 0.0)
+            if bc.lo[d] == NEUMANN:
+                u = u.at[_face_idx(u, d, 0)].set(umac[d][_face_idx(umac[d], d, 0)])
+            if bc.hi[d] == NEUMANN:
+                u = u.at[_face_idx(u, d, -1)].set(umac[d][_face_idx(umac[d], d, -1)])
+            umac_new.append(u)
+        return tuple(umac_new), phi, (res, it)
 
     div = mac_div(umac, dx)
     if divu_src is not None:

@@ -63,6 +63,7 @@ def level_project(
     bc: Optional[NodalBC] = None,
     phi_bc=None,
     divu_src=None,
+    eb=None,
 ):
     """Approximate nodal projection of the provisional velocity.
 
@@ -72,6 +73,10 @@ def level_project(
     (reference doMLMGNodalProjection coarse-fine handling). divu_src: cell
     field S with div(U^{n+1}) = S (thermal divergence; subtracted from the
     rhs as S/dt averaged to nodes).
+
+    eb: optional EBData; the FEM nodal operator and the divergence are
+    volume-fraction weighted (MLNodeLaplacian EB semantics) and covered
+    cells are masked out of the corrected velocity/Gp.
     """
     dim = rho_half.ndim
     if bc is None:
@@ -81,20 +86,42 @@ def level_project(
     vs = tuple(
         vel_star[d] / dt + gradp_old[d] * sigma for d in range(dim)
     )
-    rhs = div_cell_to_node(vs, dx, bc)
+    # prescribed inflow normal velocity enters the divergence, scaled like
+    # vs (U/dt form); see div_cell_to_node inflow_vals
+    inflow_vals = {
+        (d, s): dom.value(d, s, d) / dt
+        for d in range(dim)
+        for s, p in ((0, dom.phys_lo[d]), (1, dom.phys_hi[d]))
+        if p == PhysBC.Inflow
+    }
+    if eb is not None:
+        sigma_op = sigma * eb.vfrac
+        rhs = div_cell_to_node(
+            tuple(eb.vfrac * v for v in vs), dx, bc, inflow_vals
+        )
+    else:
+        sigma_op = sigma
+        rhs = div_cell_to_node(vs, dx, bc, inflow_vals)
     if divu_src is not None:
         from iamr_tpu.ops.mg_nodal import avg_cell_to_node
 
-        rhs = rhs - avg_cell_to_node(divu_src, bc) / dt
+        src = divu_src if eb is None else eb.vfrac * divu_src
+        rhs = rhs - avg_cell_to_node(src, bc) / dt
     phi, res, it = nodal_solve(
-        rhs, sigma, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
+        rhs, sigma_op, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
         phi_bc=phi_bc,
     )
     gphi = grad_node_to_cell(phi, dx)
-    vel_new = jnp.stack(
-        [(vs[d] - sigma * gphi[d]) * dt for d in range(dim)]
-    )
-    gradp_new = jnp.stack(list(gphi))
+    if eb is not None:
+        vel_new = jnp.stack(
+            [eb.fluid * (vs[d] - sigma * gphi[d]) * dt for d in range(dim)]
+        )
+        gradp_new = jnp.stack([eb.fluid * g for g in gphi])
+    else:
+        vel_new = jnp.stack(
+            [(vs[d] - sigma * gphi[d]) * dt for d in range(dim)]
+        )
+        gradp_new = jnp.stack(list(gphi))
     return vel_new, phi, gradp_new, (res, it)
 
 
@@ -107,6 +134,7 @@ def initial_velocity_project(
     rtol: float = 1e-12,
     atol: float = 1e-16,
     fixed_cycles: Optional[int] = None,
+    eb=None,
 ):
     """Make the initial velocity divergence-free (initialVelocityProject,
     Projection.cpp:615-840): solve L(phi)=D(U), U <- U - sigma G(phi); the
@@ -116,12 +144,27 @@ def initial_velocity_project(
     bc = nodal_bc(dom)
     sigma = 1.0 / rho
     u = tuple(vel[d] for d in range(dim))
-    rhs = div_cell_to_node(u, dx, bc)
+    inflow_vals = {
+        (d, s): dom.value(d, s, d)
+        for d in range(dim)
+        for s, p in ((0, dom.phys_lo[d]), (1, dom.phys_hi[d]))
+        if p == PhysBC.Inflow
+    }
+    if eb is not None:
+        sigma_op = sigma * eb.vfrac
+        rhs = div_cell_to_node(
+            tuple(eb.vfrac * ud for ud in u), dx, bc, inflow_vals
+        )
+    else:
+        sigma_op = sigma
+        rhs = div_cell_to_node(u, dx, bc, inflow_vals)
     if divu_src is not None:
         rhs = rhs - divu_src
     phi, res, it = nodal_solve(
-        rhs, sigma, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles
+        rhs, sigma_op, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles
     )
     gphi = grad_node_to_cell(phi, dx)
     vel_new = jnp.stack([u[d] - sigma * gphi[d] for d in range(dim)])
+    if eb is not None:
+        vel_new = vel_new * eb.fluid
     return vel_new, (res, it)
