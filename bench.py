@@ -1,7 +1,9 @@
-"""Headline benchmark: cell-updates/sec/chip on the 3D decaying-vortex config
-(stand-in for HIT 256^3 until the spectral forcing lands; same kernel mix:
-Godunov advection + MAC projection + CN diffusion + nodal projection per
-step).
+"""Headline benchmark: cell-updates/sec/chip on 3D HIT forced isotropic
+turbulence (the BASELINE.md target config: reference
+Tutorials/HIT/inputs.3d.forced scaled to 256^3, spectral low-wavenumber
+forcing, tracer particles, full projection-method step: Godunov advection +
+MAC projection + CN diffusion + nodal projection; fixed V-cycle counts for
+deterministic per-step work).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -10,6 +12,8 @@ cell-updates/s for the full IAMR step (the reference publishes no numbers —
 BASELINE.md; this anchor is an order-of-magnitude estimate for a full
 projection-method step with MLMG solves on one A100, to be replaced by a
 measured number when available).
+
+Usage: python bench.py [n=256] [steps=3] [nparticles=65536]
 """
 
 import json
@@ -23,27 +27,67 @@ A100_BASELINE_CELLS_PER_S = 5.0e7
 
 def main():
     import jax
-
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
-
-    from __graft_entry__ import _make
-    from iamr_tpu.ns.advance import advance
-
-    cfg, state = _make(n, dim=3, dtype="float32", nu=1e-3)
-    step = jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles=4))
-
     import jax.numpy as jnp
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    nparticles = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
+
+    import dataclasses
+
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.ns.advance import advance, make_hit_forcing
+    from iamr_tpu.ns.particles import advect_with_umac, from_positions
+    from iamr_tpu.ns.probs import init_state
+    from iamr_tpu.ns.state import config_from_inputs
+
+    # the HIT forced config (Tutorials/HIT/inputs.3d.forced) at n^3
+    pp = ParmParse.from_string(
+        f"""
+        max_step = {steps}
+        amr.n_cell = {n} {n} {n}
+        ns.cfl = 0.7
+        ns.init_iter = 0
+        ns.vel_visc_coef = 1.e-4
+        ns.scal_diff_coefs = 0.0
+        geometry.prob_lo = -0.5 -0.5 -0.5
+        geometry.prob_hi = 0.5 0.5 0.5
+        geometry.is_periodic = 1 1 1
+        ns.lo_bc = 0 0 0
+        ns.hi_bc = 0 0 0
+        prob.probtype = 100
+        turb.nmodes = 4
+        turb.div_free_force = 1
+        """
+    )
+    cfg = config_from_inputs(pp)
+    cfg = dataclasses.replace(cfg, dtype="float32")
+    state = init_state(cfg)
+    state = state._replace(dt=jnp.asarray(5e-3, dtype=cfg.jdtype))
+    hit = make_hit_forcing(cfg)
+
+    rng = np.random.RandomState(7)
+    parts = from_positions(
+        jnp.asarray(rng.rand(nparticles, 3) - 0.5, cfg.jdtype), dtype=cfg.jdtype
+    )
+
+    @jax.jit
+    def step(state, parts):
+        new_state, umac = advance(
+            state, cfg, fixed_mg_cycles=4, hit=hit, return_umac=True
+        )
+        parts = advect_with_umac(parts, umac, state.dt, cfg.geom)
+        return new_state, parts
 
     # warmup/compile; the scalar fetch forces full execution (the tunneled
     # TPU backend's block_until_ready can return before remote work lands)
-    state = step(state)
-    _ = float(jnp.max(jnp.abs(state.vel)))
+    s, p = step(state, parts)
+    _ = float(jnp.max(jnp.abs(s.vel)))
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        state = step(state)
-    checksum = float(jnp.max(jnp.abs(state.vel)))
+        s, p = step(s, p)
+    checksum = float(jnp.max(jnp.abs(s.vel)))
     dt_wall = time.perf_counter() - t0
     assert np.isfinite(checksum), "non-finite state after bench steps"
 
@@ -52,7 +96,8 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"cell-updates/sec/chip (3D {n}^3 projection step)",
+                "metric": f"cell-updates/sec/chip (3D HIT {n}^3 forced, "
+                f"{nparticles} particles)",
                 "value": cups,
                 "unit": "cells/s",
                 "vs_baseline": cups / A100_BASELINE_CELLS_PER_S,

@@ -58,18 +58,23 @@ def write_plotfile(
 
     os.makedirs(os.path.join(path, "Level_0"), exist_ok=True)
 
-    # ---- FAB data file
+    # ---- FAB data file (native C++ writer when built; Python fallback)
     data = np.stack(
         [np.asarray(fields[k], dtype=np.float64) for k in names], axis=0
     )  # (ncomp, *n) -> fortran order per comp
     fab_path = os.path.join(path, "Level_0", "Cell_D_00000")
-    with open(fab_path, "wb") as f:
-        hdr = f"{_FAB_HEADER}{_box_str(lo, hi)} {ncomp}\n"
-        f.write(hdr.encode())
-        offset = f.tell()
-        # AMReX fab layout: component-major, fortran (x fastest)
-        for c in range(ncomp):
-            f.write(np.asfortranarray(data[c]).tobytes(order="F"))
+    from iamr_tpu import native
+
+    if native.available():
+        offset = native.write_fab(fab_path, data, lo, hi)
+    else:
+        with open(fab_path, "wb") as f:
+            hdr = f"{_FAB_HEADER}{_box_str(lo, hi)} {ncomp}\n"
+            f.write(hdr.encode())
+            offset = f.tell()
+            # AMReX fab layout: component-major, fortran (x fastest)
+            for c in range(ncomp):
+                f.write(np.asfortranarray(data[c]).tobytes(order="F"))
 
     # ---- MultiFab header
     mins = [float(data[c].min()) for c in range(ncomp)]

@@ -304,18 +304,30 @@ def advance(
     )
     umac_g = grow_umac_transverse(umac, periodic)
 
-    # --- 3. velocity advection (convective form) ------------------------
+    # --- 3. velocity advection -------------------------------------------
+    # convective form by default; ns.do_mom_diff=1 advects momentum rho*U
+    # conservatively (velocity_advection, NavierStokesBase.cpp:3358-3485;
+    # mom-diff update divides by rho^{n+1} in velocity_advection_update,
+    # cpp:3523-3626)
+    mom_diff = cfg.do_mom_diff
+    if mom_diff:
+        rho_g3 = bcp.fill_scal(rho, 3, 0)
     aofs_vel = []
     for c in range(dim):
-        sg = vel_g[c]  # already 3 ghosts
+        sg = vel_g[c] if not mom_diff else rho_g3 * vel_g[c]
         fg = force_g[c]
         edges = compute_edge_states(
-            sg, umac_g, dt, dx, cfg.geom.ncell, iconserv=False,
+            sg, umac_g, dt, dx, cfg.geom.ncell, iconserv=mom_diff,
             force_g=fg, periodic=periodic, scheme=scheme,
         )
-        fl, a = compute_fluxes_and_aofs(edges, umac, dx, False, s_cc=vel[c])
+        fl, a = compute_fluxes_and_aofs(
+            edges, umac, dx, mom_diff, s_cc=vel[c] if not mom_diff else None
+        )
         if eb is not None:
-            a = eb_aofs(fl, umac, eb, dx, False, s_cc=vel[c], periodic=periodic)
+            a = eb_aofs(
+                fl, umac, eb, dx, mom_diff,
+                s_cc=vel[c] if not mom_diff else None, periodic=periodic,
+            )
         aofs_vel.append(a)
     aofs_vel = jnp.stack(aofs_vel)
 
@@ -417,12 +429,23 @@ def advance(
 
     # --- 5. velocity update + CN viscous solve ---------------------------
     tf_half = get_force(cfg, rho_half, t_half, hit)
-    vel_star = jnp.stack(
-        [
-            vel[c] - dt * aofs_vel[c] + dt * (tf_half[c] - gradp[c]) / rho_half
-            for c in range(dim)
-        ]
-    )
+    if mom_diff:
+        # (rho u)^* = rho^n u^n - dt div(rho u u_mac) + dt (F - Gp);
+        # u* = (rho u)^*/rho^{n+1}
+        vel_star = jnp.stack(
+            [
+                (rho * vel[c] - dt * aofs_vel[c] + dt * (tf_half[c] - gradp[c]))
+                / rho_new
+                for c in range(dim)
+            ]
+        )
+    else:
+        vel_star = jnp.stack(
+            [
+                vel[c] - dt * aofs_vel[c] + dt * (tf_half[c] - gradp[c]) / rho_half
+                for c in range(dim)
+            ]
+        )
     if eb is not None:
         vel_star = vel_star * eb.fluid
     if cfg.vel_visc_coef > 0.0 or cfg.do_les:

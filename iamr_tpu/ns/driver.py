@@ -77,15 +77,20 @@ def steady_norm(prev: NSState, new: NSState):
     return out
 
 
-def write_plotfile_for_state(cfg: NSConfig, state: NSState, path: str, step: int):
+def write_plotfile_for_state(
+    cfg: NSConfig, state: NSState, path: str, step: int, extra=None
+):
     """State + derived fields in AMReX plotfile format (writePlotFile
-    equivalent; amr.derive_plot_vars)."""
+    equivalent; amr.derive_plot_vars). extra: additional name->array fields
+    (e.g. the velocity time-average/RMS of NS_average)."""
     import numpy as np
 
     from iamr_tpu.io.plotfile import write_plotfile
     from iamr_tpu.ns.derive import avg_pressure, kinetic_energy, mag_vort
 
     fields = {}
+    if extra:
+        fields.update({k: np.asarray(v) for k, v in extra.items()})
     for d in range(cfg.dim):
         fields[f"{'xyz'[d]}_velocity"] = np.asarray(state.vel[d])
     fields["density"] = np.asarray(state.rho)
@@ -133,7 +138,6 @@ class IOHooks:
     def __init__(self, cfg: NSConfig, pp=None):
         self.cfg = cfg
         self.pp = pp
-        g = (lambda k, d: pp.query(k, d)) if pp is not None else (lambda k, d: d)
         amr = pp.scoped("amr") if pp is not None else None
         ns = pp.scoped("ns") if pp is not None else None
         self.plot_int = int(amr.query("plot_int", -1)) if amr else -1
@@ -141,17 +145,67 @@ class IOHooks:
         self.check_int = int(amr.query("check_int", -1)) if amr else -1
         self.check_file = str(amr.query("check_file", "chk")) if amr else "chk"
         self.sum_interval = int(ns.query("sum_interval", -1)) if ns else -1
+        # run log: one "STEP= n TIME= t DT= dt" line per step
+        # (amr.run_log / amr.run_log_terse, Docs RunningProblems.rst:300-330)
+        self.run_log = str(amr.query("run_log", "")) if amr else ""
+        self.run_log_terse = str(amr.query("run_log_terse", "")) if amr else ""
+        # on-the-fly velocity time average + RMS every ns.avg_interval steps
+        # (NS_average.cpp:20-70; Average_Type state)
+        self.avg_interval = int(ns.query("avg_interval", 0)) if ns else 0
+        self._avg = None  # (sum of 0.5(u^n+u^{n+1})dt, sum of u^2 dt, total t)
+        self._prev_vel = None
+        # plane slice dumper (NavierStokesBase.cpp:2596-2628): cell index of
+        # the x-y plane to dump each step
+        self.dump_plane = int(ns.query("dump_plane", -1)) if ns else -1
+        self.dump_plane_name = (
+            str(ns.query("dump_plane_name", "SLABS/vel-")) if ns else "SLABS/vel-"
+        )
+
+    def time_average(self):
+        """(velocity_average, velocity_RMS, averaging time) or None."""
+        if self._avg is None or self._avg[2] <= 0.0:
+            return None
+        import numpy as np
+
+        s1, s2, t = self._avg
+        avg = s1 / t
+        rms = np.sqrt(np.maximum(s2 / t - avg * avg, 0.0))
+        return avg, rms, t
 
     def __call__(self, step: int, state: NSState):
         from iamr_tpu.io.checkpoint import save_checkpoint
         from iamr_tpu.ns.derive import sum_integrated_quantities
 
+        import numpy as np
+
+        if self.avg_interval > 0:
+            v = np.asarray(state.vel)
+            dt = float(state.dt)
+            if self._avg is None:
+                self._avg = (np.zeros_like(v), np.zeros_like(v), 0.0)
+                self._prev_vel = v
+            if step % self.avg_interval == 0:
+                s1, s2, t = self._avg
+                vm = 0.5 * (self._prev_vel + v)
+                self._avg = (s1 + vm * dt, s2 + vm * vm * dt, t + dt)
+            self._prev_vel = v
         if self.plot_int > 0 and step % self.plot_int == 0:
             path = f"{self.plot_file}{step:05d}"
-            write_plotfile_for_state(self.cfg, state, path, step)
+            extra = {}
+            avg = self.time_average()
+            if avg is not None:
+                for d in range(self.cfg.dim):
+                    extra[f"{'xyz'[d]}_vel_average"] = avg[0][d]
+                    extra[f"{'xyz'[d]}_vel_rms"] = avg[1][d]
+            write_plotfile_for_state(self.cfg, state, path, step, extra=extra)
             write_job_info(self.cfg, path, self.pp)
         if self.check_int > 0 and step % self.check_int == 0:
             save_checkpoint(f"{self.check_file}{step:05d}", state, step)
+            if self._avg is not None:
+                np.savez(
+                    f"{self.check_file}{step:05d}/TimeAverage.npz",
+                    sum1=self._avg[0], sum2=self._avg[1], time=self._avg[2],
+                )
         if self.sum_interval > 0 and step % self.sum_interval == 0:
             q = sum_integrated_quantities(self.cfg, state)
             print(
@@ -159,6 +213,24 @@ class IOHooks:
                 f"TRAC= {q.get('tracer0', 0.0):.12g} "
                 f"KENG= {q['kinetic_energy']:.12g}"
             )
+        if self.run_log:
+            with open(self.run_log, "a") as f:
+                f.write(
+                    f"STEP = {step} TIME = {float(state.time):.10g} "
+                    f"DT = {float(state.dt):.10g}\n"
+                )
+        if self.run_log_terse:
+            with open(self.run_log_terse, "a") as f:
+                f.write(f"{step} {float(state.time):.10g} {float(state.dt):.10g}\n")
+        if self.dump_plane >= 0:
+            import os
+
+            os.makedirs(
+                os.path.dirname(self.dump_plane_name) or ".", exist_ok=True
+            )
+            k = min(self.dump_plane, state.vel.shape[-1] - 1)
+            sl = np.asarray(state.vel[..., k], dtype=np.float64)
+            sl.tofile(f"{self.dump_plane_name}{step:05d}.bin")
 
 
 def run(

@@ -425,8 +425,8 @@ def nodal_solve(
     rtol: float = 1e-11,
     atol: float = 1e-16,
     max_vcycles: int = 200,
-    nu1: int = 4,
-    nu2: int = 4,
+    nu1: int = 2,
+    nu2: int = 2,
     nu_bottom: int = 40,
     fixed_cycles: Optional[int] = None,
     phi_bc=None,
