@@ -220,6 +220,19 @@ def advance(
     scheme = {
         "Godunov_PLM": "plm", "Godunov_PPM": "ppm", "BDS": "bds",
     }.get(cfg.advection_scheme, "plm")
+    rz = None
+    if cfg.geom.coord_sys == 1:
+        # RZ axisymmetric (2D r-z); the reference forbids RZ + viscosity
+        # (NavierStokesBase.cpp:246-256)
+        if cfg.vel_visc_coef > 0.0 or cfg.do_les:
+            raise NotImplementedError("RZ with viscosity is not supported "
+                                      "(matches the reference restriction)")
+        if eb is not None:
+            raise NotImplementedError("RZ + EB not supported")
+        import jax.numpy as _jnp
+
+        rc, rf = cfg.geom.rz_radii()
+        rz = (_jnp.asarray(rc, cfg.jdtype), _jnp.asarray(rf, cfg.jdtype))
     if scheme == "bds":
         raise NotImplementedError(
             "ns.advection_scheme=BDS: BDS edge states not yet implemented; "
@@ -300,7 +313,7 @@ def advance(
     umac, mac_phi, _ = mac_project(
         umac, rho, cfg.dom, dx, divu_src=divu_src,
         rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
-        bc=mac_bc, bvals=mac_bvals, eb=eb,
+        bc=mac_bc, bvals=mac_bvals, eb=eb, rz=rz,
     )
     umac_g = grow_umac_transverse(umac, periodic)
 
@@ -321,7 +334,8 @@ def advance(
             force_g=fg, periodic=periodic, scheme=scheme,
         )
         fl, a = compute_fluxes_and_aofs(
-            edges, umac, dx, mom_diff, s_cc=vel[c] if not mom_diff else None
+            edges, umac, dx, mom_diff, s_cc=vel[c] if not mom_diff else None,
+            rz=rz,
         )
         if eb is not None:
             a = eb_aofs(
@@ -338,7 +352,7 @@ def advance(
         rho_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=True, periodic=periodic,
         scheme=scheme,
     )
-    flux_rho, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True)
+    flux_rho, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True, rz=rz)
     if eb is not None:
         aofs_rho = eb_aofs(flux_rho, umac, eb, dx, True, periodic=periodic)
     rho_new = rho - dt * aofs_rho
@@ -360,7 +374,7 @@ def advance(
             scheme=scheme,
         )
         flux_s, aofs_s = compute_fluxes_and_aofs(
-            edges, umac, dx, icons, s_cc=s
+            edges, umac, dx, icons, s_cc=s, rz=rz
         )
         if eb is not None:
             aofs_s = eb_aofs(flux_s, umac, eb, dx, icons, s_cc=s, periodic=periodic)
@@ -401,7 +415,7 @@ def advance(
             scheme=scheme,
         )
         flux_t, aofs_t = compute_fluxes_and_aofs(
-            edges_t, umac, dx, False, s_cc=state.temp
+            edges_t, umac, dx, False, s_cc=state.temp, rz=rz
         )
         if eb is not None:
             aofs_t = eb_aofs(
@@ -496,7 +510,7 @@ def advance(
     vel_new, p_new, gradp_new, _ = level_project(
         vel_star, rho_half, p, gradp, dt, cfg.dom, dx,
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
-        bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb,
+        bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb, rz=rz,
     )
 
     # --- next dt ----------------------------------------------------------

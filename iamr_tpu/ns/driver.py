@@ -30,6 +30,12 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None, eb=None) -> NSState:
     """Build the initial state: ICs, initial projection, dt estimate,
     and the initial pressure iterations — one jitted program."""
     state = init_state(cfg)
+    rz = None
+    if cfg.geom.coord_sys == 1:
+        import jax.numpy as _jnp
+
+        rc, rf = cfg.geom.rz_radii()
+        rz = (_jnp.asarray(rc, cfg.jdtype), _jnp.asarray(rf, cfg.jdtype))
     if eb is not None:
         # covered cells carry the body state from step 0 (set_body_state
         # semantics, NSB_K.H; InitialRedistribution is subsumed by the
@@ -43,7 +49,7 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None, eb=None) -> NSState:
             vel_proj, _ = initial_velocity_project(
                 state.vel, state.rho, cfg.dom, cfg.geom.dx,
                 rtol=cfg.proj_tol, atol=cfg.proj_abs_tol,
-                fixed_cycles=fixed_mg_cycles, eb=eb,
+                fixed_cycles=fixed_mg_cycles, eb=eb, rz=rz,
             )
             state = state._replace(vel=vel_proj)
 

@@ -527,21 +527,34 @@ def compute_fluxes_and_aofs(
     dx: Sequence[float],
     iconserv: bool,
     s_cc=None,
+    rz=None,
 ):
     """Fluxes F_d = u_mac_d * s_edge_d and the advective tendency.
 
     Conservative: aofs = div(F). Convective: aofs = div(F) - s * div(u_mac)
     (reference HydroUtils::ComputeConvectiveTerm semantics). Updates apply as
     S_new = S_old - dt * aofs.
+
+    rz: optional (r_cell, r_face) radius arrays for 2D axisymmetric
+    geometry (coord_sys=1): div = (1/r) d(r F_r)/dr + dF_z/dz (the
+    reference's RZ volume/area weighting, Projection.cpp radMult scaling).
     """
     dim = len(edges)
     fluxes = tuple(umac[d] * edges[d] for d in range(dim))
-    div = 0.0
-    for d in range(dim):
-        div = div + (sl(fluxes[d], d, 1, None) - sl(fluxes[d], d, 0, -1)) / dx[d]
+
+    def _div(fs):
+        if rz is None:
+            out = 0.0
+            for d in range(dim):
+                out = out + (sl(fs[d], d, 1, None) - sl(fs[d], d, 0, -1)) / dx[d]
+            return out
+        r_cell, r_face = rz
+        fr = r_face * fs[0]
+        out = (sl(fr, 0, 1, None) - sl(fr, 0, 0, -1)) / dx[0] / r_cell
+        out = out + (sl(fs[1], 1, 1, None) - sl(fs[1], 1, 0, -1)) / dx[1]
+        return out
+
+    div = _div(fluxes)
     if iconserv:
         return fluxes, div
-    divu = 0.0
-    for d in range(dim):
-        divu = divu + (sl(umac[d], d, 1, None) - sl(umac[d], d, 0, -1)) / dx[d]
-    return fluxes, div - s_cc * divu
+    return fluxes, div - s_cc * _div(umac)

@@ -65,6 +65,7 @@ def mac_project(
     bc: Optional[PoissonBC] = None,
     bvals=None,
     eb=None,
+    rz=None,
 ):
     """Project the MAC velocities. Returns (umac_corrected, phi, stats).
 
@@ -96,6 +97,33 @@ def mac_project(
         umac_new = []
         for d in range(dim):
             u = (umac[d] + corr[d]) * (eb.afrac[d] > 0.0)
+            if bc.lo[d] == NEUMANN:
+                u = u.at[_face_idx(u, d, 0)].set(umac[d][_face_idx(umac[d], d, 0)])
+            if bc.hi[d] == NEUMANN:
+                u = u.at[_face_idx(u, d, -1)].set(umac[d][_face_idx(umac[d], d, -1)])
+            umac_new.append(u)
+        return tuple(umac_new), phi, (res, it)
+
+    if rz is not None:
+        # RZ: multiply sigma and U by radius (Projection.cpp scaleVar
+        # radMult semantics): solve d(r b phi_r)/dr + d(r b phi_z)/dz =
+        # d(r u_r)/dr + d(r u_z)/dz, then correct u -= b grad phi
+        import jax.numpy as _jnp
+
+        r_cell, r_face = rz
+        beta_op = (r_face * beta[0], r_cell * beta[1])
+        div = mac_div((r_face * umac[0], r_cell * umac[1]), dx)
+        if divu_src is not None:
+            div = div - r_cell * divu_src
+        phi, res, it = mg.mg_solve(
+            -div, _jnp.zeros_like(rho), beta_op, 0.0, 1.0, dx, bc,
+            phi0=phi0, bvals=bvals, rtol=rtol, atol=atol,
+            fixed_cycles=fixed_cycles,
+        )
+        corr = mg.get_fluxes(phi, beta, 1.0, dx, bc, bvals=bvals)
+        umac_new = []
+        for d in range(dim):
+            u = umac[d] + corr[d]
             if bc.lo[d] == NEUMANN:
                 u = u.at[_face_idx(u, d, 0)].set(umac[d][_face_idx(umac[d], d, 0)])
             if bc.hi[d] == NEUMANN:

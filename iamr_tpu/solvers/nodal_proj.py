@@ -64,6 +64,7 @@ def level_project(
     phi_bc=None,
     divu_src=None,
     eb=None,
+    rz=None,
 ):
     """Approximate nodal projection of the provisional velocity.
 
@@ -99,13 +100,24 @@ def level_project(
         rhs = div_cell_to_node(
             tuple(eb.vfrac * v for v in vs), dx, bc, inflow_vals
         )
+    elif rz is not None:
+        # RZ: sigma and U are multiplied by the cell radius (scaleVar
+        # radMultScal, Projection.cpp:1238-1505); the correction stays
+        # unscaled (rescaleVar inverts)
+        r_cell = rz[0]
+        sigma_op = sigma * r_cell
+        rhs = div_cell_to_node(tuple(r_cell * v for v in vs), dx, bc, inflow_vals)
     else:
         sigma_op = sigma
         rhs = div_cell_to_node(vs, dx, bc, inflow_vals)
     if divu_src is not None:
         from iamr_tpu.ops.mg_nodal import avg_cell_to_node
 
-        src = divu_src if eb is None else eb.vfrac * divu_src
+        src = divu_src
+        if eb is not None:
+            src = eb.vfrac * src
+        elif rz is not None:
+            src = rz[0] * src
         rhs = rhs - avg_cell_to_node(src, bc) / dt
     phi, res, it = nodal_solve(
         rhs, sigma_op, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
@@ -135,6 +147,7 @@ def initial_velocity_project(
     atol: float = 1e-16,
     fixed_cycles: Optional[int] = None,
     eb=None,
+    rz=None,
 ):
     """Make the initial velocity divergence-free (initialVelocityProject,
     Projection.cpp:615-840): solve L(phi)=D(U), U <- U - sigma G(phi); the
@@ -155,6 +168,9 @@ def initial_velocity_project(
         rhs = div_cell_to_node(
             tuple(eb.vfrac * ud for ud in u), dx, bc, inflow_vals
         )
+    elif rz is not None:
+        sigma_op = sigma * rz[0]
+        rhs = div_cell_to_node(tuple(rz[0] * ud for ud in u), dx, bc, inflow_vals)
     else:
         sigma_op = sigma
         rhs = div_cell_to_node(u, dx, bc, inflow_vals)
