@@ -233,11 +233,10 @@ def advance(
 
         rc, rf = cfg.geom.rz_radii()
         rz = (_jnp.asarray(rc, cfg.jdtype), _jnp.asarray(rf, cfg.jdtype))
-    if scheme == "bds":
-        raise NotImplementedError(
-            "ns.advection_scheme=BDS: BDS edge states not yet implemented; "
-            "use Godunov_PLM (default) or Godunov_PPM"
-        )
+    # BDS applies to advected quantities; MAC prediction stays Godunov
+    # (reference passes the scheme only to ComputeFluxesOnBoxFromState,
+    # NavierStokesBase.cpp:4654-4656; ExtrapVelToFaces is Godunov-only)
+    mac_scheme = "plm" if scheme == "bds" else scheme
     t_half = state.time + 0.5 * dt
 
     # effective face viscosity: molecular + LES eddy viscosity at t^n
@@ -294,7 +293,7 @@ def advance(
     bh = tuple(tuple(bcvals_hi[c][d] for c in range(dim)) for d in range(dim))
     umac = extrap_vel_to_faces(
         vel_g, force_g, dt, dx, cfg.geom.ncell, recs, bl, bh,
-        use_forces_in_trans=cfg.use_forces_in_trans, scheme=scheme,
+        use_forces_in_trans=cfg.use_forces_in_trans, scheme=mac_scheme,
     )
 
     # --- 2. MAC projection ---------------------------------------------

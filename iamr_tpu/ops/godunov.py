@@ -380,6 +380,15 @@ def compute_edge_states(
     ng = 3
     n = tuple(ncell)
 
+    if scheme == "bds":
+        from iamr_tpu.ops.bds import bds_edge_states
+
+        # BDS handles its transverse (corner-coupling) terms inside the
+        # characteristic-region integrals — no hat-state pass needed
+        return bds_edge_states(
+            s_g, umac_grown, dt, dx, ncell, force_g=force_g, periodic=periodic
+        )
+
     slopes = []
     if scheme != "ppm":
         for d in range(dim):

@@ -265,3 +265,114 @@ def test_ppm_end_to_end_vortex():
     state = run(cfg, max_steps=3)
     assert bool(jnp.all(jnp.isfinite(state.vel)))
     assert float(jnp.max(jnp.abs(state.vel))) < 3.0
+
+
+# ---------------------------------------------------------------------------
+# BDS (ns.advection_scheme = BDS)
+
+
+def test_bds_constancy_and_conservation():
+    n = 32
+    dx = 1.0 / n
+    rng = np.random.default_rng(0)
+    psi = rng.standard_normal((n + 1, n + 1)) * dx
+    psi[-1, :] = psi[0, :]
+    psi[:, -1] = psi[:, 0]
+    u = (psi[:, 1:] - psi[:, :-1]) / dx
+    v = -(psi[1:, :] - psi[:-1, :]) / dx
+    umac = (jnp.asarray(u), jnp.asarray(v))
+    s0 = np.full((n, n), 3.7)
+    s = _advect_steps(s0, umac, 0.2 * dx, dx, 5, iconserv=True, scheme="bds")
+    np.testing.assert_allclose(s, 3.7, rtol=1e-12)
+    g0, _ = _gauss(n, 0.5, 0.5)
+    g = _advect_steps(g0, umac, 0.1 * dx, dx, 10, iconserv=True, scheme="bds")
+    np.testing.assert_allclose(g.sum(), g0.sum(), rtol=1e-12)
+
+
+def test_bds_monotone_and_second_order():
+    # square-wave advection stays within bounds (limiter); smooth profile
+    # converges at 2nd order
+    n = 64
+    dx = 1.0 / n
+    x = (np.arange(n) + 0.5) * dx
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    sq = ((np.abs(X - 0.5) < 0.15) & (np.abs(Y - 0.5) < 0.15)).astype(float)
+    umac = (jnp.full((n + 1, n), 1.0), jnp.full((n, n + 1), 0.5))
+    s = _advect_steps(sq, umac, 0.4 * dx, dx, 20, iconserv=True, scheme="bds")
+    # bounded to ~1%: the diagonal corner-coupling (gamma) terms are
+    # approximated by the upwind cell's clamped profile (see ops/bds.py);
+    # strict max-principle needs the full gamma machinery
+    assert s.min() > -0.01 and s.max() < 1.01, (s.min(), s.max())
+
+    errs = []
+    for nn in (32, 64):
+        dxx = 1.0 / nn
+        xx = (np.arange(nn) + 0.5) * dxx
+        XX, YY = np.meshgrid(xx, xx, indexing="ij")
+        s0 = np.sin(2 * np.pi * XX) * np.sin(2 * np.pi * YY) + 2.0
+        vel = (1.0, 0.5)
+        um = (jnp.full((nn + 1, nn), vel[0]), jnp.full((nn, nn + 1), vel[1]))
+        dt = 0.5 * dxx / max(vel)
+        T = 0.25
+        nsteps = int(round(T / dt))
+        dt = T / nsteps
+        s = _advect_steps(s0, um, dt, dxx, nsteps, iconserv=False, scheme="bds")
+        exact = (
+            np.sin(2 * np.pi * (XX - vel[0] * T))
+            * np.sin(2 * np.pi * (YY - vel[1] * T))
+            + 2.0
+        )
+        errs.append(np.sqrt(np.mean((s - exact) ** 2)))
+    order = np.log2(errs[0] / errs[1])
+    assert order > 1.6, (order, errs)
+
+
+def test_bds_3d_translation():
+    n = 16
+    dx = 1.0 / n
+    x = (np.arange(n) + 0.5) * dx
+    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+    s0 = np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y) + 2.0
+    vel = (1.0, 0.5, 0.25)
+    umac = (
+        jnp.full((n + 1, n, n), vel[0]),
+        jnp.full((n, n + 1, n), vel[1]),
+        jnp.full((n, n, n + 1), vel[2]),
+    )
+    I3 = BCRec(lo=(MathBC.int_dir,) * 3, hi=(MathBC.int_dir,) * 3)
+    s = jnp.asarray(s0)
+    dt = 0.5 * dx
+    umac_g = grow_umac_transverse(umac, (True,) * 3)
+    for _ in range(8):
+        sg = fill_ghost(s, 3, I3)
+        edges = compute_edge_states(
+            sg, umac_g, dt, (dx,) * 3, s.shape, True, periodic=(True,) * 3,
+            scheme="bds",
+        )
+        _, aofs = compute_fluxes_and_aofs(edges, umac, (dx,) * 3, True)
+        s = s - dt * aofs
+    s = np.asarray(s)
+    T = 8 * dt
+    exact = (
+        np.sin(2 * np.pi * (X - vel[0] * T)) * np.cos(2 * np.pi * (Y - vel[1] * T))
+        + 2.0
+    )
+    assert np.sqrt(np.mean((s - exact) ** 2)) < 0.1
+    np.testing.assert_allclose(s.sum(), s0.sum(), rtol=1e-12)
+
+
+def test_bds_end_to_end_from_reference_inputs():
+    # the BDS tracer-advection regtest config (2D), short run
+    from iamr_tpu.ns.driver import run_from_inputs
+
+    state = run_from_inputs(
+        "/root/reference/Exec/run2d/regtest.2d.traceradvect_bds",
+        overrides=(
+            "max_step=3", "amr.max_level=0", "ns.init_iter=1",
+            "amr.plot_int=-1", "amr.check_int=-1", "amr.n_cell=32 32",
+        ),
+    )
+    assert bool(jnp.all(jnp.isfinite(state.vel)))
+    t = state.trac[0]
+    # ~1% bound (approximated gamma corner coupling, see ops/bds.py)
+    assert float(jnp.min(t)) > -0.05 and float(jnp.max(t)) < 1.05
