@@ -165,9 +165,11 @@ def advance_two_level_subcycled(
     subcycled advance: Amr::timeStep recursion with n_cycle = ref_ratio,
     SURVEY.md section 2.3.6). Fine ghost fills use time-interpolated coarse
     data (FillPatchTwoLevels linear time interp); refluxing uses the
-    time-averaged fine interface fluxes. The mac_sync / sync-projection
-    corrections (NavierStokes.cpp:1437-1730, NavierStokesBase.cpp:1927-2044)
-    are not yet applied after the subcycles."""
+    time-averaged fine interface fluxes. After the subcycles the sync
+    machinery runs: mac_sync (MAC-register mismatch -> Ucorr -> Vsync/Ssync
+    re-advection, NavierStokes.cpp:1437-1730) and the sync projection
+    (MLsyncProject coarse-level form + SyncInterp to the fine level,
+    NavierStokesBase.cpp:1927-2044) — see iamr_tpu.amr.sync."""
     cfg_f = make_fine_config(cfg, spec)
     dim = cfg.dim
     r = spec.ratio
@@ -204,8 +206,10 @@ def advance_two_level_subcycled(
         fr = aux_k["flux_rho"]
         if flux_sum is None:
             flux_sum = [f / r for f in fr]
+            umac_sum = [u / r for u in aux_k["umac"]]
         else:
             flux_sum = [s + f / r for s, f in zip(flux_sum, fr)]
+            umac_sum = [s + u / r for s, u in zip(umac_sum, aux_k["umac"])]
     fine_new = fine_k
 
     # avgDown + reflux with time-averaged fine fluxes
@@ -228,6 +232,68 @@ def advance_two_level_subcycled(
     )
     crse_out = crse_new._replace(
         rho=rho_c, vel=vel_c, trac=trac_c, temp=temp_c, p=p_c, gradp=gradp_c
+    )
+
+    # --- sync machinery (mac_sync + sync projection; SURVEY section 3.3) ---
+    from iamr_tpu.amr.sync import (
+        interface_delta_umac,
+        interp_cell_to_fine,
+        mac_sync_velocity,
+        sync_aofs,
+        sync_aofs_vel,
+        sync_project,
+    )
+    from iamr_tpu.ns.bcprovider import _prolong_node_patch
+
+    deltas = interface_delta_umac(crse_aux["umac"], tuple(umac_sum), spec)
+    ucorr, _ = mac_sync_velocity(
+        cfg, crse_out.rho, deltas, spec, fixed_cycles=fixed_mg_cycles
+    )
+    cov = crse_region(spec)
+
+    def uncovered(a):
+        return a.at[cov].set(0.0)
+
+    # Ssync: re-advect scalars with Ucorr (explicit, convective for tracers,
+    # conservative for rho). The conservative rho correction stays in flux
+    # form over the WHOLE level (total mass change telescopes to the domain
+    # boundary flux = 0) and the covered part is handed to the fine level by
+    # interpolation — the Pember DeltaSsync consistency
+    # (NavierStokes.cpp:1495-1527). Convective tracers are zeroed under the
+    # fine patch like the reference's Ssync.
+    ssync_rho = -dt_c * sync_aofs(cfg, crse_out.rho, ucorr, 0, True)
+    rho_sync = crse_out.rho + ssync_rho
+    trac_sync = []
+    for t in range(cfg.ntrac):
+        ds = uncovered(
+            -dt_c
+            * sync_aofs(cfg, crse_out.trac[t], ucorr, 1 + t, cfg.do_cons_trac)
+        )
+        trac_sync.append(crse_out.trac[t] + ds)
+    trac_sync = jnp.stack(trac_sync)
+
+    # Vsync: velocity correction, then the sync projection; corrections are
+    # added to the coarse level and interpolated onto the fine level
+    vsync = jnp.stack(
+        [
+            uncovered(-dt_c * a)
+            for a in sync_aofs_vel(cfg, crse_out.vel, ucorr)
+        ]
+    )
+    vsync_p, phi_sync = sync_project(
+        cfg, vsync, crse_out.rho, dt_c, spec, fixed_cycles=fixed_mg_cycles
+    )
+    vel_sync = crse_out.vel + vsync_p
+    p_sync = crse_out.p + phi_sync
+
+    fine_new = fine_new._replace(
+        vel=fine_new.vel
+        + jnp.stack([interp_cell_to_fine(vsync_p[c], spec) for c in range(dim)]),
+        rho=fine_new.rho + interp_cell_to_fine(ssync_rho, spec),
+        p=fine_new.p + _prolong_node_patch(phi_sync, spec),
+    )
+    crse_out = crse_out._replace(
+        rho=rho_sync, trac=trac_sync, vel=vel_sync, p=p_sync
     )
 
     # next coarse dt: min(est_c, r * est_f) (computeNewDt n_factor logic)
