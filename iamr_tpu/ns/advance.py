@@ -220,6 +220,13 @@ def advance(
     scheme = {
         "Godunov_PLM": "plm", "Godunov_PPM": "ppm", "BDS": "bds",
     }.get(cfg.advection_scheme, "plm")
+    # diffusion systems are strongly diagonally dominant (alpha = rho/dt
+    # >> theta*dt*beta/dx^2 at CFL-limited dt), so in fixed-cycle benchmark
+    # mode they get a quarter of the projection V-cycle budget (tolerance
+    # mode is unaffected: the while_loop stops itself)
+    diff_cycles = (
+        None if fixed_mg_cycles is None else max(1, fixed_mg_cycles // 4)
+    )
     rz = None
     if cfg.geom.coord_sys == 1:
         # RZ axisymmetric (2D r-z); the reference forbids RZ + viscosity
@@ -278,6 +285,11 @@ def advance(
             visc = jnp.stack(
                 [eb.fluid * (visc[c] / vfs - drag_v * vel[c]) for c in range(dim)]
             )
+        if cfg.do_les and eb is None:
+            # variable-viscosity tensor cross terms (MLTensorOp semantics)
+            from iamr_tpu.ns.les import tensor_cross_terms
+
+            visc = visc + tensor_cross_terms(cfg, bcp, vel, mf0)
     else:
         visc = jnp.zeros_like(vel)
     tf = get_force(cfg, rho, t_half, hit)
@@ -387,7 +399,7 @@ def advance(
                 s_star, _ = diff.diffuse_scalar(
                     s_star, s, rho_new, rho, bcoef, dt, dx,
                     bcp._scal_rec, theta=cfg.be_cn_theta,
-                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=sbc, poisson_bvals=sbv,
                 )
             else:
@@ -397,7 +409,7 @@ def advance(
                     eb.fluid * s_star, eb.fluid * s, a_rhs,
                     eb.vfrac * rho + eb.covered, ebmul(bcoef), dt, dx,
                     bcp._scal_rec, theta=cfg.be_cn_theta,
-                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=sbc, poisson_bvals=sbv,
                 )
         if eb is not None:
@@ -434,7 +446,7 @@ def advance(
             temp_new, _ = diff.diffuse_scalar(
                 temp_new, state.temp, a_new, a_old, lamf, dt, dx,
                 bcp._temp_rec, theta=cfg.be_cn_theta,
-                rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                 poisson_bc=tbc, poisson_bvals=tbv,
             )
         if eb is not None:
@@ -465,6 +477,12 @@ def advance(
         mf = _mu()
         alpha = rho_half / dt
         theta = cfg.be_cn_theta
+        if cfg.do_les and eb is None:
+            from iamr_tpu.ns.les import tensor_cross_terms
+
+            vel_star = vel_star + dt * tensor_cross_terms(
+                cfg, bcp, vel, mf
+            ) / rho_half
         if eb is not None:
             # volume-weighted MLEB operator + implicit no-slip wall drag
             # (theta-weighted like the interior CN terms)
@@ -479,7 +497,7 @@ def advance(
                     vel_star[c], vel[c], alpha, alpha, mf,
                     1.0,  # dt folded into alpha: (alpha - theta*L), alpha=rho/dt
                     dx, recs[c], theta=theta,
-                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=vbc, poisson_bvals=vbv,
                 )
             else:
@@ -489,7 +507,7 @@ def advance(
                 u_new, _ = diff.diffuse_scalar(
                     vs, eb.fluid * vel[c], a_rhs, a_rhs, mf,
                     1.0, dx, recs[c], theta=theta,
-                    rtol=cfg.visc_tol, fixed_cycles=fixed_mg_cycles,
+                    rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=vbc, poisson_bvals=vbv, alpha_op=a_op,
                 )
                 u_new = u_new * eb.fluid
@@ -506,6 +524,17 @@ def advance(
         )
         divu_new = lapT_new / (rho_new * temp_new)
     nodal_bc_, nodal_phi_bc = bcp.nodal()
+    if nodal_phi_bc is None and abs(cfg.gravity) > 1e-4:
+        from iamr_tpu.core.bc import PhysBC
+        from iamr_tpu.solvers.nodal_proj import hydrostatic_phi_bc
+
+        if any(
+            p == PhysBC.Outflow
+            for p in list(cfg.dom.phys_lo) + list(cfg.dom.phys_hi)
+        ):
+            nodal_phi_bc = hydrostatic_phi_bc(
+                cfg.geom, cfg.dom, rho_half, cfg.gravity
+            )
     vel_new, p_new, gradp_new, _ = level_project(
         vel_star, rho_half, p, gradp, dt, cfg.dom, dx,
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,

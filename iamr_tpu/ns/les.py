@@ -88,3 +88,32 @@ def eddy_viscosity_faces(cfg, bcp, vel):
         hi = sl(mut, d, -1, None)
         out.append(jnp.concatenate([lo, inner, hi], axis=d))
     return tuple(out)
+
+
+def tensor_cross_terms(cfg, bcp, vel, mu_f):
+    """Explicit tensor-viscosity cross terms: T_i = sum_j d_j(mu d_i u_j).
+
+    Together with the componentwise implicit div(mu grad u_i) this is the
+    full incompressible stress divergence d_j(mu (d_j u_i + d_i u_j)) of
+    the reference's MLTensorOp (Diffusion.cpp:650-958); the cross part is
+    treated explicitly (it vanishes identically for constant mu and
+    div-free U, so it only matters for LES / variable viscosity).
+
+    mu_f: face viscosities per dim. Returns (dim, *n) cell array.
+    """
+    from iamr_tpu.ops.stencil import cell_to_face, diff
+
+    dim = cfg.dim
+    dx = cfg.geom.dx
+    G = _cc_gradients(cfg, bcp, vel)  # G[c][d] = d u_c / d x_d at cells
+    out = []
+    for i in range(dim):
+        acc = None
+        for j in range(dim):
+            # mu * (d_i u_j) on j-faces, then d/dx_j back to cells
+            g_face = cell_to_face(G[j][i], j, bc_wrap=cfg.geom.periodic[j])
+            flux = mu_f[j] * g_face
+            t = diff(flux, j) / dx[j]
+            acc = t if acc is None else acc + t
+        out.append(acc)
+    return jnp.stack(out)

@@ -43,6 +43,15 @@ def init_state(cfg: NSConfig) -> NSState:
         # tracer blob
         r2 = sum((X[d] - P(f"blob_{'xyz'[d]}", 0.0)) ** 2 for d in range(dim))
         trac[0] = np.where(np.sqrt(r2) < P("blob_radius", 0.1), 1.0, 0.0)
+    elif pt == 3:
+        # density-jump blob in a background flow (init_jump,
+        # prob_init.cpp:283-340): sharp blob of density_ic at blob_center
+        for d in range(dim):
+            vel[d] = P(f"velocity_{'xyz'[d]}", 0.0)
+        r2 = sum((X[d] - P(f"blob_{'xyz'[d]}", 0.0)) ** 2 for d in range(dim))
+        inside = np.sqrt(r2) < P("blob_radius", 0.1)
+        rho[...] = np.where(inside, P("density_ic", 2.0), 1.0)
+        trac[0] = np.where(inside, 1.0, 0.0)
     elif pt in (2, 6):
         # falling/rising blob (reference init_bubble, prob_init.cpp:165-231);
         # velocity_ic background flow, density_ic the density factor

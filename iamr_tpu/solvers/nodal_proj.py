@@ -184,3 +184,94 @@ def initial_velocity_project(
     if eb is not None:
         vel_new = vel_new * eb.fluid
     return vel_new, (res, it)
+
+
+def hydrostatic_phi_bc(geom, dom: DomainBC, rho, gravity: float):
+    """Outflow Dirichlet phi strip with hydrostatic weighting
+    (Projection::set_outflow_bcs + computeRhoG, Projection.cpp:1721-2060).
+
+    Mechanism (reference semantics): phi = 0 on a TOP outflow face (IAMR's
+    gravity definition makes the hydrostatic pressure vanish there); a
+    LATERAL outflow face gets phi integrated downward from the top,
+    phi_k = sum_{rows above} -gravity * rhoExt * dh with
+    rhoExt = 0.5*(3 rho1 - rho2) extrapolated to the face
+    (computeRhoG add_rhog); BOTTOM outflow + gravity aborts like the
+    reference (Projection.cpp:1944-1958).
+
+    Returns a node array (phi Dirichlet values; zero off outflow faces) or
+    None when no outflow face needs values.
+    """
+    import numpy as np
+
+    dim = rho.ndim
+    g = float(gravity)
+    if abs(g) < 1e-4:
+        return None
+    zdim = dim - 1
+    n = rho.shape
+    out = None
+    for d in range(dim):
+        for side in (0, 1):
+            p = dom.phys_lo[d] if side == 0 else dom.phys_hi[d]
+            if p != PhysBC.Outflow:
+                continue
+            if d == zdim:
+                if side == 1:
+                    continue  # top outflow: phi = 0, already the default
+                raise NotImplementedError(
+                    "outflow at the bottom with gravity != 0 (the reference "
+                    "aborts here too, Projection.cpp:1944-1958)"
+                )
+            if out is None:
+                out = jnp.zeros(tuple(s + 1 for s in n), dtype=rho.dtype)
+            # density extrapolated to the outflow face, per cell row
+            bidx = [slice(None)] * dim
+            bidx[d] = slice(0, 1) if side == 0 else slice(-1, None)
+            nidx = [slice(None)] * dim
+            nidx[d] = slice(1, 2) if side == 0 else slice(-2, -1)
+            rho1 = rho[tuple(bidx)]
+            rho2 = rho[tuple(nidx)]
+            rho_ext = 0.5 * (3.0 * rho1 - rho2)  # (1 in d, *n others)
+            rho_ext = jnp.squeeze(rho_ext, axis=d)
+            # cumulative -g*rho*dh from the top (cells -> nodes along zdim');
+            # after squeezing d, the vertical axis index shifts
+            zax = zdim - (1 if d < zdim else 0)
+            dh = geom.dx[zdim]
+            # node k (from bottom): phi = sum over cell rows j >= k of the
+            # running rhog recurrence; build by reversed cumsum of the
+            # reversed running-sum -- equivalent closed form:
+            # rhog_j (row j from top, 1-based) = -g*dh*sum_{top rows >= j}
+            # phi at node below row j = sum of rhog over rows above
+            w = -g * dh * rho_ext
+            # phi per row = running rhog from the top (computeRhoG: each
+            # row's phi is the accumulated -g*rhoExt*dh of the rows above)
+            rhog = jnp.cumsum(jnp.flip(w, axis=zax), axis=zax)
+            phi_rows = jnp.flip(rhog, axis=zax)
+            # node values along z: node at top = 0, node below row j carries
+            # phi_rows[j]; nodes transverse: average adjacent rows
+            zeros = jnp.take(phi_rows * 0.0, jnp.asarray([0]), axis=zax)
+            phi_nodes_z = jnp.concatenate([phi_rows, zeros], axis=zax)
+            # other transverse dims of the strip: cell -> node averaging
+            for e in range(dim):
+                if e == d:
+                    continue
+                ax = e - (1 if d < e else 0)
+                if ax == zax:
+                    continue
+                lo_p = jnp.take(phi_nodes_z, jnp.asarray([0]), axis=ax)
+                hi_p = jnp.take(phi_nodes_z, jnp.asarray([-1]), axis=ax)
+                inner = 0.5 * (
+                    jnp.take(
+                        phi_nodes_z,
+                        jnp.arange(phi_nodes_z.shape[ax] - 1), axis=ax,
+                    )
+                    + jnp.take(
+                        phi_nodes_z,
+                        jnp.arange(1, phi_nodes_z.shape[ax]), axis=ax,
+                    )
+                )
+                phi_nodes_z = jnp.concatenate([lo_p, inner, hi_p], axis=ax)
+            sidx = [slice(None)] * dim
+            sidx[d] = slice(0, 1) if side == 0 else slice(-1, None)
+            out = out.at[tuple(sidx)].set(jnp.expand_dims(phi_nodes_z, axis=d))
+    return out

@@ -92,3 +92,38 @@ def test_eddy_viscosity_faces_shapes():
     mut = eddy_viscosity_faces(cfg, bcp, state.vel)
     assert mut[0].shape == (17, 16) and mut[1].shape == (16, 17)
     assert bool(jnp.all(mut[0] >= 0))
+
+
+def test_tensor_cross_terms_vanish_for_constant_mu_divfree():
+    # T_i = sum_j d_j(mu d_i u_j) = mu d_i(div u) for constant mu ->
+    # O(h^2)-small for an analytic solenoidal field
+    import numpy as np
+    import jax.numpy as jnp
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.ns.state import config_from_inputs
+    from iamr_tpu.ns.bcprovider import PhysBCProvider
+    from iamr_tpu.ns.les import tensor_cross_terms
+    from iamr_tpu.ns.advance import mu_faces
+
+    errs = []
+    for n in (32, 64):
+        pp = ParmParse.from_string(
+            f"""
+            ns.cfl = 0.5
+            ns.vel_visc_coef = 0.01
+            amr.n_cell = {n} {n}
+            geometry.is_periodic = 1 1
+            prob.probtype = 1
+            """
+        )
+        cfg = config_from_inputs(pp)
+        bcp = PhysBCProvider(cfg)
+        x = (np.arange(n) + 0.5) / n
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        u = np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
+        v = -np.cos(2 * np.pi * X) * np.sin(2 * np.pi * Y)
+        vel = jnp.stack([jnp.asarray(u), jnp.asarray(v)])
+        T = tensor_cross_terms(cfg, bcp, vel, mu_faces(cfg))
+        errs.append(float(jnp.max(jnp.abs(T))))
+    # exact discrete cancellation (up to roundoff) for constant mu
+    assert max(errs) < 1e-10, errs
