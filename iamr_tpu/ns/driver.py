@@ -376,6 +376,12 @@ def run_multilevel(
 def run_from_inputs(path: str, overrides=(), **kw):
     pp = ParmParse.from_file(path, overrides)
     cfg = config_from_inputs(pp)
+    # exit-on-NaN debugging (the reference's NaN scans after every update,
+    # NavierStokes.cpp:847-854; here jax traps at the producing op)
+    if int(pp.scoped("ns").query("debug_nans", 0)):
+        from iamr_tpu.utils.profiling import enable_debug_nans
+
+        enable_debug_nans()
     # restart (amr.restart = chkNNNNN; section 3.5 restart path)
     restart = pp.scoped("amr").query("restart")
     state0 = None

@@ -102,3 +102,81 @@ def test_derive_and_diagnostics():
     np.testing.assert_allclose(q["mass"], 1.0, rtol=1e-12)
     mx = max_values(state)
     assert 0.9 < mx["max|ux|"] <= 1.0
+
+
+def test_refine_checkpoint_and_backward_compat(tmp_path):
+    """ConvertCheckpoint equivalent + ns.gradp_in_checkpoint back-compat
+    (load a checkpoint missing gradp/temp -> Gp recomputed from p)."""
+    import json
+    import numpy as np
+    import jax.numpy as jnp
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.io.checkpoint import (
+        load_checkpoint,
+        refine_checkpoint,
+        save_checkpoint,
+    )
+    from iamr_tpu.ns.probs import init_state
+    from iamr_tpu.ns.state import config_from_inputs
+
+    pp = ParmParse.from_string(
+        """
+        ns.cfl = 0.5
+        amr.n_cell = 16 16
+        geometry.is_periodic = 1 1
+        prob.probtype = 8
+        prob.velocity_ic = 1.0 0.0
+        """
+    )
+    cfg = config_from_inputs(pp)
+    state = init_state(cfg)._replace(dt=jnp.asarray(0.01, jnp.float64))
+    p1 = str(tmp_path / "chk0")
+    save_checkpoint(p1, state, 5)
+
+    # refine onto 32^2
+    p2 = str(tmp_path / "chk0_fine")
+    refine_checkpoint(p1, p2, ratio=2)
+    ppf = ParmParse.from_string(
+        """
+        ns.cfl = 0.5
+        amr.n_cell = 32 32
+        geometry.is_periodic = 1 1
+        prob.probtype = 8
+        """
+    )
+    cfgf = config_from_inputs(ppf)
+    fine, step = load_checkpoint(p2, cfgf)
+    assert step == 5 and fine.rho.shape == (32, 32)
+    # pc prolongation preserves means
+    np.testing.assert_allclose(
+        float(jnp.mean(fine.rho)), float(jnp.mean(state.rho)), rtol=1e-13
+    )
+
+    # backward compat: drop gradp + temp from the file
+    z = dict(np.load(str(tmp_path / "chk0/state.npz")))
+    z.pop("gradp"); z.pop("temp")
+    np.savez(str(tmp_path / "chk0/state.npz"), **z)
+    back, _ = load_checkpoint(p1, cfg)
+    assert back.gradp.shape == state.gradp.shape
+    assert bool(jnp.all(back.temp == 1.0))
+
+
+def test_convergence_harness():
+    from iamr_tpu.utils.convergence import convergence_order, richardson_order
+    import numpy as np
+
+    # manufactured: error = C h^2
+    out = convergence_order(
+        run_at=lambda n: n,
+        error_of=lambda sol, n: 3.0 / n**2,
+        resolutions=[16, 32, 64],
+    )
+    assert abs(out["order"] - 2.0) < 1e-12
+
+    x = np.linspace(0, 1, 65)[:-1]
+    f = lambda n: np.sin(2 * np.pi * (np.arange(n) + 0.5) / n)
+    # first-order-perturbed fields
+    sols = [f(n) + (1.0 / n) * np.cos(2 * np.pi * (np.arange(n) + 0.5) / n)
+            for n in (16, 32, 64)]
+    p = richardson_order(*sols)
+    assert 0.5 < p < 2.5
