@@ -42,6 +42,14 @@ BC_NAMES: Dict[str, PhysBC] = {
     "slipwall": PhysBC.SlipWall,
     "no_slip_wall": PhysBC.NoSlipWall,
     "noslipwall": PhysBC.NoSlipWall,
+    # reference abbreviations (NavierStokes::Initialize_bcs string intake)
+    "mi": PhysBC.Inflow,
+    "pressure_inflow": PhysBC.Inflow,
+    "pi": PhysBC.Inflow,
+    "po": PhysBC.Outflow,
+    "sym": PhysBC.Symmetry,
+    "sw": PhysBC.SlipWall,
+    "nsw": PhysBC.NoSlipWall,
 }
 
 

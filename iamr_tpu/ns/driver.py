@@ -247,10 +247,20 @@ def run(
     verbose: bool = False,
     fixed_mg_cycles=None,
     eb=None,
+    particles=None,
+    particle_hooks=None,
 ) -> NSState:
-    """Advance until max_step / stop_time / steady state."""
+    """Advance until max_step / stop_time / steady state.
+
+    particles: optional Particles pytree — advected with each step's MAC
+    velocities (AdvectWithUmac in advance, NavierStokes.cpp:672-677) and
+    passed to particle_hooks(step, state, parts) after each step."""
     if state is None:
         state = initialize(cfg, fixed_mg_cycles, eb=eb)
+    if particles is not None:
+        from iamr_tpu.ns.advance import make_step_with_particles
+
+        pstep_fn = make_step_with_particles(cfg, fixed_mg_cycles)
     step_fn = make_step(cfg, fixed_mg_cycles, eb=eb)
 
     nmax = max_steps if max_steps is not None else (
@@ -265,8 +275,13 @@ def run(
             dt = jnp.minimum(state.dt, cfg.stop_time - state.time)
             state = state._replace(dt=dt)
         prev = state
-        state = step_fn(state)
+        if particles is not None:
+            state, particles = pstep_fn(state, particles)
+        else:
+            state = step_fn(state)
         step += 1
+        if particles is not None and particle_hooks is not None:
+            particle_hooks(step, state, particles)
         if verbose:
             print(
                 f"STEP {step} time {float(state.time):.6g} dt {float(state.dt):.6g} "
@@ -401,6 +416,34 @@ def run_from_inputs(path: str, overrides=(), **kw):
     eb = eb_from_inputs(pp, cfg.geom, dtype=cfg.dtype)
     if eb is not None:
         kw["eb"] = eb
+    # tracer particles (particles.* namespace, NavierStokesBase.cpp:3754-3954)
+    ppart = pp.scoped("particles")
+    init_file = ppart.query("particle_init_file")
+    if init_file and bool(int(ppart.query("do_nspc", 1))):
+        import os
+
+        from iamr_tpu.ns.particles import (
+            from_positions,
+            read_ascii_init_file,
+            timestamp,
+        )
+
+        base = os.path.dirname(os.path.abspath(path))
+        fpath = init_file if os.path.isabs(str(init_file)) else os.path.join(
+            base, str(init_file)
+        )
+        pos = read_ascii_init_file(fpath, cfg.dim)
+        kw["particles"] = from_positions(jnp.asarray(pos, cfg.jdtype))
+        ts = ppart.query("timestamp_dir")
+        if ts:
+            os.makedirs(str(ts), exist_ok=True)
+
+            def _phooks(step, state, parts):
+                timestamp(
+                    parts, os.path.join(str(ts), "Timestamp"), float(state.time)
+                )
+
+            kw["particle_hooks"] = _phooks
     if cfg.max_level >= 1:
         from iamr_tpu.amr.tagging import parse_refinement_indicators
 

@@ -42,7 +42,16 @@ def _pad_rows(x, rows: int):
 
 
 def pallas_ok(shape, dtype, force: bool = False) -> bool:
-    """Gate: TPU backend, f32, big enough for the kernel to pay off."""
+    """Gate: TPU backend, f32, big enough for the kernel to pay off.
+
+    Default OFF unless IAMR_ENABLE_PALLAS=1: on the current single-chip
+    dev setup each kernel carries a ~0.4 ms fixed cost and Pallas calls
+    cannot fuse with neighboring XLA ops, so the measured step is ~8%
+    faster on the pure-XLA smoothers (41.9 vs 38.8 Mcells/s at HIT 128^3).
+    The kernels stay validated (tests run them in interpret + on-chip
+    modes) for hardware where kernel launch is cheap and HBM bandwidth is
+    the binding constraint.
+    """
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if int(np.prod(shape)) < 16384 or shape[0] < 8:
@@ -53,6 +62,10 @@ def pallas_ok(shape, dtype, force: bool = False) -> bool:
         return False
     if force:
         return True
+    import os
+
+    if os.environ.get("IAMR_ENABLE_PALLAS", "0") != "1":
+        return False
     try:
         return jax.default_backend() not in ("cpu",)
     except Exception:

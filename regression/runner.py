@@ -1,0 +1,131 @@
+"""Golden-plotfile regression harness.
+
+TPU-native equivalent of the reference's Test/IAMR-tests.ini +
+regression_testing workflow (SURVEY.md section 4): each named test runs a
+REFERENCE inputs file (verbatim, with short-run overrides), writes the final
+state, and tolerance-compares every field against a stored benchmark.
+
+Usage:
+    python regression/runner.py --make-benchmarks   # (re)generate goldens
+    python regression/runner.py                     # run + compare
+    python regression/runner.py --only euler,poiseuille_2d
+
+Benchmarks are stored as npz files under regression/benchmarks/ (generate
+them on the machine/dtype you test on, like the reference's
+regtest.py --make_benchmarks; they are not committed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+# goldens are f64 CPU runs (like the reference's CPU regression suite);
+# the axon sitecustomize overrides JAX_PLATFORMS, so set via jax.config
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+REF = "/root/reference"
+
+# (name, inputs file, overrides, tolerance)
+TESTS = [
+    ("lid_driven_cavity_2d",
+     f"{REF}/Tutorials/LidDrivenCavity/inputs.2d.lid_driven_cavity",
+     ("max_step=3",), 1e-10),
+    ("poiseuille_2d", f"{REF}/Exec/run2d/regtest.2d.poiseuille",
+     ("max_step=3", "amr.max_level=0"), 1e-10),
+    ("hotspot_2d", f"{REF}/Exec/run2d/regtest.2d.hotspot",
+     ("max_step=3", "amr.max_level=0"), 1e-10),
+    ("hotspot_rz", f"{REF}/Exec/run2d/regtest.2d.hotspot_rz",
+     ("max_step=3", "amr.max_level=0", "amr.n_cell=32 64"), 1e-10),
+    ("traceradvect_bds_2d", f"{REF}/Exec/run2d/regtest.2d.traceradvect_bds",
+     ("max_step=3", "amr.max_level=0"), 1e-10),
+    ("euler_3d", f"{REF}/Exec/run3d/regtest.3d.euler",
+     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-10),
+    ("taylorgreen_3d", f"{REF}/Exec/run3d/regtest.3d.taylorgreen",
+     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-10),
+    ("flow_past_cylinder_2d",
+     f"{REF}/Tutorials/FlowPastCylinder/inputs.2d.flow_past_cylinder-x",
+     ("max_step=2", "stop_time=-1", "amr.max_level=0", "amr.n_cell=64 64",
+      "ns.init_iter=1"), 1e-10),
+    ("double_shear_layer_2d",
+     f"{REF}/Tutorials/DoubleShearLayer/inputs.2d.double_shear_layer-rotate",
+     ("max_step=2", "amr.max_level=0", "eb2.geom_type=all_regular"), 1e-10),
+]
+
+BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")
+
+
+def state_fields(state):
+    out = {"vel": np.asarray(state.vel), "rho": np.asarray(state.rho),
+           "trac": np.asarray(state.trac), "p": np.asarray(state.p)}
+    return out
+
+
+def run_test(name, inputs, overrides):
+    from iamr_tpu.ns.driver import run_from_inputs
+
+    print(f"[{name}] running {os.path.relpath(inputs, REF)} {overrides}")
+    state = run_from_inputs(
+        inputs,
+        overrides=tuple(overrides)
+        + ("amr.plot_int=-1", "amr.check_int=-1"),
+    )
+    return state_fields(state)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--make-benchmarks", action="store_true")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+    only = set(x for x in args.only.split(",") if x)
+
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    failures = []
+    for name, inputs, overrides, tol in TESTS:
+        if only and name not in only:
+            continue
+        bench_path = os.path.join(BENCH_DIR, f"{name}.npz")
+        try:
+            fields = run_test(name, inputs, overrides)
+        except Exception as e:  # noqa: BLE001 - harness reports all failures
+            print(f"[{name}] FAILED to run: {e}")
+            failures.append(name)
+            continue
+        if args.make_benchmarks:
+            np.savez(bench_path, **fields)
+            print(f"[{name}] benchmark written")
+            continue
+        if not os.path.exists(bench_path):
+            print(f"[{name}] SKIP (no benchmark; run --make-benchmarks)")
+            continue
+        gold = np.load(bench_path)
+        ok = True
+        for k, v in fields.items():
+            g = gold[k]
+            scale = max(1.0, float(np.max(np.abs(g))))
+            err = float(np.max(np.abs(v - g))) / scale
+            if err > tol:
+                print(f"[{name}] FAIL field {k}: rel err {err:.3e} > {tol}")
+                ok = False
+        print(f"[{name}] {'PASS' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(name)
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all regression tests passed")
+
+
+if __name__ == "__main__":
+    main()

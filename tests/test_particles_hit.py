@@ -126,3 +126,28 @@ def test_hit_ic_properties():
         uh[0] * k[:, None, None] + uh[1] * k[None, :, None] + uh[2] * k[None, None, :]
     )
     assert np.abs(div).max() / np.abs(uh[0]).max() < 1e-10
+
+
+def test_particle_regtest_from_reference_inputs(tmp_path):
+    """The Part-2d regression config (Exec/run_2d_particles/regtest.inputs):
+    30 seeded particles from the ascii particle_file advect with the flow
+    and write Timestamp output."""
+    import os
+
+    import jax.numpy as jnp
+
+    from iamr_tpu.ns.driver import run_from_inputs
+
+    os.chdir(tmp_path)  # timestamp_dir is relative
+    state = run_from_inputs(
+        "/root/reference/Exec/run_2d_particles/regtest.inputs",
+        overrides=(
+            "max_step=3", "amr.max_level=0", "ns.init_iter=1",
+            "amr.plot_int=-1", "amr.check_int=-1",
+        ),
+    )
+    assert bool(jnp.all(jnp.isfinite(state.vel)))
+    ts = tmp_path / "particle_dir" / "Timestamp"
+    assert ts.exists()
+    lines = ts.read_text().strip().splitlines()
+    assert len(lines) == 3 * 30  # 3 steps x 30 particles
