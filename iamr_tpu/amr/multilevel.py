@@ -154,65 +154,24 @@ def advance_two_level(
     return MLState(crse=crse_out, fine=fine_out)
 
 
-def advance_two_level_subcycled(
-    ml: MLState,
-    cfg: NSConfig,
-    spec: LevelSpec,
-    fixed_mg_cycles: Optional[int] = None,
-    hit=None,
+def _interp_states(crse_old, crse_new, theta):
+    return {
+        "vel": (1 - theta) * crse_old.vel + theta * crse_new.vel,
+        "rho": (1 - theta) * crse_old.rho + theta * crse_new.rho,
+        "trac": (1 - theta) * crse_old.trac + theta * crse_new.trac,
+        "temp": (1 - theta) * crse_old.temp + theta * crse_new.temp,
+    }
+
+
+def _couple_levels(
+    cfg, cfg_f, spec, crse_new, crse_aux, fine_new, flux_sum, umac_sum,
+    dt_c, fixed_mg_cycles,
 ):
-    """One coarse step with r fine subcycles (the reference's default
-    subcycled advance: Amr::timeStep recursion with n_cycle = ref_ratio,
-    SURVEY.md section 2.3.6). Fine ghost fills use time-interpolated coarse
-    data (FillPatchTwoLevels linear time interp); refluxing uses the
-    time-averaged fine interface fluxes. After the subcycles the sync
-    machinery runs: mac_sync (MAC-register mismatch -> Ucorr -> Vsync/Ssync
-    re-advection, NavierStokes.cpp:1437-1730) and the sync projection
-    (MLsyncProject coarse-level form + SyncInterp to the fine level,
-    NavierStokesBase.cpp:1927-2044) — see iamr_tpu.amr.sync."""
-    cfg_f = make_fine_config(cfg, spec)
+    """Parent/child post-subcycle coupling: avgDown + advective reflux +
+    the sync machinery (mac_sync + sync projection; SURVEY section 3.3).
+    Returns (crse_out, fine_out)."""
     dim = cfg.dim
-    r = spec.ratio
-    dt_c = ml.crse.dt
-    crse = ml.crse
-    fine = ml.fine
 
-    crse_new, crse_aux = advance(
-        crse, cfg, fixed_mg_cycles, hit=hit, return_aux=True
-    )
-
-    def interp_state(theta):
-        return {
-            "vel": (1 - theta) * crse.vel + theta * crse_new.vel,
-            "rho": (1 - theta) * crse.rho + theta * crse_new.rho,
-            "trac": (1 - theta) * crse.trac + theta * crse_new.trac,
-            "temp": (1 - theta) * crse.temp + theta * crse_new.temp,
-        }
-
-    dt_f = dt_c / r
-    fine_k = fine._replace(dt=dt_f)
-    flux_sum = None
-    for k in range(r):
-        th0 = k / r
-        th1 = (k + 1) / r
-        bcp = CoarseFineBCProvider(
-            cfg_f, spec, cfg.geom, interp_state(th0), interp_state(th1),
-            crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
-        )
-        fine_k, aux_k = advance(
-            fine_k._replace(dt=dt_f), cfg_f, fixed_mg_cycles, hit=hit,
-            bcp=bcp, return_aux=True,
-        )
-        fr = aux_k["flux_rho"]
-        if flux_sum is None:
-            flux_sum = [f / r for f in fr]
-            umac_sum = [u / r for u in aux_k["umac"]]
-        else:
-            flux_sum = [s + f / r for s, f in zip(flux_sum, fr)]
-            umac_sum = [s + u / r for s, u in zip(umac_sum, aux_k["umac"])]
-    fine_new = fine_k
-
-    # avgDown + reflux with time-averaged fine fluxes
     rho_c = avg_down(crse_new.rho, fine_new.rho, spec)
     vel_c = jnp.stack(
         [avg_down(crse_new.vel[c], fine_new.vel[c], spec) for c in range(dim)]
@@ -234,7 +193,6 @@ def advance_two_level_subcycled(
         rho=rho_c, vel=vel_c, trac=trac_c, temp=temp_c, p=p_c, gradp=gradp_c
     )
 
-    # --- sync machinery (mac_sync + sync projection; SURVEY section 3.3) ---
     from iamr_tpu.amr.sync import (
         interface_delta_umac,
         interp_cell_to_fine,
@@ -275,10 +233,7 @@ def advance_two_level_subcycled(
     # Vsync: velocity correction, then the sync projection; corrections are
     # added to the coarse level and interpolated onto the fine level
     vsync = jnp.stack(
-        [
-            uncovered(-dt_c * a)
-            for a in sync_aofs_vel(cfg, crse_out.vel, ucorr)
-        ]
+        [uncovered(-dt_c * a) for a in sync_aofs_vel(cfg, crse_out.vel, ucorr)]
     )
     vsync_p, phi_sync = sync_project(
         cfg, vsync, crse_out.rho, dt_c, spec, fixed_cycles=fixed_mg_cycles
@@ -286,7 +241,7 @@ def advance_two_level_subcycled(
     vel_sync = crse_out.vel + vsync_p
     p_sync = crse_out.p + phi_sync
 
-    fine_new = fine_new._replace(
+    fine_out = fine_new._replace(
         vel=fine_new.vel
         + jnp.stack([interp_cell_to_fine(vsync_p[c], spec) for c in range(dim)]),
         rho=fine_new.rho + interp_cell_to_fine(ssync_rho, spec),
@@ -295,16 +250,108 @@ def advance_two_level_subcycled(
     crse_out = crse_out._replace(
         rho=rho_sync, trac=trac_sync, vel=vel_sync, p=p_sync
     )
+    return crse_out, fine_out
 
-    # next coarse dt: min(est_c, r * est_f) (computeNewDt n_factor logic)
-    dt_next = jnp.minimum(
-        est_time_step(cfg, crse_out), r * est_time_step(cfg_f, fine_new)
+
+def advance_subtree(
+    cfgs, specs, states, lev, dt, fixed_mg_cycles=None, hit=None, bcp=None
+):
+    """The Amr::timeStep recursion: advance level `lev` by dt, then take
+    specs[lev].ratio subcycles of level lev+1 (which recurse further), then
+    couple (avgDown + reflux + sync). states: list of per-level NSState;
+    specs[k]: the LevelSpec of level k+1 inside level k; cfgs[k]: per-level
+    config (make_fine_config cumulatively). Returns (new states, aux of
+    this level's advance)."""
+    crse_old = states[lev]
+    crse_new, aux = advance(
+        crse_old._replace(dt=dt), cfgs[lev], fixed_mg_cycles, hit=hit,
+        bcp=bcp, return_aux=True,
     )
+    out = list(states)
+    out[lev] = crse_new
+    if lev + 1 < len(states):
+        spec = specs[lev]
+        r = spec.ratio
+        flux_sum = umac_sum = None
+        for k in range(r):
+            bcp_f = CoarseFineBCProvider(
+                cfgs[lev + 1], spec, cfgs[lev].geom,
+                _interp_states(crse_old, crse_new, k / r),
+                _interp_states(crse_old, crse_new, (k + 1) / r),
+                crse_p=crse_new.p, crse_mac_phi=aux["mac_phi"],
+            )
+            out, aux_f = advance_subtree(
+                cfgs, specs, out, lev + 1, dt / r, fixed_mg_cycles, hit,
+                bcp=bcp_f,
+            )
+            fr = aux_f["flux_rho"]
+            if flux_sum is None:
+                flux_sum = [f / r for f in fr]
+                umac_sum = [u / r for u in aux_f["umac"]]
+            else:
+                flux_sum = [s0 + f / r for s0, f in zip(flux_sum, fr)]
+                umac_sum = [s0 + u / r for s0, u in zip(umac_sum, aux_f["umac"])]
+        crse_out, fine_out = _couple_levels(
+            cfgs[lev], cfgs[lev + 1], spec, crse_new, aux, out[lev + 1],
+            flux_sum, umac_sum, dt, fixed_mg_cycles,
+        )
+        out[lev] = crse_out
+        out[lev + 1] = fine_out
+    return out, aux
+
+
+def hierarchy_configs(cfg: NSConfig, specs):
+    """Per-level configs from nested LevelSpecs."""
+    cfgs = [cfg]
+    for spec in specs:
+        cfgs.append(make_fine_config(cfgs[-1], spec))
+    return cfgs
+
+
+def advance_hierarchy_subcycled(
+    states, cfg: NSConfig, specs, fixed_mg_cycles=None, hit=None
+):
+    """One coarse step of an arbitrary-depth subcycled hierarchy (levels
+    0..len(specs)); computeNewDt-style min over levels with n_factor."""
+    cfgs = hierarchy_configs(cfg, specs)
+    dt_c = states[0].dt
+    out, _ = advance_subtree(
+        cfgs, specs, list(states), 0, dt_c, fixed_mg_cycles, hit
+    )
+    # next dt: min over levels of (prod of ratios up to lev) * est(lev)
+    dt_next = est_time_step(cfgs[0], out[0])
+    nfac = 1
+    for lev in range(1, len(out)):
+        nfac *= specs[lev - 1].ratio
+        dt_next = jnp.minimum(dt_next, nfac * est_time_step(cfgs[lev], out[lev]))
     dt_next = jnp.minimum(dt_next, cfg.change_max * dt_c)
-    return MLState(
-        crse=crse_out._replace(dt=dt_next),
-        fine=fine_new._replace(dt=dt_next / r),
+    result = []
+    nfac = 1
+    for lev in range(len(out)):
+        if lev > 0:
+            nfac *= specs[lev - 1].ratio
+        result.append(out[lev]._replace(dt=dt_next / nfac))
+    return tuple(result)
+
+
+def advance_two_level_subcycled(
+    ml: MLState,
+    cfg: NSConfig,
+    spec: LevelSpec,
+    fixed_mg_cycles: Optional[int] = None,
+    hit=None,
+):
+    """One coarse step with r fine subcycles (the reference's default
+    subcycled advance: Amr::timeStep recursion with n_cycle = ref_ratio,
+    SURVEY.md section 2.3.6). Fine ghost fills use time-interpolated coarse
+    data (FillPatchTwoLevels linear time interp); refluxing uses the
+    time-averaged fine interface fluxes; afterwards the sync machinery runs
+    (see _couple_levels / iamr_tpu.amr.sync). Depth-1 case of
+    advance_hierarchy_subcycled."""
+    out = advance_hierarchy_subcycled(
+        (ml.crse, ml.fine), cfg, [spec], fixed_mg_cycles, hit
     )
+    return MLState(crse=out[0], fine=out[1])
 
 
 def make_two_level_step(

@@ -388,6 +388,63 @@ def run_multilevel(
     return ml
 
 
+def run_hierarchy(
+    cfg: NSConfig,
+    max_steps: Optional[int] = None,
+    verbose: bool = False,
+    fixed_mg_cycles=None,
+):
+    """Arbitrary-depth subcycled hierarchy run (amr.max_level >= 2) with
+    default nested centered patches (the fixed-grids workflow; dynamic
+    regridding of deep hierarchies is 2-level for now)."""
+    from iamr_tpu.amr.hierarchy import LevelSpec
+    from iamr_tpu.amr.multilevel import (
+        advance_hierarchy_subcycled,
+        hierarchy_configs,
+        init_fine_from_coarse,
+        make_hit_forcing,
+    )
+
+    r = cfg.ref_ratio
+    specs = []
+    base = cfg.geom.ncell
+    for lev in range(cfg.max_level):
+        n = base if lev == 0 else specs[-1].ncell
+        specs.append(
+            LevelSpec(
+                lo=tuple(r * (x // 4) for x in n),
+                ncell=tuple(r * (x // 2) for x in n),
+                ratio=r,
+            )
+        )
+    cfgs = hierarchy_configs(cfg, specs)
+    states = [initialize(cfg, fixed_mg_cycles)]
+    for lev, spec in enumerate(specs):
+        states.append(init_fine_from_coarse(cfgs[lev], spec, states[-1]))
+    states = tuple(states)
+    hit = make_hit_forcing(cfg)
+    step_fn = jax.jit(
+        lambda sts: advance_hierarchy_subcycled(
+            sts, cfg, specs, fixed_mg_cycles, hit=hit
+        )
+    )
+    nmax = max_steps if max_steps is not None else (
+        cfg.max_step if cfg.max_step >= 0 else 10**9
+    )
+    step = 0
+    while step < nmax:
+        if cfg.stop_time >= 0.0 and float(states[0].time) >= cfg.stop_time:
+            break
+        states = step_fn(states)
+        step += 1
+        if verbose:
+            print(
+                f"STEP {step} time {float(states[0].time):.6g} "
+                f"dt {float(states[0].dt):.6g} levels {len(states)}"
+            )
+    return states
+
+
 def run_from_inputs(path: str, overrides=(), **kw):
     pp = ParmParse.from_file(path, overrides)
     cfg = config_from_inputs(pp)
@@ -444,6 +501,11 @@ def run_from_inputs(path: str, overrides=(), **kw):
                 )
 
             kw["particle_hooks"] = _phooks
+    if cfg.max_level >= 2:
+        return run_hierarchy(
+            cfg,
+            verbose=kw.get("verbose", False),
+        )
     if cfg.max_level >= 1:
         from iamr_tpu.amr.tagging import parse_refinement_indicators
 
