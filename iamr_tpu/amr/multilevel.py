@@ -165,21 +165,49 @@ def _interp_states(crse_old, crse_new, theta):
 
 def _couple_levels(
     cfg, cfg_f, spec, crse_new, crse_aux, fine_new, flux_sum, umac_sum,
-    dt_c, fixed_mg_cycles,
+    dt_c, fixed_mg_cycles, eb_c=None, eb_f=None,
 ):
     """Parent/child post-subcycle coupling: avgDown + advective reflux +
     the sync machinery (mac_sync + sync projection; SURVEY section 3.3).
-    Returns (crse_out, fine_out)."""
+    Returns (crse_out, fine_out).
+
+    eb_c/eb_f: per-level EBData; cut-cell restriction is volume-fraction
+    weighted (EB_average_down semantics) and the sync solves assume the
+    C-F interface itself lies in regular cells (refine the body)."""
     dim = cfg.dim
 
-    rho_c = avg_down(crse_new.rho, fine_new.rho, spec)
+    if eb_f is not None:
+        from iamr_tpu.amr.hierarchy import restrict_cell
+
+        wf = jnp.maximum(restrict_cell(eb_f.vfrac, spec.ratio), 1e-12)
+        cov_c = (
+            eb_c.covered[crse_region(spec)]
+            if eb_c is not None
+            else jnp.zeros_like(wf)
+        )
+
+        def avg_down_eb(crse, fine):
+            num = restrict_cell(eb_f.vfrac * fine, spec.ratio) / wf
+            reg = crse_region(spec)
+            # fully-covered coarse cells keep their body state (the
+            # weighted restriction is 0/0 there)
+            return crse.at[reg].set(
+                jnp.where(cov_c > 0.0, crse[reg], num)
+            )
+
+        _avg = avg_down_eb
+    else:
+        def _avg(crse, fine):
+            return avg_down(crse, fine, spec)
+
+    rho_c = _avg(crse_new.rho, fine_new.rho)
     vel_c = jnp.stack(
-        [avg_down(crse_new.vel[c], fine_new.vel[c], spec) for c in range(dim)]
+        [_avg(crse_new.vel[c], fine_new.vel[c]) for c in range(dim)]
     )
     trac_c = jnp.stack(
-        [avg_down(crse_new.trac[t], fine_new.trac[t], spec) for t in range(cfg.ntrac)]
+        [_avg(crse_new.trac[t], fine_new.trac[t]) for t in range(cfg.ntrac)]
     )
-    temp_c = avg_down(crse_new.temp, fine_new.temp, spec)
+    temp_c = _avg(crse_new.temp, fine_new.temp)
     p_c = avg_down_node(crse_new.p, fine_new.p, spec)
     gradp_c = jnp.stack(
         [avg_down(crse_new.gradp[c], fine_new.gradp[c], spec) for c in range(dim)]
@@ -247,6 +275,11 @@ def _couple_levels(
         rho=fine_new.rho + interp_cell_to_fine(ssync_rho, spec),
         p=fine_new.p + _prolong_node_patch(phi_sync, spec),
     )
+    if eb_c is not None:
+        vel_sync = vel_sync * eb_c.fluid
+        rho_sync = eb_c.fluid * rho_sync + eb_c.covered * crse_new.rho
+    if eb_f is not None:
+        fine_out = fine_out._replace(vel=fine_out.vel * eb_f.fluid)
     crse_out = crse_out._replace(
         rho=rho_sync, trac=trac_sync, vel=vel_sync, p=p_sync
     )
@@ -254,7 +287,8 @@ def _couple_levels(
 
 
 def advance_subtree(
-    cfgs, specs, states, lev, dt, fixed_mg_cycles=None, hit=None, bcp=None
+    cfgs, specs, states, lev, dt, fixed_mg_cycles=None, hit=None, bcp=None,
+    ebs=None,
 ):
     """The Amr::timeStep recursion: advance level `lev` by dt, then take
     specs[lev].ratio subcycles of level lev+1 (which recurse further), then
@@ -263,9 +297,10 @@ def advance_subtree(
     config (make_fine_config cumulatively). Returns (new states, aux of
     this level's advance)."""
     crse_old = states[lev]
+    eb_l = ebs[lev] if ebs else None
     crse_new, aux = advance(
         crse_old._replace(dt=dt), cfgs[lev], fixed_mg_cycles, hit=hit,
-        bcp=bcp, return_aux=True,
+        bcp=bcp, return_aux=True, eb=eb_l,
     )
     out = list(states)
     out[lev] = crse_new
@@ -282,7 +317,7 @@ def advance_subtree(
             )
             out, aux_f = advance_subtree(
                 cfgs, specs, out, lev + 1, dt / r, fixed_mg_cycles, hit,
-                bcp=bcp_f,
+                bcp=bcp_f, ebs=ebs,
             )
             fr = aux_f["flux_rho"]
             if flux_sum is None:
@@ -294,6 +329,7 @@ def advance_subtree(
         crse_out, fine_out = _couple_levels(
             cfgs[lev], cfgs[lev + 1], spec, crse_new, aux, out[lev + 1],
             flux_sum, umac_sum, dt, fixed_mg_cycles,
+            eb_c=eb_l, eb_f=ebs[lev + 1] if ebs else None,
         )
         out[lev] = crse_out
         out[lev + 1] = fine_out
@@ -309,14 +345,14 @@ def hierarchy_configs(cfg: NSConfig, specs):
 
 
 def advance_hierarchy_subcycled(
-    states, cfg: NSConfig, specs, fixed_mg_cycles=None, hit=None
+    states, cfg: NSConfig, specs, fixed_mg_cycles=None, hit=None, ebs=None
 ):
     """One coarse step of an arbitrary-depth subcycled hierarchy (levels
     0..len(specs)); computeNewDt-style min over levels with n_factor."""
     cfgs = hierarchy_configs(cfg, specs)
     dt_c = states[0].dt
     out, _ = advance_subtree(
-        cfgs, specs, list(states), 0, dt_c, fixed_mg_cycles, hit
+        cfgs, specs, list(states), 0, dt_c, fixed_mg_cycles, hit, ebs=ebs
     )
     # next dt: min over levels of (prod of ratios up to lev) * est(lev)
     dt_next = est_time_step(cfgs[0], out[0])

@@ -257,12 +257,21 @@ def eb_from_inputs(pp, geom: Geometry, dtype="float64", ss: int = 8):
     Supported geom_types: all_regular (returns None), sphere, cylinder, box,
     plane. Returns None when no EB is configured.
     """
+    psi = psi_from_inputs(pp, geom.dim)
+    if psi is None:
+        return None
+    return build_eb_geometry(psi, geom, ss=ss, dtype=dtype)
+
+
+def psi_from_inputs(pp, dim: int):
+    """The fluid-positive implicit function of the eb2.* namespace (shared
+    across AMR levels: each level evaluates the SAME psi on its own grid,
+    the TPU analogue of EB2::Build per level)."""
     eb2 = pp.scoped("eb2")
     gt = eb2.query("geom_type")
     if gt is None or str(gt) == "all_regular":
         return None
     gt = str(gt)
-    dim = geom.dim
     if gt == "sphere":
         center = [float(x) for x in eb2.queryarr("sphere_center", [0.0] * dim)]
         radius = float(eb2.query("sphere_radius", 0.1))
@@ -276,8 +285,8 @@ def eb_from_inputs(pp, geom: Geometry, dtype="float64", ss: int = 8):
         inside = bool(int(eb2.query("cylinder_has_fluid_inside", 1)))
         psi = cylinder_if(center[:dim], radius, height, direction, inside)
     elif gt == "box":
-        lo = [float(x) for x in eb2.queryarr("box_lo", list(geom.prob_lo))]
-        hi = [float(x) for x in eb2.queryarr("box_hi", list(geom.prob_hi))]
+        lo = [float(x) for x in eb2.queryarr("box_lo", [0.0] * dim)]
+        hi = [float(x) for x in eb2.queryarr("box_hi", [1.0] * dim)]
         inside = bool(int(eb2.query("box_has_fluid_inside", 1)))
         psi = box_if(lo[:dim], hi[:dim], inside)
     elif gt == "plane":
@@ -289,4 +298,4 @@ def eb_from_inputs(pp, geom: Geometry, dtype="float64", ss: int = 8):
             f"eb2.geom_type = {gt} not implemented (supported: all_regular, "
             "sphere, cylinder, box, plane)"
         )
-    return build_eb_geometry(psi, geom, ss=ss, dtype=dtype)
+    return psi
