@@ -41,28 +41,16 @@ def _box_str(lo, hi, typ=None):
     )
 
 
-def write_plotfile(
-    path: str,
-    geom: Geometry,
-    fields: Dict[str, np.ndarray],
-    time: float = 0.0,
-    level_steps: int = 0,
-):
-    """Write a single-level plotfile. fields: name -> cell array (*ncell)."""
-    dim = geom.dim
-    names = list(fields.keys())
+def _write_level(path: str, lev: int, fields: Dict[str, np.ndarray], names,
+                 lo, hi):
+    """One Level_k directory: FAB data (native C++ writer when built) +
+    MultiFab header. Returns nothing; lo/hi are the level's box indices."""
     ncomp = len(names)
-    n = geom.ncell
-    lo = (0,) * dim
-    hi = tuple(x - 1 for x in n)
-
-    os.makedirs(os.path.join(path, "Level_0"), exist_ok=True)
-
-    # ---- FAB data file (native C++ writer when built; Python fallback)
+    os.makedirs(os.path.join(path, f"Level_{lev}"), exist_ok=True)
     data = np.stack(
         [np.asarray(fields[k], dtype=np.float64) for k in names], axis=0
-    )  # (ncomp, *n) -> fortran order per comp
-    fab_path = os.path.join(path, "Level_0", "Cell_D_00000")
+    )
+    fab_path = os.path.join(path, f"Level_{lev}", "Cell_D_00000")
     from iamr_tpu import native
 
     if native.available():
@@ -76,10 +64,9 @@ def write_plotfile(
             for c in range(ncomp):
                 f.write(np.asfortranarray(data[c]).tobytes(order="F"))
 
-    # ---- MultiFab header
     mins = [float(data[c].min()) for c in range(ncomp)]
     maxs = [float(data[c].max()) for c in range(ncomp)]
-    with open(os.path.join(path, "Level_0", "Cell_H"), "w") as f:
+    with open(os.path.join(path, f"Level_{lev}", "Cell_H"), "w") as f:
         f.write("1\n")  # version
         f.write("1\n")  # how (one file per fab)
         f.write(f"{ncomp}\n")
@@ -94,8 +81,49 @@ def write_plotfile(
         f.write(f"1,{ncomp}\n")
         f.write(",".join(f"{v:.16e}" for v in maxs) + ",\n")
 
+
+def write_plotfile(
+    path: str,
+    geom: Geometry,
+    fields: Dict[str, np.ndarray],
+    time: float = 0.0,
+    level_steps: int = 0,
+    fine_levels=None,
+):
+    """Write a plotfile (multi-level when fine_levels is given).
+
+    fields: name -> cell array (*ncell) on the coarse level.
+    fine_levels: list of (fields_f, lo_idx, ratio) per finer level — lo_idx
+    the patch's lo corner in THAT level's index space (amr.max_level-deep
+    plotfiles with one grid per level, like the single-patch hierarchy).
+    """
+    dim = geom.dim
+    names = list(fields.keys())
+    ncomp = len(names)
+    n = geom.ncell
+    lo = (0,) * dim
+    hi = tuple(x - 1 for x in n)
+    fine_levels = fine_levels or []
+    nlev = 1 + len(fine_levels)
+
+    _write_level(path, 0, fields, names, lo, hi)
+
+    # per-level boxes/dx for the Header
+    boxes = [(lo, hi)]
+    dxs = [tuple(geom.dx)]
+    ratios = []
+    cum = 1
+    for k, (ff, lo_idx, ratio) in enumerate(fine_levels):
+        cum *= ratio
+        shape = np.asarray(ff[names[0]]).shape
+        lo_k = tuple(int(x) for x in lo_idx)
+        hi_k = tuple(lo_k[d] + shape[d] - 1 for d in range(dim))
+        boxes.append((lo_k, hi_k))
+        dxs.append(tuple(h / cum for h in geom.dx))
+        ratios.append(ratio)
+        _write_level(path, k + 1, ff, names, lo_k, hi_k)
+
     # ---- plotfile Header
-    dx = geom.dx
     with open(os.path.join(path, "Header"), "w") as f:
         f.write("HyperCLaw-V1.1\n")
         f.write(f"{ncomp}\n")
@@ -103,20 +131,24 @@ def write_plotfile(
             f.write(k + "\n")
         f.write(f"{dim}\n")
         f.write(f"{time:.16e}\n")
-        f.write("0\n")  # finest_level
+        f.write(f"{nlev - 1}\n")  # finest_level
         f.write(" ".join(f"{v:.16e}" for v in geom.prob_lo) + "\n")
         f.write(" ".join(f"{v:.16e}" for v in geom.prob_hi) + "\n")
-        f.write("\n")  # ref_ratio (none for single level)
-        f.write(_box_str(lo, hi) + "\n")
-        f.write(f"{level_steps}\n")
-        f.write(" ".join(f"{v:.16e}" for v in dx) + "\n")
+        f.write(" ".join(str(r) for r in ratios) + "\n")
+        f.write(" ".join(_box_str(b[0], b[1]) for b in boxes) + "\n")
+        f.write(" ".join(str(level_steps) for _ in range(nlev)) + "\n")
+        for dx in dxs:
+            f.write(" ".join(f"{v:.16e}" for v in dx) + "\n")
         f.write(f"{geom.coord_sys}\n")
         f.write("0\n")  # bndry width
-        f.write(f"0 1 {time:.16e}\n")
-        f.write(f"{level_steps}\n")
-        for d in range(dim):
-            f.write(f"{geom.prob_lo[d]:.16e} {geom.prob_hi[d]:.16e}\n")
-        f.write("Level_0/Cell\n")
+        for k in range(nlev):
+            f.write(f"{k} 1 {time:.16e}\n")
+            f.write(f"{level_steps}\n")
+            for d in range(dim):
+                glo = geom.prob_lo[d] + boxes[k][0][d] * dxs[k][d]
+                ghi = geom.prob_lo[d] + (boxes[k][1][d] + 1) * dxs[k][d]
+                f.write(f"{glo:.16e} {ghi:.16e}\n")
+            f.write(f"Level_{k}/Cell\n")
 
 
 def read_plotfile(path: str):

@@ -83,15 +83,9 @@ def steady_norm(prev: NSState, new: NSState):
     return out
 
 
-def write_plotfile_for_state(
-    cfg: NSConfig, state: NSState, path: str, step: int, extra=None
-):
-    """State + derived fields in AMReX plotfile format (writePlotFile
-    equivalent; amr.derive_plot_vars). extra: additional name->array fields
-    (e.g. the velocity time-average/RMS of NS_average)."""
+def _plot_fields(cfg: NSConfig, state: NSState, extra=None):
     import numpy as np
 
-    from iamr_tpu.io.plotfile import write_plotfile
     from iamr_tpu.ns.derive import avg_pressure, kinetic_energy, mag_vort
 
     fields = {}
@@ -107,7 +101,35 @@ def write_plotfile_for_state(
     fields["avg_pressure"] = np.asarray(avg_pressure(state))
     fields["mag_vort"] = np.asarray(mag_vort(cfg, state))
     fields["energy"] = np.asarray(kinetic_energy(state))
-    write_plotfile(path, cfg.geom, fields, time=float(state.time), level_steps=step)
+    return fields
+
+
+def write_plotfile_for_state(
+    cfg: NSConfig, state: NSState, path: str, step: int, extra=None
+):
+    """State + derived fields in AMReX plotfile format (writePlotFile
+    equivalent; amr.derive_plot_vars). extra: additional name->array fields
+    (e.g. the velocity time-average/RMS of NS_average)."""
+    from iamr_tpu.io.plotfile import write_plotfile
+
+    write_plotfile(
+        path, cfg.geom, _plot_fields(cfg, state, extra),
+        time=float(state.time), level_steps=step,
+    )
+
+
+def write_plotfile_for_hierarchy(cfg: NSConfig, spec, ml, path: str, step: int):
+    """Two-level AMR plotfile (Level_0 + Level_1)."""
+    from iamr_tpu.amr.multilevel import make_fine_config
+    from iamr_tpu.io.plotfile import write_plotfile
+
+    cfg_f = make_fine_config(cfg, spec)
+    f0 = _plot_fields(cfg, ml.crse)
+    f1 = _plot_fields(cfg_f, ml.fine)
+    write_plotfile(
+        path, cfg.geom, f0, time=float(ml.crse.time), level_steps=step,
+        fine_levels=[(f1, spec.lo, spec.ratio)],
+    )
 
 
 def write_job_info(cfg: NSConfig, path: str, pp=None):
@@ -325,6 +347,8 @@ def run_multilevel(
     subcycle: bool = False,
     error_tags=None,
     regrid_int: int = 0,
+    plot_int: int = -1,
+    plot_file: str = "plt",
 ):
     """Two-level run (max_level = 1), optionally subcycled + dynamically
     regridded. Regrids happen out-of-band between jitted step segments:
@@ -378,6 +402,10 @@ def run_multilevel(
                     print(f"REGRID at step {step}: patch lo={spec.lo} n={spec.ncell}")
         ml = get_step(spec)(ml)
         step += 1
+        if plot_int > 0 and step % plot_int == 0:
+            write_plotfile_for_hierarchy(
+                cfg, spec, ml, f"{plot_file}{step:05d}", step
+            )
         if verbose:
             print(
                 f"STEP {step} time {float(ml.crse.time):.6g} "
@@ -518,5 +546,7 @@ def run_from_inputs(path: str, overrides=(), **kw):
             subcycle=subcycling.lower() != "none",
             error_tags=tags or None,
             regrid_int=regrid_int,
+            plot_int=hooks.plot_int,
+            plot_file=hooks.plot_file,
         )
     return run(cfg, **kw)

@@ -163,16 +163,26 @@ def init_state(cfg: NSConfig) -> NSState:
                 np.cos(2 * a * two_pi * x) + np.cos(2 * b * two_pi * y)
             )
     elif pt == 100:
-        # HIT: solenoidal random field with a k^4 exp spectrum (the
-        # reference reads a gen_hit_ic.py file; Tutorials/HIT/prob_init.cpp:43-86)
-        from iamr_tpu.ns.forcing_hit import init_hit_velocity
+        # HIT (Tutorials/HIT/prob_init.cpp:43-86): prob.ic_file loads a
+        # gen_hit_ic.py spectral IC via the Utilities read_csv loader;
+        # otherwise a solenoidal random field with a k^4 exp spectrum
+        ic_file = dict(cfg.prob).get("ic_file")
+        if ic_file and isinstance(ic_file, str):
+            from iamr_tpu.utils.fileio import hit_velocity_from_file
 
-        vel[...] = init_hit_velocity(
-            geom,
-            urms=P("urms", 1.0),
-            kpeak=P("kpeak", 4.0),
-            seed=int(P("seed", 0)),
-        )
+            vel[...] = hit_velocity_from_file(
+                ic_file, int(P("ic_n", geom.ncell[0])), geom,
+                urms_target=P("urms", 0.0) or None,
+            )
+        else:
+            from iamr_tpu.ns.forcing_hit import init_hit_velocity
+
+            vel[...] = init_hit_velocity(
+                geom,
+                urms=P("urms", 1.0),
+                kpeak=P("kpeak", 4.0),
+                seed=int(P("seed", 0)),
+            )
         rho[...] = P("density", 1.0)
     else:
         raise ValueError(f"unknown probtype {pt}")

@@ -184,6 +184,9 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         if k == "probtype":
             continue
         vals = prob.getarr(k)
+        if len(vals) == 1 and isinstance(vals[0], str):
+            prob_params.append((k, str(vals[0])))
+            continue
         if not all(isinstance(v, (int, float)) for v in vals):
             continue
         if len(vals) == 1:

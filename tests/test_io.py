@@ -180,3 +180,25 @@ def test_convergence_harness():
             for n in (16, 32, 64)]
     p = richardson_order(*sols)
     assert 0.5 < p < 2.5
+
+
+def test_multilevel_plotfile(tmp_path):
+    """Two-level plotfile: Header declares finest_level=1 with ref_ratio,
+    both Level_k dirs round-trip."""
+    import numpy as np
+    from iamr_tpu.core.geometry import Geometry
+    from iamr_tpu.io.plotfile import write_plotfile, read_plotfile
+
+    geom = Geometry((16, 16), (0.0, 0.0), (1.0, 1.0), (True, True), 0)
+    rng = np.random.RandomState(0)
+    f0 = {"density": rng.randn(16, 16)}
+    f1 = {"density": rng.randn(16, 16)}  # fine patch 16^2 at lo=(8,8)
+    p = str(tmp_path / "plt00000")
+    write_plotfile(p, geom, f0, time=1.5, fine_levels=[(f1, (8, 8), 2)])
+    hdr = open(p + "/Header").read().splitlines()
+    assert hdr[5] == "1"  # finest_level
+    import os
+
+    assert os.path.exists(p + "/Level_1/Cell_D_00000")
+    back, t = read_plotfile(p)  # reads level 0
+    np.testing.assert_allclose(back["density"], f0["density"])

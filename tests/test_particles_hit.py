@@ -151,3 +151,48 @@ def test_particle_regtest_from_reference_inputs(tmp_path):
     assert ts.exists()
     lines = ts.read_text().strip().splitlines()
     assert len(lines) == 3 * 30  # 3 steps x 30 particles
+
+
+def test_hit_ic_from_csv_file(tmp_path):
+    """prob.ic_file loads a gen_hit_ic.py-format spectral IC (Utilities
+    read_csv path, Tutorials/HIT/prob_init.cpp:43-86)."""
+    import numpy as np
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.ns.probs import init_state
+    from iamr_tpu.ns.state import config_from_inputs
+
+    n = 8
+    rng = np.random.RandomState(0)
+    rows = []
+    for i in range(n):
+        for j in range(n):
+            for k in range(n):
+                rows.append([i, j, k, *rng.randn(3)])
+    f = tmp_path / "hit_ic.csv"
+    np.savetxt(f, np.asarray(rows), delimiter=",", header="x,y,z,u,v,w")
+    pp = ParmParse.from_string(
+        f"""
+        ns.cfl = 0.5
+        amr.n_cell = 8 8 8
+        geometry.is_periodic = 1 1 1
+        prob.probtype = 100
+        prob.ic_file = {f}
+        prob.ic_n = 8
+        """
+    )
+    cfg = config_from_inputs(pp)
+    state = init_state(cfg)
+    got = np.asarray(state.vel)
+    want = np.asarray(rows)[:, 3:].T.reshape(3, n, n, n)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_read_binary_roundtrip(tmp_path):
+    import numpy as np
+    from iamr_tpu.utils.fileio import read_binary
+
+    data = np.random.RandomState(1).randn(4, 3, 2, 6)
+    f = tmp_path / "turb.bin"
+    data.astype("<f8").tofile(f)
+    back = read_binary(str(f), 4, 3, 2, 6)
+    np.testing.assert_array_equal(back, data)
