@@ -337,3 +337,41 @@ def advance_two_level_multipatch(
         crse_out._replace(dt=dt_next),
         tuple(f._replace(dt=dt_next / r) for f in fines_out),
     )
+
+
+def regrid_multipatch(cfg, old_specs, old_fines, new_specs, crse):
+    """State transfer at a multi-box regrid: new boxes initialize from the
+    coarse level, then inherit fine data where an OLD box overlaps
+    (NavierStokesBase::init(old) FillPatch-from-old semantics)."""
+    from iamr_tpu.amr.multilevel import init_fine_from_coarse
+
+    dim = cfg.dim
+    out = []
+    for sp in new_specs:
+        f = init_fine_from_coarse(cfg, sp, crse)
+        hi_sp = tuple(sp.lo[d] + sp.ncell[d] for d in range(dim))
+        for osp, of in zip(old_specs or [], old_fines or []):
+            ov = _overlap(
+                sp.lo, hi_sp, osp.lo,
+                tuple(osp.lo[d] + osp.ncell[d] for d in range(dim)), dim,
+            )
+            if ov is None:
+                continue
+            lo, hi = ov
+            dst = tuple(slice(lo[d] - sp.lo[d], hi[d] - sp.lo[d]) for d in range(dim))
+            src = tuple(
+                slice(lo[d] - osp.lo[d], hi[d] - osp.lo[d]) for d in range(dim)
+            )
+            f = f._replace(
+                vel=f.vel.at[(slice(None),) + dst].set(of.vel[(slice(None),) + src]),
+                rho=f.rho.at[dst].set(of.rho[src]),
+                trac=f.trac.at[(slice(None),) + dst].set(
+                    of.trac[(slice(None),) + src]
+                ),
+                temp=f.temp.at[dst].set(of.temp[src]),
+                gradp=f.gradp.at[(slice(None),) + dst].set(
+                    of.gradp[(slice(None),) + src]
+                ),
+            )
+        out.append(f._replace(time=crse.time, dt=crse.dt))
+    return tuple(out)

@@ -205,3 +205,70 @@ def regrid_fine_state(
         time=fine_old.time,
         dt=fine_old.dt,
     )
+
+
+def cluster_to_patches(
+    tags_np,
+    ratio: int,
+    n_error_buf: int = 1,
+    blocking_factor: int = 4,
+    min_size: int = 8,
+    max_boxes: int = 8,
+    min_eff: float = 0.7,
+):
+    """Berger-Rigoutsos clustering of tagged coarse cells into MULTIPLE fine
+    patches (the reference's regrid box generation; native C++ BR with the
+    bounding-box fallback). Returns a list of LevelSpec (empty if no tags)."""
+    import numpy as np
+
+    if not tags_np.any():
+        return []
+    from iamr_tpu import native
+
+    if not native.available():
+        s = cluster_to_patch(
+            tags_np, ratio, n_error_buf, blocking_factor, min_size
+        )
+        return [s] if s is not None else []
+
+    # buffer the tags first (n_error_buf), then cluster
+    t = tags_np.astype(bool)
+    for d in range(t.ndim):
+        for _ in range(n_error_buf):
+            t = t | np.roll(t, 1, axis=d) | np.roll(t, -1, axis=d)
+    # roll wraps; clear the wrapped fringe for non-periodic safety (cheap)
+    boxes = native.berger_rigoutsos(
+        t, min_width=max(2, min_size // (2 * ratio)), min_eff=min_eff,
+        max_boxes=max_boxes,
+    )
+    dim = tags_np.ndim
+    specs = []
+    bf = max(1, blocking_factor // ratio)
+    for lo, hi in boxes:
+        a, b = [], []
+        for d in range(dim):
+            lo_d = (lo[d] // bf) * bf
+            hi_d = -((-(hi[d] + 1)) // bf) * bf
+            hi_d = min(hi_d, tags_np.shape[d])
+            lo_d = min(lo_d, hi_d - 1)
+            while (hi_d - lo_d) * ratio < min_size:
+                if lo_d > 0:
+                    lo_d -= 1
+                elif hi_d < tags_np.shape[d]:
+                    hi_d += 1
+                else:
+                    break
+            a.append(lo_d * ratio)
+            b.append(hi_d * ratio)
+        specs.append(
+            LevelSpec(
+                lo=tuple(a), ncell=tuple(bb - aa for aa, bb in zip(a, b)),
+                ratio=ratio,
+            )
+        )
+    # merge fully-contained duplicates
+    uniq = []
+    for s in specs:
+        if s not in uniq:
+            uniq.append(s)
+    return uniq

@@ -339,6 +339,74 @@ def default_fine_spec(cfg: NSConfig):
     )
 
 
+def run_multipatch(
+    cfg: NSConfig,
+    max_steps: Optional[int] = None,
+    verbose: bool = False,
+    fixed_mg_cycles=None,
+    error_tags=None,
+    regrid_int: int = 0,
+):
+    """Two-level run with a MULTI-BOX fine level: Berger-Rigoutsos
+    clustering of error tags -> several fine patches, re-clustered every
+    regrid_int steps (regrid-as-recompile over the box-set signature)."""
+    import numpy as np
+
+    from iamr_tpu.amr.multilevel import init_fine_from_coarse, make_hit_forcing
+    from iamr_tpu.amr.multipatch import (
+        advance_two_level_multipatch,
+        regrid_multipatch,
+    )
+    from iamr_tpu.amr.tagging import cluster_to_patches, tag_cells
+
+    crse = initialize(cfg, fixed_mg_cycles)
+
+    def specs_from_tags(crse_state):
+        tags = np.asarray(tag_cells(cfg, crse_state, error_tags))
+        specs = cluster_to_patches(tags, cfg.ref_ratio)
+        return tuple(specs) if specs else (default_fine_spec(cfg),)
+
+    specs = specs_from_tags(crse)
+    fines = tuple(init_fine_from_coarse(cfg, sp, crse) for sp in specs)
+    hit = make_hit_forcing(cfg)
+    step_cache = {}
+
+    def get_step(ss):
+        if ss not in step_cache:
+            step_cache[ss] = jax.jit(
+                lambda c, f: advance_two_level_multipatch(
+                    c, f, cfg, ss, fixed_mg_cycles, hit=hit
+                )
+            )
+        return step_cache[ss]
+
+    nmax = max_steps if max_steps is not None else (
+        cfg.max_step if cfg.max_step >= 0 else 10**9
+    )
+    step = 0
+    while step < nmax:
+        if cfg.stop_time >= 0.0 and float(crse.time) >= cfg.stop_time:
+            break
+        if regrid_int > 0 and step > 0 and step % regrid_int == 0:
+            new_specs = specs_from_tags(crse)
+            if new_specs != specs:
+                fines = regrid_multipatch(cfg, specs, fines, new_specs, crse)
+                specs = new_specs
+                if verbose:
+                    print(
+                        f"REGRID at step {step}: "
+                        f"{[(s.lo, s.ncell) for s in specs]}"
+                    )
+        crse, fines = get_step(specs)(crse, fines)
+        step += 1
+        if verbose:
+            print(
+                f"STEP {step} time {float(crse.time):.6g} "
+                f"dt {float(crse.dt):.6g} boxes {len(specs)}"
+            )
+    return crse, fines, specs
+
+
 def run_multilevel(
     cfg: NSConfig,
     max_steps: Optional[int] = None,

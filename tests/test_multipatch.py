@@ -102,3 +102,32 @@ def test_adjacent_boxes_match_single_patch():
     dl = np.max(np.abs(left - whole[:, :24, :]))
     dr = np.max(np.abs(right - whole[:, 24:, :]))
     assert max(dl, dr) < 0.1 * scale, (dl, dr, scale)
+
+
+def test_run_multipatch_with_br_regrid():
+    """Full loop: vorticity tags -> native Berger-Rigoutsos boxes ->
+    multi-box subcycled advance -> periodic re-clustering."""
+    from iamr_tpu.amr.tagging import ErrorTag
+    from iamr_tpu.ns.driver import run_multipatch
+
+    pp = ParmParse.from_string(
+        """
+        ns.cfl = 0.5
+        ns.init_iter = 1
+        amr.n_cell = 32 32
+        geometry.prob_lo = 0. 0.
+        geometry.prob_hi = 1. 1.
+        geometry.is_periodic = 1 1
+        prob.probtype = 5
+        prob.density_ic = 1.0
+        """
+    )
+    cfg = config_from_inputs(pp)
+    tags = [ErrorTag(field="mag_vort", test="vorticity_greater", value=3.0)]
+    crse, fines, specs = run_multipatch(
+        cfg, max_steps=3, fixed_mg_cycles=4, error_tags=tags, regrid_int=2,
+    )
+    assert bool(jnp.all(jnp.isfinite(crse.vel)))
+    assert len(specs) >= 1
+    for fb in fines:
+        assert bool(jnp.all(jnp.isfinite(fb.vel)))
