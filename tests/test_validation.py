@@ -102,3 +102,28 @@ prob.perturbation_amplitude = 0.05
         state = step(state)
     assert bool(jnp.all(jnp.isfinite(state.vel)))
     assert 0.9 < float(jnp.max(jnp.abs(state.vel[0]))) <= 1.1
+
+
+def test_lid_driven_cavity_ghia_re100():
+    """Lid-driven cavity at Re=100 vs the Ghia, Ghia & Shin (1982) benchmark:
+    u along the vertical centerline after driving toward steady state from
+    the REFERENCE inputs file (Tutorials/LidDrivenCavity + Re override)."""
+    import numpy as np
+
+    from iamr_tpu.ns.driver import run_from_inputs
+
+    state = run_from_inputs(
+        "/root/reference/Tutorials/LidDrivenCavity/inputs.2d.lid_driven_cavity",
+        overrides=(
+            "ns.vel_visc_coef=0.01", "ns.steady_tol=2e-5", "max_step=1500",
+            "amr.plot_int=-1", "amr.check_int=-1",
+        ),
+    )
+    n = 64
+    u = np.asarray(state.vel[0])
+    uc = 0.5 * (u[n // 2 - 1, :] + u[n // 2, :])
+    y = (np.arange(n) + 0.5) / n
+    ghia = {0.5: -0.20581, 0.7344: 0.00332, 0.9531: 0.68717, 0.2813: -0.15662}
+    for yy, ur in ghia.items():
+        ui = float(np.interp(yy, y, uc))
+        assert abs(ui - ur) < 0.03, (yy, ui, ur)
