@@ -65,6 +65,25 @@ def avg_pressure(state: NSState):
     return p
 
 
+def diveru(cfg: NSConfig, state: NSState):
+    """Cell-centered divergence of U (the reference's diveru derived field,
+    used in the HIT plotfile list; centered differences)."""
+    from iamr_tpu.core.fill import fill_ghost
+    from iamr_tpu.core.bc import BCRec, MathBC
+
+    dim = cfg.dim
+    kinds = tuple(
+        MathBC.int_dir if cfg.geom.periodic[d] else MathBC.foextrap
+        for d in range(dim)
+    )
+    rec = BCRec(lo=kinds, hi=kinds)
+    out = 0.0
+    for d in range(dim):
+        g = fill_ghost(state.vel[d], 1, rec)
+        out = out + _cc_grad(cfg, g, d)
+    return out
+
+
 def derive(cfg: NSConfig, state: NSState, name: str):
     if name in ("mag_vort", "magvort"):
         return mag_vort(cfg, state)
@@ -72,6 +91,8 @@ def derive(cfg: NSConfig, state: NSState, name: str):
         return kinetic_energy(state)
     if name == "avg_pressure":
         return avg_pressure(state)
+    if name == "diveru":
+        return diveru(cfg, state)
     raise KeyError(f"unknown derived field {name!r}")
 
 

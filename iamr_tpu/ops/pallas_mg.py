@@ -44,13 +44,13 @@ def _pad_rows(x, rows: int):
 def pallas_ok(shape, dtype, force: bool = False) -> bool:
     """Gate: TPU backend, f32, big enough for the kernel to pay off.
 
-    Default OFF unless IAMR_ENABLE_PALLAS=1: on the current single-chip
-    dev setup each kernel carries a ~0.4 ms fixed cost and Pallas calls
-    cannot fuse with neighboring XLA ops, so the measured step is ~8%
-    faster on the pure-XLA smoothers (41.9 vs 38.8 Mcells/s at HIT 128^3).
-    The kernels stay validated (tests run them in interpret + on-chip
-    modes) for hardware where kernel launch is cheap and HBM bandwidth is
-    the binding constraint.
+    Size-aware default, measured on the HIT bench: each kernel carries a
+    ~0.4 ms fixed cost and Pallas calls cannot fuse with neighboring XLA
+    ops, so below ~4M elements the fully-fused XLA smoothers win (41.9 vs
+    38.8 Mcells/s at 128^3); at 256^3 the fused-sweep traffic win dominates
+    (39.5 vs 32.0 Mcells/s). IAMR_ENABLE_PALLAS=1/0 overrides either way.
+    Inside one MG hierarchy this naturally uses Pallas on the big fine
+    levels and XLA on the coarse ones.
     """
     if jnp.dtype(dtype) != jnp.float32:
         return False
@@ -64,7 +64,10 @@ def pallas_ok(shape, dtype, force: bool = False) -> bool:
         return True
     import os
 
-    if os.environ.get("IAMR_ENABLE_PALLAS", "0") != "1":
+    env = os.environ.get("IAMR_ENABLE_PALLAS", "")
+    if env == "0":
+        return False
+    if env != "1" and int(np.prod(shape)) < (1 << 22):
         return False
     try:
         return jax.default_backend() not in ("cpu",)
