@@ -216,13 +216,22 @@ def build_hierarchy(
     max_levels: int = 30,
 ):
     """Build the MG level list (runs under jit; level count is static)."""
+    from iamr_tpu.parallel.context import constrain, constrain_tuple
+
     dim = alpha.ndim
     levels = []
     shape = tuple(alpha.shape)
     dtype = alpha.dtype
     cur_alpha, cur_beta, cur_dx = alpha, tuple(beta), tuple(dx)
     while True:
-        diag = _diag(cur_alpha, cur_beta, a, b, cur_dx, bc, shape, dtype)
+        # multi-chip: pin each level's layout (fine levels sharded on the
+        # spatial mesh, coarse levels replicated — the agglomeration policy,
+        # iamr_tpu.parallel.context)
+        cur_alpha = constrain(cur_alpha)
+        cur_beta = constrain_tuple(cur_beta)
+        diag = constrain(
+            _diag(cur_alpha, cur_beta, a, b, cur_dx, bc, shape, dtype)
+        )
         red = checkerboard(shape, 0, dtype)
         black = checkerboard(shape, 1, dtype)
         levels.append(
@@ -293,6 +302,8 @@ def _residual(phi, rhs, lev: MGLevelData, a, b, bc):
 
 
 def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
+    from iamr_tpu.parallel.context import constrain
+
     lev = levels[lev_idx]
     dim = len(lev.shape)
     phi = jnp.zeros_like(rhs)
@@ -300,9 +311,9 @@ def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
         return _smooth_rb(phi, rhs, lev, a, b, bc, nu_bottom)
     phi = _smooth_rb(phi, rhs, lev, a, b, bc, nu1)
     r = _residual(phi, rhs, lev, a, b, bc)
-    r_c = _coarsen_cell(r, dim)
+    r_c = constrain(_coarsen_cell(r, dim))
     e_c = _vcycle(r_c, levels, a, b, bc, lev_idx + 1, nu1, nu2, nu_bottom)
-    phi = phi + _prolong(e_c, dim)
+    phi = constrain(phi + _prolong(e_c, dim))
     phi = _smooth_rb(phi, rhs, lev, a, b, bc, nu2)
     return phi
 
@@ -349,6 +360,10 @@ def mg_solve(
     if singular:
         rhs = rhs - jnp.mean(rhs)
 
+    from iamr_tpu.parallel.context import constrain
+
+    rhs = constrain(rhs)
+    phi = constrain(phi)
     levels = build_hierarchy(alpha, beta, a, b, dx, bc)
 
     bnorm = jnp.max(jnp.abs(rhs))

@@ -329,13 +329,17 @@ class NodalLevel:
 
 
 def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2, max_levels: int = 30):
+    from iamr_tpu.parallel.context import constrain
+
     dim = sigma.ndim
     levels = []
     cur_sigma, cur_dx = sigma, tuple(dx)
     while True:
+        # multi-chip per-level layout (see iamr_tpu.parallel.context)
+        cur_sigma = constrain(cur_sigma)
         cshape = tuple(cur_sigma.shape)
         nshape = tuple(n + 1 for n in cshape)
-        diag = nodal_diag(cur_sigma, cur_dx, bc)
+        diag = constrain(nodal_diag(cur_sigma, cur_dx, bc))
         mask = _dirichlet_mask(nshape, bc, sigma.dtype)
         levels.append(NodalLevel(cur_sigma, diag, mask, cur_dx, nshape))
         if (
@@ -401,6 +405,8 @@ def _nodal_residual(phi, rhs, lev: NodalLevel, bc: NodalBC):
 
 
 def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
+    from iamr_tpu.parallel.context import constrain
+
     lev = levels[lev_idx]
     dim = lev.sigma.ndim
     phi = jnp.zeros_like(rhs)
@@ -408,10 +414,10 @@ def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
         return _jacobi(phi, rhs, lev, bc, nu_bottom)
     phi = _jacobi(phi, rhs, lev, bc, nu1)
     r = _nodal_residual(phi, rhs, lev, bc)
-    r_c = _restrict_node(r, bc)
+    r_c = constrain(_restrict_node(r, bc))
     e_c = _nodal_vcycle(r_c, levels, bc, lev_idx + 1, nu1, nu2, nu_bottom)
     e_f = _prolong_node(e_c, dim)
-    phi = phi + levels[lev_idx].mask * e_f
+    phi = constrain(phi + levels[lev_idx].mask * e_f)
     phi = _jacobi(phi, rhs, lev, bc, nu2)
     return phi
 
@@ -467,7 +473,10 @@ def nodal_solve(
     def demean(x):
         return x - jnp.sum(x * own) / jnp.sum(own)
 
-    rhs = lev0.mask * rhs
+    from iamr_tpu.parallel.context import constrain
+
+    rhs = constrain(lev0.mask * rhs)
+    phi = constrain(phi)
     if singular:
         rhs = demean(rhs)
 

@@ -52,6 +52,13 @@ def pallas_ok(shape, dtype, force: bool = False) -> bool:
     Inside one MG hierarchy this naturally uses Pallas on the big fine
     levels and XLA on the coarse ones.
     """
+    from iamr_tpu.parallel.context import active
+
+    if active() is not None:
+        # a spatial mesh is live: pallas_call is an opaque custom call the
+        # SPMD partitioner cannot split, so multi-chip programs use the XLA
+        # smoothers (shard_map-wrapped kernels are the planned upgrade)
+        return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
     if int(np.prod(shape)) < 16384 or shape[0] < 8:

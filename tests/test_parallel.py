@@ -1,0 +1,180 @@
+"""Multi-chip spatial-decomposition correctness: sharded == unsharded.
+
+The framework's distributed layer (iamr_tpu.parallel) shards dense level
+arrays over a spatial jax Mesh and annotates per-MG-level layouts; XLA
+compiles the ghost fills / stencils into collectives (SURVEY.md sections
+2.3.1 and 5.8; reference comm backend: ParallelDescriptor + FillBoundary,
+Source/NavierStokesBase.cpp:1452). These tests run the SAME step program
+on an 8-virtual-device CPU mesh and on one device and require agreement to
+f64 roundoff — the analogue of the reference's `mpiexec -n 2..4` regression
+runs (Test/IAMR-tests.ini MPIcommand:55).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.ns.advance import advance
+from iamr_tpu.ns.probs import init_state
+from iamr_tpu.ns.state import config_from_inputs
+from iamr_tpu.parallel import SpatialMesh, shard_state, use_mesh
+from iamr_tpu.parallel.context import level_spec
+
+INPUTS = """
+max_step = 3
+amr.n_cell = {cells}
+ns.cfl = 0.5
+ns.vel_visc_coef = 1e-3
+ns.scal_diff_coefs = 0.001
+geometry.prob_lo = {lo}
+geometry.prob_hi = {hi}
+geometry.is_periodic = {per}
+ns.lo_bc = {zbc}
+ns.hi_bc = {zbc}
+prob.probtype = 11
+prob.velocity_factor = 1.0
+"""
+
+
+def _cfg_state(n, dim):
+    pp = ParmParse.from_string(
+        INPUTS.format(
+            cells=" ".join([str(n)] * dim),
+            lo=" ".join(["0."] * dim),
+            hi=" ".join(["1."] * dim),
+            per=" ".join(["1"] * dim),
+            zbc=" ".join(["0"] * dim),
+        )
+    )
+    cfg = config_from_inputs(pp)
+    state = init_state(cfg)
+    return cfg, state._replace(dt=jnp.asarray(0.005, cfg.jdtype))
+
+
+def _run(cfg, state, nsteps, pmesh=None, cycles=4):
+    if pmesh is None:
+        step = jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles=cycles))
+        for _ in range(nsteps):
+            state = step(state)
+        return state
+    with use_mesh(pmesh):
+        state = shard_state(state, pmesh)
+        step = jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles=cycles))
+        for _ in range(nsteps):
+            state = step(state)
+        state.vel.block_until_ready()
+    return state
+
+
+def _assert_state_close(a, b, tol):
+    np.testing.assert_allclose(np.asarray(a.vel), np.asarray(b.vel), atol=tol)
+    np.testing.assert_allclose(np.asarray(a.rho), np.asarray(b.rho), atol=tol)
+    np.testing.assert_allclose(np.asarray(a.p), np.asarray(b.p), atol=tol)
+    np.testing.assert_allclose(
+        np.asarray(a.gradp), np.asarray(b.gradp), atol=tol
+    )
+    np.testing.assert_allclose(np.asarray(a.trac), np.asarray(b.trac), atol=tol)
+
+
+def test_level_spec_policy():
+    """Fine MG levels shard; coarse levels replicate (the agglomeration
+    analogue, SURVEY.md section 5.7)."""
+    pmesh = SpatialMesh.create(8, dim=3)
+    assert pmesh.shape == (2, 4, 1)
+    fine = level_spec((64, 64, 64), pmesh)
+    assert fine == jax.sharding.PartitionSpec("x", "y", None)
+    # 16 cells over 4 devices = 4 < MIN_LOCAL -> y replicates; x stays
+    mid = level_spec((16, 16, 16), pmesh)
+    assert mid == jax.sharding.PartitionSpec("x", None, None)
+    coarse = level_spec((4, 4, 4), pmesh)
+    assert coarse == jax.sharding.PartitionSpec(None, None, None)
+    # node arrays (n+1) don't divide: unannotated
+    node = level_spec((65, 65, 65), pmesh)
+    assert node == jax.sharding.PartitionSpec(None, None, None)
+
+
+def test_sharded_matches_unsharded_2d():
+    cfg, state = _cfg_state(64, dim=2)
+    ref = _run(cfg, state, 3)
+    pmesh = SpatialMesh.create(8, dim=2)
+    out = _run(cfg, state, 3, pmesh=pmesh)
+    _assert_state_close(out, ref, 1e-13)
+
+
+@pytest.mark.slow
+def test_sharded_matches_unsharded_3d_64():
+    """The VERDICT round-2 'done' bar: TaylorGreen 64^3, 3 steps, sharded
+    == unsharded to f64 roundoff on an 8-device mesh."""
+    cfg, state = _cfg_state(64, dim=3)
+    ref = _run(cfg, state, 3)
+    pmesh = SpatialMesh.create(8, dim=3)
+    out = _run(cfg, state, 3, pmesh=pmesh)
+    _assert_state_close(out, ref, 1e-13)
+
+
+def test_sharded_matches_unsharded_tolerance_mode():
+    """while_loop-driven (tolerance) solves also agree under sharding: the
+    residual norms are all-reduced identically, so iteration counts match."""
+    cfg, state = _cfg_state(32, dim=2)
+    ref = _run(cfg, state, 2, cycles=None)
+    pmesh = SpatialMesh.create(8, dim=2)
+    out = _run(cfg, state, 2, pmesh=pmesh, cycles=None)
+    _assert_state_close(out, ref, 1e-12)
+
+
+def test_sharded_two_level_matches():
+    """A 2-level subcycled AMR step agrees under sharding."""
+    from iamr_tpu.amr.hierarchy import LevelSpec
+    from iamr_tpu.amr.multilevel import (
+        MLState,
+        advance_two_level_subcycled,
+        init_fine_from_coarse,
+    )
+
+    n = 32
+    cfg, crse = _cfg_state(n, dim=2)
+    spec = LevelSpec(lo=(n // 2, n // 2), ncell=(n, n), ratio=2)
+    fine = init_fine_from_coarse(cfg, spec, crse)
+    ml = MLState(crse=crse, fine=fine)
+
+    step = jax.jit(
+        lambda m: advance_two_level_subcycled(m, cfg, spec, fixed_mg_cycles=4)
+    )
+    ref = step(ml)
+
+    pmesh = SpatialMesh.create(8, dim=2)
+    with use_mesh(pmesh):
+        ml_sh = MLState(
+            crse=shard_state(crse, pmesh), fine=shard_state(fine, pmesh)
+        )
+        step_sh = jax.jit(
+            lambda m: advance_two_level_subcycled(m, cfg, spec, fixed_mg_cycles=4)
+        )
+        out = step_sh(ml_sh)
+        out.crse.vel.block_until_ready()
+
+    _assert_state_close(out.crse, ref.crse, 1e-13)
+    _assert_state_close(out.fine, ref.fine, 1e-13)
+
+
+def test_collectives_present_in_hlo():
+    """The compiled sharded program actually communicates (halo exchange /
+    reductions lower to collectives, not all-gather-everything)."""
+    cfg, state = _cfg_state(64, dim=2)
+    pmesh = SpatialMesh.create(8, dim=2)
+    with use_mesh(pmesh):
+        sh = shard_state(state, pmesh)
+        step = jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles=2))
+        txt = step.lower(sh).compile().as_text()
+    n_cp = txt.count("collective-permute(")
+    n_ag = txt.count("all-gather(")
+    n_ar = txt.count("all-reduce(")
+    assert n_cp + n_ag > 0, "no halo communication found in HLO"
+    assert n_ar > 0, "no global reductions found in HLO"
+    # halo exchange should dominate re-layout: point-to-point permutes must
+    # appear (pure all-gather would mean GSPMD replicated the stencils)
+    assert n_cp > 0
