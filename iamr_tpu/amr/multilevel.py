@@ -249,12 +249,27 @@ def _couple_levels(
     # fine patch like the reference's Ssync.
     ssync_rho = -dt_c * sync_aofs(cfg, crse_out.rho, ucorr, 0, True)
     rho_sync = crse_out.rho + ssync_rho
+
+    # implicit sync diffusion (diffuse_Ssync / diffuse_Vsync,
+    # Source/Diffusion.cpp:960-1353): corrections see the CN operator so
+    # the composite state stays consistent with the diffused levels
+    from iamr_tpu.ns.advance import beta_faces, mu_faces
+    from iamr_tpu.ns.bcprovider import PhysBCProvider
+    from iamr_tpu.solvers.tensor import diffuse_ssync, diffuse_vsync
+
+    bcp_c = PhysBCProvider(cfg)
     trac_sync = []
     for t in range(cfg.ntrac):
         ds = uncovered(
             -dt_c
             * sync_aofs(cfg, crse_out.trac[t], ucorr, 1 + t, cfg.do_cons_trac)
         )
+        coef = cfg.scal_diff_coefs[t] if t < len(cfg.scal_diff_coefs) else 0.0
+        if coef > 0.0 and eb_c is None:
+            ds = diffuse_ssync(
+                cfg, bcp_c, ds, rho_sync, beta_faces(cfg, coef), dt_c,
+                cfg.be_cn_theta, 1 + t, fixed_cycles=fixed_mg_cycles,
+            )
         trac_sync.append(crse_out.trac[t] + ds)
     trac_sync = jnp.stack(trac_sync)
 
@@ -263,6 +278,12 @@ def _couple_levels(
     vsync = jnp.stack(
         [uncovered(-dt_c * a) for a in sync_aofs_vel(cfg, crse_out.vel, ucorr)]
     )
+    if cfg.vel_visc_coef > 0.0 and eb_c is None:
+        rho_half_c = 0.5 * (crse_new.rho + rho_sync)
+        vsync = diffuse_vsync(
+            cfg, bcp_c, vsync, rho_half_c, mu_faces(cfg), dt_c,
+            cfg.be_cn_theta, fixed_cycles=fixed_mg_cycles,
+        )
     vsync_p, phi_sync = sync_project(
         cfg, vsync, crse_out.rho, dt_c, spec, fixed_cycles=fixed_mg_cycles
     )

@@ -478,21 +478,19 @@ def advance(
         alpha = rho_half / dt
         theta = cfg.be_cn_theta
         if cfg.do_les and eb is None:
-            from iamr_tpu.ns.les import tensor_cross_terms
+            # variable viscosity: FULL implicit tensor solve (MLTensorOp
+            # semantics, Diffusion.cpp:713-958) — cross terms inside the
+            # CN operator via segregated outer iteration
+            from iamr_tpu.solvers.tensor import diffuse_tensor_velocity
 
-            vel_star = vel_star + dt * tensor_cross_terms(
-                cfg, bcp, vel, mf
-            ) / rho_half
-        if eb is not None:
-            # volume-weighted MLEB operator + implicit no-slip wall drag
-            # (theta-weighted like the interior CN terms)
-            a_rhs = eb.vfrac * alpha + eb.covered
-            a_op = a_rhs + theta * drag_v
-            mf = ebmul(mf)
-        comps = []
-        for c in range(dim):
-            vbc, vbv = bcp.vel_diff_bc(c)
-            if eb is None:
+            vel_star = diffuse_tensor_velocity(
+                cfg, bcp, vel_star, vel, rho_half, mf, dt, theta,
+                rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
+            )
+        elif eb is None:
+            comps = []
+            for c in range(dim):
+                vbc, vbv = bcp.vel_diff_bc(c)
                 u_new, _ = diff.diffuse_scalar(
                     vel_star[c], vel[c], alpha, alpha, mf,
                     1.0,  # dt folded into alpha: (alpha - theta*L), alpha=rho/dt
@@ -500,7 +498,17 @@ def advance(
                     rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=vbc, poisson_bvals=vbv,
                 )
-            else:
+                comps.append(u_new)
+            vel_star = jnp.stack(comps)
+        else:
+            # EB: volume-weighted MLEB operator + implicit no-slip wall drag
+            # (theta-weighted like the interior CN terms)
+            a_rhs = eb.vfrac * alpha + eb.covered
+            a_op = a_rhs + theta * drag_v
+            mf = ebmul(mf)
+            comps = []
+            for c in range(dim):
+                vbc, vbv = bcp.vel_diff_bc(c)
                 # CN explicit half of the wall drag moves into the rhs via
                 # s_star (rhs = a_rhs*s_star' = a_rhs*s* - (1-th)*drag*u^n)
                 vs = vel_star[c] - (1.0 - theta) * drag_v * vel[c] / a_rhs
@@ -510,9 +518,8 @@ def advance(
                     rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=vbc, poisson_bvals=vbv, alpha_op=a_op,
                 )
-                u_new = u_new * eb.fluid
-            comps.append(u_new)
-        vel_star = jnp.stack(comps)
+                comps.append(u_new * eb.fluid)
+            vel_star = jnp.stack(comps)
 
     # --- 6. nodal projection ---------------------------------------------
     divu_new = None

@@ -256,6 +256,60 @@ def _use_pallas(lev: MGLevelData, dtype):
     return pallas_ok(lev.shape, dtype)
 
 
+def _fused_gate(lev: MGLevelData, dtype, a, nsweeps: int, want_resid: bool):
+    """Pick the fused-smoother mode for this level, or None.
+
+    Gated off under an active multi-chip mesh (pallas_call is opaque to the
+    SPMD partitioner), for f64 (CPU/tolerance runs), and for tiny levels
+    (below ~16k cells the Mosaic small-shape risk outweighs the dispatch
+    win). IAMR_FUSED=0 disables; =1 forces (interpret mode off-TPU, for
+    tests).
+    """
+    import os
+
+    import numpy as _np
+
+    from iamr_tpu.parallel.context import active
+
+    if active() is not None:
+        return None, False
+    if jnp.dtype(dtype) != jnp.float32:
+        return None, False
+    if int(_np.prod(lev.shape)) < 16384:
+        return None, False
+    env = os.environ.get("IAMR_FUSED", "")
+    if env == "0":
+        return None, False
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    if not on_tpu and env != "1":
+        return None, False
+    from iamr_tpu.ops.pallas_fused import cell_mode
+
+    mode = cell_mode(lev.shape, dtype, a != 0.0, want_resid, max(nsweeps, 1))
+    return mode, (not on_tpu)
+
+
+def _smooth2(phi, rhs, lev: MGLevelData, a, b, bc, nsweeps: int,
+             want_resid: bool):
+    """Smoother (+ optional trailing residual): fused Pallas when possible."""
+    mode, interp = _fused_gate(lev, rhs.dtype, a, nsweeps, want_resid)
+    if mode is not None:
+        from iamr_tpu.ops.pallas_fused import cell_smooth_fused
+
+        alpha = lev.alpha if a != 0.0 else None
+        return cell_smooth_fused(
+            phi, rhs, alpha, lev.beta, a, b, lev.dx, bc.lo, bc.hi,
+            nsweeps, want_resid, interpret=interp, mode=mode,
+        )
+    if nsweeps > 0:
+        phi = _smooth_rb(phi, rhs, lev, a, b, bc, nsweeps)
+    r = _residual(phi, rhs, lev, a, b, bc) if want_resid else None
+    return phi, r
+
+
 def _smooth_rb(phi, rhs, lev: MGLevelData, a, b, bc, nsweeps: int):
     """nsweeps red-black Gauss-Seidel sweeps (fused Pallas kernel on TPU)."""
     if _use_pallas(lev, phi.dtype):
@@ -308,14 +362,32 @@ def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
     dim = len(lev.shape)
     phi = jnp.zeros_like(rhs)
     if lev_idx == len(levels) - 1:
-        return _smooth_rb(phi, rhs, lev, a, b, bc, nu_bottom)
-    phi = _smooth_rb(phi, rhs, lev, a, b, bc, nu1)
-    r = _residual(phi, rhs, lev, a, b, bc)
+        phi, _ = _smooth2(phi, rhs, lev, a, b, bc, nu_bottom, False)
+        return phi
+    phi, r = _smooth2(phi, rhs, lev, a, b, bc, nu1, True)
     r_c = constrain(_coarsen_cell(r, dim))
     e_c = _vcycle(r_c, levels, a, b, bc, lev_idx + 1, nu1, nu2, nu_bottom)
     phi = constrain(phi + _prolong(e_c, dim))
-    phi = _smooth_rb(phi, rhs, lev, a, b, bc, nu2)
+    phi, _ = _smooth2(phi, rhs, lev, a, b, bc, nu2, False)
     return phi
+
+
+def _mixed_auto() -> bool:
+    """Auto-enable mixed precision for f64 solves on TPU (f64 is emulated
+    there; the f32 V-cycle runs on the fused Pallas path while f64 enters
+    only through the once-per-cycle residual/correction). IAMR_MP=0/1
+    overrides."""
+    import os
+
+    env = os.environ.get("IAMR_MP", "")
+    if env == "0":
+        return False
+    if env == "1":
+        return True
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
 
 
 def mg_solve(
@@ -335,11 +407,17 @@ def mg_solve(
     nu2: int = 2,
     nu_bottom: int = 16,
     fixed_cycles: Optional[int] = None,
+    mixed: Optional[bool] = None,
 ):
     """Solve (a*alpha - b*div(beta grad)) phi = rhs to tolerance.
 
     Singular (all-periodic/Neumann, a=0) problems are handled by projecting
     the mean out of rhs and phi each cycle.
+
+    mixed: for f64 inputs, run the V-cycle in f32 (fused Pallas smoothers)
+    with f64 residual/correction outside — iterative refinement reaching
+    f64 tolerances at f32 smoothing cost (the TPU answer to the reference's
+    all-double MLMG, SURVEY.md section 7.3.7). None = auto (TPU only).
 
     Returns (phi, final_resnorm, n_cycles).
     """
@@ -366,12 +444,32 @@ def mg_solve(
     phi = constrain(phi)
     levels = build_hierarchy(alpha, beta, a, b, dx, bc)
 
+    use_mixed = (
+        jnp.dtype(dtype) == jnp.float64
+        and (mixed if mixed is not None else _mixed_auto())
+    )
+    if use_mixed:
+        f32 = jnp.float32
+        # b may be a traced f64 scalar (theta*dt) — cast or it re-promotes
+        # the f32 hierarchy
+        b32 = b if isinstance(b, (int, float)) else jnp.asarray(b, f32)
+        levels32 = build_hierarchy(
+            alpha.astype(f32), tuple(bd.astype(f32) for bd in beta),
+            a, b32, dx, bc,
+        )
+
     bnorm = jnp.max(jnp.abs(rhs))
     tol = jnp.maximum(rtol * bnorm, atol)
 
     def do_cycle(phi):
-        r = _residual(phi, rhs, levels[0], a, b, bc)
-        e = _vcycle(r, levels, a, b, bc, 0, nu1, nu2, nu_bottom)
+        _, r = _smooth2(phi, rhs, levels[0], a, b, bc, 0, True)
+        if use_mixed:
+            e = _vcycle(
+                r.astype(jnp.float32), levels32, a, b32, bc, 0,
+                nu1, nu2, nu_bottom,
+            ).astype(dtype)
+        else:
+            e = _vcycle(r, levels, a, b, bc, 0, nu1, nu2, nu_bottom)
         phi = phi + e
         if singular:
             phi = phi - jnp.mean(phi)
@@ -380,7 +478,7 @@ def mg_solve(
     if fixed_cycles is not None:
         for _ in range(fixed_cycles):
             phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_residual(phi, rhs, levels[0], a, b, bc)))
+        res = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
         return phi, res, jnp.asarray(fixed_cycles)
 
     def cond(state):
@@ -390,10 +488,10 @@ def mg_solve(
     def body(state):
         phi, _, it = state
         phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_residual(phi, rhs, levels[0], a, b, bc)))
+        res = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
         return phi, res, it + 1
 
-    res0 = jnp.max(jnp.abs(_residual(phi, rhs, levels[0], a, b, bc)))
+    res0 = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
     phi, res, it = jax.lax.while_loop(cond, body, (phi, res0, jnp.asarray(0)))
     return phi, res, it
 

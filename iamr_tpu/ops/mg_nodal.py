@@ -359,6 +359,52 @@ def _use_pallas(lev: NodalLevel, dtype):
     return pallas_ok(lev.nshape, dtype)
 
 
+def _fused_gate(lev: NodalLevel, dtype, nsweeps: int, want_resid: bool):
+    """Fused-smoother mode for this level, or None (see mg._fused_gate)."""
+    import os
+
+    import numpy as _np
+
+    from iamr_tpu.parallel.context import active
+
+    if active() is not None:
+        return None, False
+    if jnp.dtype(dtype) != jnp.float32:
+        return None, False
+    if int(_np.prod(lev.nshape)) < 16384:
+        return None, False
+    env = os.environ.get("IAMR_FUSED", "")
+    if env == "0":
+        return None, False
+    try:
+        on_tpu = jax.default_backend() not in ("cpu",)
+    except Exception:
+        on_tpu = False
+    if not on_tpu and env != "1":
+        return None, False
+    from iamr_tpu.ops.pallas_fused import nodal_mode
+
+    mode = nodal_mode(lev.nshape, dtype, want_resid, max(nsweeps, 1))
+    return mode, (not on_tpu)
+
+
+def _smooth2(phi, rhs, lev: NodalLevel, bc: NodalBC, nsweeps: int,
+             want_resid: bool, omega: float = 0.85):
+    """Jacobi smoother (+ optional masked residual), fused when possible."""
+    mode, interp = _fused_gate(lev, rhs.dtype, nsweeps, want_resid)
+    if mode is not None:
+        from iamr_tpu.ops.pallas_fused import nodal_smooth_fused
+
+        return nodal_smooth_fused(
+            phi, lev.sigma, rhs, lev.dx, bc.lo, bc.hi, omega,
+            nsweeps, want_resid, interpret=interp, mode=mode,
+        )
+    if nsweeps > 0:
+        phi = _jacobi(phi, rhs, lev, bc, nsweeps, omega)
+    r = _nodal_residual(phi, rhs, lev, bc) if want_resid else None
+    return phi, r
+
+
 def _sigp_for_kernel(sigma, bc: NodalBC):
     """Padded cells extended to nodes+2 per dim (kernel never reads the
     extra end row)."""
@@ -411,14 +457,14 @@ def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
     dim = lev.sigma.ndim
     phi = jnp.zeros_like(rhs)
     if lev_idx == len(levels) - 1:
-        return _jacobi(phi, rhs, lev, bc, nu_bottom)
-    phi = _jacobi(phi, rhs, lev, bc, nu1)
-    r = _nodal_residual(phi, rhs, lev, bc)
+        phi, _ = _smooth2(phi, rhs, lev, bc, nu_bottom, False)
+        return phi
+    phi, r = _smooth2(phi, rhs, lev, bc, nu1, True)
     r_c = constrain(_restrict_node(r, bc))
     e_c = _nodal_vcycle(r_c, levels, bc, lev_idx + 1, nu1, nu2, nu_bottom)
     e_f = _prolong_node(e_c, dim)
     phi = constrain(phi + levels[lev_idx].mask * e_f)
-    phi = _jacobi(phi, rhs, lev, bc, nu2)
+    phi, _ = _smooth2(phi, rhs, lev, bc, nu2, False)
     return phi
 
 
@@ -436,8 +482,13 @@ def nodal_solve(
     nu_bottom: int = 40,
     fixed_cycles: Optional[int] = None,
     phi_bc=None,
+    mixed: Optional[bool] = None,
 ):
     """Solve L(phi) = rhs (FEM nodal Laplacian). Returns (phi, resnorm, iters).
+
+    mixed: for f64 inputs, run the V-cycle in f32 (fused Pallas smoothers)
+    with f64 residual/correction outside — iterative refinement to f64
+    tolerances (see mg.mg_solve). None = auto (TPU only).
 
     phi_bc: optional node array whose values on Dirichlet boundary nodes are
     imposed (inhomogeneous Dirichlet — the coarse-fine boundary condition of
@@ -480,12 +531,26 @@ def nodal_solve(
     if singular:
         rhs = demean(rhs)
 
+    from iamr_tpu.ops.mg import _mixed_auto
+
+    use_mixed = (
+        jnp.dtype(rhs.dtype) == jnp.float64
+        and (mixed if mixed is not None else _mixed_auto())
+    )
+    if use_mixed:
+        levels32 = build_nodal_hierarchy(sigma.astype(jnp.float32), dx, bc)
+
     bnorm = jnp.max(jnp.abs(rhs))
     tol = jnp.maximum(rtol * bnorm, atol)
 
     def do_cycle(phi):
-        r = _nodal_residual(phi, rhs, lev0, bc)
-        e = _nodal_vcycle(r, levels, bc, 0, nu1, nu2, nu_bottom)
+        _, r = _smooth2(phi, rhs, lev0, bc, 0, True)
+        if use_mixed:
+            e = _nodal_vcycle(
+                r.astype(jnp.float32), levels32, bc, 0, nu1, nu2, nu_bottom
+            ).astype(rhs.dtype)
+        else:
+            e = _nodal_vcycle(r, levels, bc, 0, nu1, nu2, nu_bottom)
         phi = phi + lev0.mask * e
         if singular:
             phi = demean(phi)
@@ -497,7 +562,7 @@ def nodal_solve(
     if fixed_cycles is not None:
         for _ in range(fixed_cycles):
             phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_nodal_residual(phi, rhs, lev0, bc)))
+        res = jnp.max(jnp.abs(_smooth2(phi, rhs, lev0, bc, 0, True)[1]))
         return finalize(phi), res, jnp.asarray(fixed_cycles)
 
     def cond(state):
@@ -507,9 +572,9 @@ def nodal_solve(
     def body(state):
         phi, _, it = state
         phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_nodal_residual(phi, rhs, lev0, bc)))
+        res = jnp.max(jnp.abs(_smooth2(phi, rhs, lev0, bc, 0, True)[1]))
         return phi, res, it + 1
 
-    res0 = jnp.max(jnp.abs(_nodal_residual(phi, rhs, lev0, bc)))
+    res0 = jnp.max(jnp.abs(_smooth2(phi, rhs, lev0, bc, 0, True)[1]))
     phi, res, it = jax.lax.while_loop(cond, body, (phi, res0, jnp.asarray(0)))
     return finalize(phi), res, it

@@ -1,0 +1,680 @@
+"""Fused multi-pass Pallas smoothers for the MG hot loops (round-2 kernels).
+
+Round-1 kernels (pallas_mg.py) fused ONE color/Jacobi pass each; a V-cycle
+level still issued ~10 pallas calls, re-read every coefficient stream per
+pass, and re-padded phi with a full-array concatenate per sweep. Profiling
+the 256^3 HIT step showed ~6300 XLA kernels and 225 GB of HBM traffic per
+step (~20x the algorithmic minimum) — the win is fewer, bigger kernels.
+
+These kernels run a WHOLE smoother (nsweeps x (red+black) GSRB for the
+cell op, nsweeps weighted-Jacobi for the nodal op) plus optionally the
+following residual in ONE pallas_call.
+
+Kernel style: ALL neighbor access is `pltpu.roll` + boundary `where` fixes
+on full-block values — no padded scratch buffers and no per-pass offset
+slices/plane writes (a first cut used those; Mosaic compile time exploded
+to minutes per kernel, while roll-based bodies compile in seconds).
+Periodic ghosts come free from the roll wrap; Dirichlet/Neumann ghosts are
+algebraic combinations of the two interior planes, injected with
+iota-selected `where`.
+
+Two placements:
+  * whole-array mode (small/mid levels): one program, everything resident
+    in VMEM for all passes.
+  * slab mode (128^3+ levels): overlapping slabs over dim 0 with halo
+    width H = number of passes. Rolls wrap the BLOCK; each pass therefore
+    contaminates one more halo row from each edge, and with H = P the slab
+    interior after P passes is EXACTLY the sequential result (overlapped-
+    halo redundant compute, ~(T+2H)/T extra). phi/rhs are padded once per
+    call (wrap or zeros); coefficient streams once per call too.
+
+Exactness: identical arithmetic to the XLA reference smoothers
+(mg._smooth_rb / mg_nodal._jacobi) up to f32 reassociation; periodic face
+coefficients must satisfy beta[0]==beta[n] (true for every production face
+array — they are built from wrap ghosts).
+
+Reference: the smoothers inside AMReX MLMG — GSRB for MLABecLaplacian
+(Source/Diffusion.cpp:345-352, Source/MacProj.cpp:1150-1183) and Jacobi
+for MLNodeLaplacian (Source/Projection.cpp:2512).
+"""
+
+from __future__ import annotations
+
+import itertools
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# BC kinds (match ops.mg)
+PERIODIC = 0
+DIRICHLET = 1
+NEUMANN = 2
+
+# nodal BC kinds (match ops.mg_nodal)
+N_PERIODIC = 0
+N_NEUMANN = 1
+N_DIRICHLET = 2
+
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+_T = 16  # slab tile rows (multiple of the f32 sublane tiling, 8)
+
+# whole-array VMEM budget: ~10 resident full-size values
+_WHOLE_LIMIT = 48 * 1024 * 1024
+_SLAB_LIMIT = 100 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# mode selection
+
+
+def _slab_T(shape, streams, H, n_out, allow_pad=False):
+    """Largest slab tile whose VMEM footprint fits: double-buffered input
+    blocks + outputs + ~4 rows of working values (calibrated against the
+    Mosaic scoped-vmem report at 256^3). allow_pad: the caller end-pads
+    dim 0 to a multiple of T (node arrays); the wrap halo + end pad must
+    then still fit inside one period (extra + H + 1 <= n0 - 1)."""
+    layer = (shape[1] + 2) * (shape[2] + 2) * 4
+    for T in (32, 16, 8):
+        if allow_pad:
+            extra = (-shape[0]) % T
+            if H + extra + 1 > shape[0] - 1:
+                continue
+        elif shape[0] % T != 0 and shape[0] > T:
+            continue
+        rows = T + 2 * H
+        est = layer * (2 * streams * (rows + 1) + n_out * T + 4 * rows)
+        if est <= _SLAB_LIMIT:
+            return T
+    return None
+
+
+def cell_mode(shape, dtype, has_alpha, want_resid, nsweeps) -> Optional[str]:
+    if jnp.dtype(dtype) != jnp.float32:
+        return None
+    nbytes = int(np.prod(shape)) * 4
+    if nbytes * 10 <= _WHOLE_LIMIT:
+        return "whole"
+    if len(shape) != 3:
+        return None
+    H = 2 * nsweeps + (1 if want_resid else 0)
+    streams = 6 + (1 if has_alpha else 0)
+    T = _slab_T(shape, streams, H, 2 if want_resid else 1)
+    return "slab" if T is not None else None
+
+
+def nodal_mode(nshape, dtype, want_resid, nsweeps) -> Optional[str]:
+    if jnp.dtype(dtype) != jnp.float32:
+        return None
+    nbytes = int(np.prod(nshape)) * 4
+    if nbytes * 16 <= _WHOLE_LIMIT:
+        return "whole"
+    if len(nshape) != 3:
+        return None
+    H = nsweeps + (1 if want_resid else 0)
+    T = _slab_T(nshape, 3, H, 2 if want_resid else 1, allow_pad=True)
+    return "slab" if T is not None else None
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (value-based, roll + where only)
+
+
+def _roll(c, shift, axis):
+    return pltpu.roll(c, shift % c.shape[axis], axis=axis)
+
+
+def _pos(shape, d, offset=0):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, d) + offset
+
+
+def _neighbors(c, d, kind_lo, kind_hi, pos=None, last=None):
+    """(dn, up): dn[i]=c[i-1], up[i]=c[i+1] along d with homogeneous BC
+    ghost fixes. pos/last: index array + last index (None -> pure wrap,
+    slab interior or periodic)."""
+    up = _roll(c, -1, d)
+    dn = _roll(c, 1, d)
+    if pos is None:
+        return dn, up
+    # a PERIODIC kind on a dim treated non-periodically (mismatched pair)
+    # degrades to a copy ghost, matching mg._pad_phi's else-branch
+    if kind_lo == DIRICHLET:
+        dn = jnp.where(pos == 0, -2.0 * c + (1.0 / 3.0) * up, dn)
+    else:
+        dn = jnp.where(pos == 0, c, dn)
+    if kind_hi == DIRICHLET:
+        up = jnp.where(pos == last, -2.0 * c + (1.0 / 3.0) * dn, up)
+    else:
+        up = jnp.where(pos == last, c, up)
+    return dn, up
+
+
+def _parity(shape, offset0=0):
+    p = None
+    for d in range(len(shape)):
+        it = jax.lax.broadcasted_iota(jnp.int32, shape, d)
+        p = it if p is None else p + it
+    return ((p + offset0) % 2) == 0
+
+
+# ---------------------------------------------------------------------------
+# cell-centered ABecLaplacian fused GSRB kernel (whole + slab share a core)
+
+
+def _cell_core(
+    scal_ref, phi_ref, rhs_ref, alpha_ref, brefs, out_ref, res_ref,
+    *, shape, bc_lo, bc_hi, inv_dx2, nsweeps, want_resid, has_alpha,
+    slab=None,
+):
+    """slab: None (whole) or dict(T, H, n0, per0, i) for slab mode."""
+    dim = len(shape)
+    a = scal_ref[0, 0]
+    b = scal_ref[0, 1]
+    c = phi_ref[...]
+    rhs = rhs_ref[...]
+
+    # face views sliced per use (keeps the live VMEM set small; the input
+    # blocks themselves stay resident)
+    def bl(d):
+        idx = [slice(None)] * dim
+        idx[d] = slice(0, shape[d])
+        return brefs[d][tuple(idx)]
+
+    def bh(d):
+        idx = [slice(None)] * dim
+        idx[d] = slice(1, shape[d] + 1)
+        return brefs[d][tuple(idx)]
+
+    # per-dim boundary descriptors
+    pos, last = [], []
+    for d in range(dim):
+        if slab is not None and d == 0:
+            if slab["per0"]:
+                pos.append(None)
+                last.append(None)
+            else:
+                grow = slab["g0"] + _pos(shape, 0)
+                pos.append(grow)
+                last.append(slab["n0"] - 1)
+        elif bc_lo[d] == PERIODIC:
+            pos.append(None)
+            last.append(None)
+        else:
+            pos.append(_pos(shape, d))
+            last.append(shape[d] - 1)
+
+    # diagonal with boundary-modified coefficients (mg._diag)
+    bsum = None
+    for d in range(dim):
+        t_lo, t_hi = bl(d), bh(d)
+        if pos[d] is not None:
+            fl = 3.0 if bc_lo[d] == DIRICHLET else (0.0 if bc_lo[d] == NEUMANN else 1.0)
+            fh = 3.0 if bc_hi[d] == DIRICHLET else (0.0 if bc_hi[d] == NEUMANN else 1.0)
+            if fl != 1.0:
+                t_lo = jnp.where(pos[d] == 0, fl * t_lo, t_lo)
+            if fh != 1.0:
+                t_hi = jnp.where(pos[d] == last[d], fh * t_hi, t_hi)
+        term = (t_lo + t_hi) * inv_dx2[d]
+        bsum = term if bsum is None else bsum + term
+    aalpha = a * alpha_ref[...] if has_alpha else None
+    diag = (aalpha + b * bsum) if has_alpha else b * bsum
+    diag = jnp.where(diag != 0.0, diag, 1.0)
+
+    par_off = slab["H"] if slab is not None else 0
+    red = _parity(shape, par_off)
+    if slab is not None and not slab["per0"]:
+        grow = pos[0]
+        ok = jnp.logical_and(grow >= 0, grow < slab["n0"])
+    else:
+        ok = None
+
+    def residual(c):
+        lap = None
+        for d in range(dim):
+            dn, up = _neighbors(c, d, bc_lo[d], bc_hi[d], pos[d], last[d])
+            t = (bh(d) * (up - c) - bl(d) * (c - dn)) * inv_dx2[d]
+            lap = t if lap is None else lap + t
+        r = rhs + b * lap
+        if has_alpha:
+            r = r - aalpha * c
+        return r
+
+    for p in range(2 * nsweeps):
+        r = residual(c)
+        mask = red if p % 2 == 0 else jnp.logical_not(red)
+        if ok is not None:
+            mask = jnp.logical_and(mask, ok)
+        c = jnp.where(mask, c + r / diag, c)
+
+    if slab is None:
+        out_ref[...] = c
+        if want_resid:
+            res_ref[...] = residual(c)
+    else:
+        H, T = slab["H"], slab["T"]
+        out_ref[...] = c[H : H + T]
+        if want_resid:
+            res_ref[...] = residual(c)[H : H + T]
+
+
+def _cell_whole_kernel(scal_ref, phi_ref, rhs_ref, alpha_ref, *rest, **kw):
+    dim = len(kw["shape"])
+    brefs = rest[:dim]
+    out_ref, res_ref = rest[dim], rest[dim + 1]
+    _cell_core(scal_ref, phi_ref, rhs_ref, alpha_ref, brefs, out_ref,
+               res_ref, slab=None, **kw)
+
+
+def _cell_slab_kernel(scal_ref, phi_ref, rhs_ref, alpha_ref, bx, by, bz,
+                      out_ref, res_ref, *, T, H, n0, per0, **kw):
+    i = pl.program_id(0)
+    slab = dict(T=T, H=H, n0=n0, per0=per0, g0=i * T - H)
+    _cell_core(scal_ref, phi_ref, rhs_ref, alpha_ref, (bx, by, bz),
+               out_ref, res_ref, slab=slab, **kw)
+
+
+# ---------------------------------------------------------------------------
+# drivers
+
+
+def pad0_cell(x, H, wrap):
+    if H == 0:
+        return x
+    if wrap:
+        return jnp.concatenate([x[-H:], x, x[:H]], axis=0)
+    return jnp.pad(x, [(H, H)] + [(0, 0)] * (x.ndim - 1))
+
+
+def pad0_face0(x, H, wrap):
+    """Pad a dim-0 FACE array (n0+1 entries; face[0]==face[n0] when
+    periodic-consistent) by H faces per side."""
+    if H == 0:
+        return x
+    if wrap:
+        return jnp.concatenate([x[-H - 1 : -1], x, x[1 : H + 1]], axis=0)
+    return jnp.pad(x, [(H, H)] + [(0, 0)] * (x.ndim - 1))
+
+
+def _vmem_spec():
+    return pl.BlockSpec(memory_space=pltpu.VMEM)
+
+
+def _row_spec(T, nr, m1, m2):
+    return pl.BlockSpec(
+        (pl.Element(nr, (0, 0)), pl.Element(m1, (0, 0)), pl.Element(m2, (0, 0))),
+        lambda i: (i * T, 0, 0),
+    )
+
+
+def cell_smooth_fused(
+    phi, rhs, alpha, beta, a, b, dx, bc_lo, bc_hi,
+    nsweeps: int, want_resid: bool, interpret: bool = False,
+    mode: Optional[str] = None,
+):
+    """nsweeps red-black GS sweeps (+ optional residual) in one pallas_call.
+
+    Reproduces mg._smooth_rb / mg._residual arithmetic; alpha is None when
+    a == 0 (stream skipped). Returns (phi_new, resid-or-None)."""
+    dim = phi.ndim
+    shape = tuple(phi.shape)
+    dtype = phi.dtype
+    inv_dx2 = tuple(float(1.0 / (h * h)) for h in dx)
+    has_alpha = alpha is not None
+    if mode is None:
+        mode = cell_mode(shape, dtype, has_alpha, want_resid, nsweeps)
+    assert mode in ("whole", "slab")
+    scal = jnp.stack([jnp.asarray(a, dtype), jnp.asarray(b, dtype)]).reshape(1, 2)
+    dummy = jnp.zeros((1,) * dim, dtype)
+
+    if mode == "whole":
+        kern = partial(
+            _cell_whole_kernel, shape=shape, bc_lo=tuple(bc_lo),
+            bc_hi=tuple(bc_hi), inv_dx2=inv_dx2, nsweeps=nsweeps,
+            want_resid=want_resid, has_alpha=has_alpha,
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct(shape if want_resid else (1,) * dim, dtype),
+        )
+        phi_out, res = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [_vmem_spec()] * (3 + dim),
+            out_specs=(_vmem_spec(), _vmem_spec()),
+            interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+        )(scal, phi, rhs, alpha if has_alpha else dummy, *beta)
+        return phi_out, (res if want_resid else None)
+
+    # slab mode (3D)
+    H = 2 * nsweeps + (1 if want_resid else 0)
+    T = _slab_T(shape, 6 + (1 if has_alpha else 0), H, 2 if want_resid else 1)
+    n0, n1, n2 = shape
+    per0 = bc_lo[0] == PERIODIC
+    phip = pad0_cell(phi, H, per0)
+    rhsp = pad0_cell(rhs, H, per0)
+    alphap = pad0_cell(alpha, H, per0) if has_alpha else dummy
+    betap = (
+        pad0_face0(beta[0], H, per0),
+        pad0_cell(beta[1], H, per0),
+        pad0_cell(beta[2], H, per0),
+    )
+    rows = T + 2 * H
+    kern = partial(
+        _cell_slab_kernel, T=T, H=H, n0=n0, per0=per0,
+        shape=(rows, n1, n2), bc_lo=tuple(bc_lo), bc_hi=tuple(bc_hi),
+        inv_dx2=inv_dx2, nsweeps=nsweeps, want_resid=want_resid,
+        has_alpha=has_alpha,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct(shape, dtype),
+        jax.ShapeDtypeStruct(shape if want_resid else (1, 1, 1), dtype),
+    )
+    phi_out, res = pl.pallas_call(
+        kern,
+        grid=(n0 // T,),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            _row_spec(T, rows, n1, n2),
+            _row_spec(T, rows, n1, n2),
+            (_row_spec(T, rows, n1, n2) if has_alpha else _vmem_spec()),
+            _row_spec(T, rows + 1, n1, n2),
+            _row_spec(T, rows, n1 + 1, n2),
+            _row_spec(T, rows, n1, n2 + 1),
+        ],
+        out_specs=(
+            pl.BlockSpec((T, n1, n2), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (T, n1, n2) if want_resid else (1, 1, 1),
+                (lambda i: (i, 0, 0)) if want_resid else (lambda i: (0, 0, 0)),
+            ),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(scal, phip, rhsp, alphap, *betap)
+    return phi_out, (res if want_resid else None)
+
+
+# ===========================================================================
+# FEM nodal Laplacian: fused multi-sweep weighted-Jacobi kernel
+#
+#   L(phi)_n = -(1/V) sum_t sigma(n-1+t) sum_b K[1-t,b] phi(n-1+t+b)
+#   pass: phi += omega * mask * (rhs - L) / diag,
+#   diag = -kap * (sum of 2^dim adjacent sigma), pinned to -kap where 0.
+#
+# Ghost conventions (mg_nodal._pad_nodes): periodic dims wrap with the
+# duplicated-DOF convention (ghost left of node 0 is node nn-2, right of
+# node nn-1 is node 1); non-periodic ghosts are zero AND their sigma
+# weights vanish, implemented by zero-padding the sigma stream.
+
+
+def _node_shift(c, d, o, kind_lo, per):
+    """phi shifted so result[i] = phi[i+o] along d, with nodal BC fix.
+
+    per: periodic -> duplicated-DOF wrap fix at the edges; else zeros at
+    the nonexistent-neighbor edge. Pure block wrap when kind_lo is None
+    (slab dim 0 — halo discipline handles edges)."""
+    nn = c.shape[d]
+    s = _roll(c, -o, d)
+    if kind_lo is None:
+        return s
+    pos = _pos(c.shape, d)
+    if per:
+        if o == 1:
+            # neighbor right of nn-1 is node 1 = c[(nn-1)+2]
+            s = jnp.where(pos == nn - 1, _roll(c, -2, d), s)
+        elif o == -1:
+            s = jnp.where(pos == 0, _roll(c, 2, d), s)
+    else:
+        if o == 1:
+            s = jnp.where(pos == nn - 1, 0.0, s)
+        elif o == -1:
+            s = jnp.where(pos == 0, 0.0, s)
+    return s
+
+
+def _nodal_core(
+    phi_ref, sigp_ref, rhs_ref, out_ref, res_ref,
+    *, shape, bc_lo, bc_hi, K, inv_vol, kap, omega, nsweeps, want_resid,
+    slab=None,
+):
+    dim = len(shape)
+    c = phi_ref[...]
+    rhs = rhs_ref[...]
+    corners = list(itertools.product((0, 1), repeat=dim))
+
+    # sigma views sliced per use (padded stream: sigp[i] = cell i-1, so
+    # sig_t[i] = cell i-1+t); the input block stays VMEM-resident, the
+    # transient view keeps the live set small
+    def sig(t):
+        idx = tuple(slice(t[d], t[d] + shape[d]) for d in range(dim))
+        return sigp_ref[idx]
+
+    adj = None
+    for t in corners:
+        adj = sig(t) if adj is None else adj + sig(t)
+    dg = -adj * kap
+    diag = jnp.where(dg == 0.0, -kap, dg)
+
+    # Dirichlet mask / slab validity
+    ok = None
+    for d in range(dim):
+        slab0 = slab is not None and d == 0
+        if slab0:
+            if slab["per0"]:
+                continue
+            pos = slab["g0"] + _pos(shape, 0)
+            valid = jnp.logical_and(pos >= 0, pos < slab["nn0"])
+            ok = valid if ok is None else jnp.logical_and(ok, valid)
+            last = slab["nn0"] - 1
+        else:
+            pos = _pos(shape, d)
+            last = shape[d] - 1
+        if bc_lo[d] == N_DIRICHLET:
+            m = pos != 0
+            ok = m if ok is None else jnp.logical_and(ok, m)
+        if bc_hi[d] == N_DIRICHLET:
+            m = pos != last
+            ok = m if ok is None else jnp.logical_and(ok, m)
+
+    def shift1(v, d, o):
+        """v shifted so result[i] = v[i+o] along d, with nodal BC fixes."""
+        if o == 0:
+            return v
+        kind = None if (slab is not None and d == 0) else bc_lo[d]
+        per = bc_lo[d] == N_PERIODIC
+        return _node_shift(v, d, o, kind, per)
+
+    def residual(c):
+        # per-corner evaluation: for each t build the 2^dim shifted-phi
+        # values it needs incrementally (offsets t_d-1 and t_d per dim) --
+        # bounded live set, ~2*(2^dim-1) rolls per corner
+        L = None
+        for t in corners:
+            views = {(): c}
+            for d in range(dim):
+                nxt = {}
+                for key, v in views.items():
+                    for bd in (0, 1):
+                        nxt[key + (bd,)] = shift1(v, d, t[d] + bd - 1)
+                views = nxt
+            a_t = tuple(1 - td for td in t)
+            acc = None
+            for bb in corners:
+                term = K[(a_t, bb)] * views[bb]
+                acc = term if acc is None else acc + term
+            contrib = sig(t) * acc
+            L = contrib if L is None else L + contrib
+        return rhs + inv_vol * L  # rhs - (-(1/V) assemble)
+
+    for p in range(nsweeps):
+        r = residual(c)
+        upd = c + omega * r / diag
+        if ok is not None:
+            upd = jnp.where(ok, upd, c)
+        c = upd
+
+    if slab is None:
+        out_ref[...] = c
+        if want_resid:
+            r = residual(c)
+            if ok is not None:
+                r = jnp.where(ok, r, 0.0)
+            res_ref[...] = r
+    else:
+        H, T = slab["H"], slab["T"]
+        out_ref[...] = c[H : H + T]
+        if want_resid:
+            r = residual(c)
+            if ok is not None:
+                r = jnp.where(ok, r, 0.0)
+            res_ref[...] = r[H : H + T]
+
+
+def _nodal_whole_kernel(phi_ref, sigp_ref, rhs_ref, out_ref, res_ref, **kw):
+    _nodal_core(phi_ref, sigp_ref, rhs_ref, out_ref, res_ref, slab=None, **kw)
+
+
+def _nodal_slab_kernel(phi_ref, sigp_ref, rhs_ref, out_ref, res_ref,
+                       *, T, H, nn0, per0, **kw):
+    i = pl.program_id(0)
+    slab = dict(T=T, H=H, nn0=nn0, per0=per0, g0=i * T - H)
+    _nodal_core(phi_ref, sigp_ref, rhs_ref, out_ref, res_ref, slab=slab, **kw)
+
+
+def _sig_padded(sigma, bc_lo, dims=None):
+    """Cells padded by 1 per side (wrap or zeros), per mg_nodal._pad_cells."""
+    dim = sigma.ndim
+    out = sigma
+    for d in dims if dims is not None else range(dim):
+        if bc_lo[d] == N_PERIODIC:
+            lo = jax.lax.slice_in_dim(out, out.shape[d] - 1, out.shape[d], axis=d)
+            hi = jax.lax.slice_in_dim(out, 0, 1, axis=d)
+        else:
+            shp = list(out.shape)
+            shp[d] = 1
+            lo = jnp.zeros(shp, sigma.dtype)
+            hi = jnp.zeros(shp, sigma.dtype)
+        out = jnp.concatenate([lo, out, hi], axis=d)
+    return out
+
+
+def _pad0_node(x, H, wrap, extra_hi=0):
+    """Pad a NODE array along dim 0 (duplicated-DOF wrap or zeros)."""
+    if H == 0 and extra_hi == 0:
+        return x
+    if wrap:
+        nn = x.shape[0]
+        return jnp.concatenate(
+            [x[nn - 1 - H : nn - 1], x, x[1 : 1 + H + extra_hi]], axis=0
+        )
+    return jnp.pad(x, [(H, H + extra_hi)] + [(0, 0)] * (x.ndim - 1))
+
+
+def nodal_smooth_fused(
+    phi, sigma, rhs, dx, bc_lo, bc_hi, omega: float,
+    nsweeps: int, want_resid: bool, interpret: bool = False,
+    mode: Optional[str] = None,
+):
+    """nsweeps weighted-Jacobi sweeps (+ optional masked residual) in one
+    pallas_call; matches mg_nodal._jacobi / _nodal_residual arithmetic.
+    Returns (phi_new, resid-or-None)."""
+    from iamr_tpu.ops.mg_nodal import _fem_element_matrix
+
+    dim = phi.ndim
+    nshape = tuple(phi.shape)
+    dtype = phi.dtype
+    if mode is None:
+        mode = nodal_mode(nshape, dtype, want_resid, nsweeps)
+    assert mode in ("whole", "slab")
+    K = _fem_element_matrix(dx)
+    vol = 1.0
+    for h in dx:
+        vol *= h
+    inv_vol = float(1.0 / vol)
+    kap = float(sum(1.0 / (3 ** (dim - 1) * dx[d] ** 2) for d in range(dim)))
+
+    if mode == "whole":
+        sigp = _sig_padded(sigma, bc_lo)
+        kern = partial(
+            _nodal_whole_kernel, shape=nshape, bc_lo=tuple(bc_lo),
+            bc_hi=tuple(bc_hi), K=K, inv_vol=inv_vol, kap=kap,
+            omega=float(omega), nsweeps=nsweeps, want_resid=want_resid,
+        )
+        out_shapes = (
+            jax.ShapeDtypeStruct(nshape, dtype),
+            jax.ShapeDtypeStruct(nshape if want_resid else (1,) * dim, dtype),
+        )
+        phi_out, res = pl.pallas_call(
+            kern,
+            out_shape=out_shapes,
+            in_specs=[_vmem_spec()] * 3,
+            out_specs=(_vmem_spec(), _vmem_spec()),
+            interpret=interpret,
+            compiler_params=None if interpret else _COMPILER_PARAMS,
+        )(phi, sigp, rhs)
+        return phi_out, (res if want_resid else None)
+
+    # slab mode (3D)
+    H = nsweeps + (1 if want_resid else 0)
+    T = _slab_T(nshape, 3, H, 2 if want_resid else 1, allow_pad=True)
+    nn0, n1, n2 = nshape
+    per0 = bc_lo[0] == N_PERIODIC
+    nn0p = ((nn0 + T - 1) // T) * T
+    extra = nn0p - nn0
+    if per0:
+        assert H + extra + 1 <= nn0 - 1, "slab wrap needs nn0 > H + pad"
+    phip = _pad0_node(phi, H, per0, extra)
+    rhsp = _pad0_node(rhs, H, per0, extra)
+    # sigma stream: transverse pad by 1 (wrap/zeros), dim0 pad so that
+    # sigp_block[r] = cell (g0-1+r): lo pad H+1 cells, hi pad H+extra+1
+    sigt = _sig_padded(sigma, bc_lo, dims=(1, 2))
+    nc = sigma.shape[0]
+    if per0:
+        sig0 = jnp.concatenate(
+            [sigt[nc - H - 1 :], sigt, sigt[: H + extra + 1]], axis=0
+        )
+    else:
+        sig0 = jnp.pad(sigt, [(H + 1, H + extra + 1)] + [(0, 0)] * 2)
+    rows = T + 2 * H
+    kern = partial(
+        _nodal_slab_kernel, T=T, H=H, nn0=nn0, per0=per0,
+        shape=(rows, n1, n2), bc_lo=tuple(bc_lo), bc_hi=tuple(bc_hi),
+        K=K, inv_vol=inv_vol, kap=kap, omega=float(omega),
+        nsweeps=nsweeps, want_resid=want_resid,
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((nn0p, n1, n2), dtype),
+        jax.ShapeDtypeStruct((nn0p, n1, n2) if want_resid else (1, 1, 1), dtype),
+    )
+    phi_out, res = pl.pallas_call(
+        kern,
+        grid=(nn0p // T,),
+        out_shape=out_shapes,
+        in_specs=[
+            _row_spec(T, rows, n1, n2),
+            _row_spec(T, rows + 1, n1 + 1, n2 + 1),
+            _row_spec(T, rows, n1, n2),
+        ],
+        out_specs=(
+            pl.BlockSpec((T, n1, n2), lambda i: (i, 0, 0)),
+            pl.BlockSpec(
+                (T, n1, n2) if want_resid else (1, 1, 1),
+                (lambda i: (i, 0, 0)) if want_resid else (lambda i: (0, 0, 0)),
+            ),
+        ),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(phip, sig0, rhsp)
+    phi_out = phi_out[:nn0]
+    if want_resid:
+        return phi_out, res[:nn0]
+    return phi_out, None
