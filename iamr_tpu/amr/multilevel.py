@@ -11,9 +11,13 @@ both levels advance with the SAME dt each coarse step; afterwards
 The fine level's ghost cells / solver BCs come from the coarse level via a
 CoarseFineBCProvider (FillPatch + coarse-fine Dirichlet semantics).
 
-Subcycled advance (fine takes r steps per coarse step) + the sync
-projections (mac_sync, MLsyncProject, SyncRegister machinery,
-NavierStokesBase.cpp:1927-2044) are the next stage of this module.
+Subcycled advance (advance_hierarchy_subcycled): fine takes r steps per
+coarse step; the coupling (_couple_levels) then runs the full sync
+machinery — velocity/scalar advective + viscous reflux into Vsync/Ssync
+(NavierStokes::reflux, cpp:1735-1838), mac_sync (Ucorr re-advection),
+implicit sync diffusion (diffuse_Vsync/Ssync), and the composite 2-level
+sync projection with nodal sync-register RHS (MLsyncProject + InitRHS;
+iamr_tpu.amr.sync).
 """
 
 from __future__ import annotations
@@ -64,6 +68,7 @@ def init_fine_from_coarse(cfg: NSConfig, spec: LevelSpec, crse: NSState) -> NSSt
     return NSState(
         vel=vel, rho=pc(crse.rho), trac=trac, temp=pc(crse.temp), p=p,
         gradp=gradp, time=crse.time, dt=crse.dt,
+        dsdt=None if crse.dsdt is None else pc(crse.dsdt),
     )
 
 
@@ -98,6 +103,7 @@ def advance_two_level(
     bcp = CoarseFineBCProvider(
         cfg_f, spec, cfg.geom, crse_old_d, crse_new_d,
         crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
+        crse_umac=crse_aux["umac"],
     )
     fine_new, fine_aux = advance(
         fine, cfg_f, fixed_mg_cycles, hit=hit, bcp=bcp, return_aux=True
@@ -164,7 +170,7 @@ def _interp_states(crse_old, crse_new, theta):
 
 
 def _couple_levels(
-    cfg, cfg_f, spec, crse_new, crse_aux, fine_new, flux_sum, umac_sum,
+    cfg, cfg_f, spec, crse_new, crse_aux, fine_new, fine_avg,
     dt_c, fixed_mg_cycles, eb_c=None, eb_f=None,
 ):
     """Parent/child post-subcycle coupling: avgDown + advective reflux +
@@ -213,13 +219,44 @@ def _couple_levels(
         [avg_down(crse_new.gradp[c], fine_new.gradp[c], spec) for c in range(dim)]
     )
     dxc = cfg.geom.dx
+    dt_over_dx = tuple(dt_c / dxc[d] for d in range(dim))
     rho_c = reflux_correct(
-        rho_c, crse_aux["flux_rho"], tuple(flux_sum), spec,
-        tuple(dt_c / dxc[d] for d in range(dim)),
+        rho_c, crse_aux["flux_rho"], tuple(fine_avg["flux_rho"]), spec,
+        dt_over_dx,
     )
     crse_out = crse_new._replace(
         rho=rho_c, vel=vel_c, trac=trac_c, temp=temp_c, p=p_c, gradp=gradp_c
     )
+
+    # --- flux-register reflux into Vsync/Ssync (NavierStokes::reflux,
+    # cpp:1735-1838): velocity gets the advective mismatch plus, for the
+    # convective form, the CN viscous mismatch divided by rho; diffused
+    # tracers get their viscous mismatch (NonConservative: / rho) and
+    # conservative tracers their advective mismatch -------------------------
+    zero_c = jnp.zeros_like(rho_c)
+
+    def _mismatch(fc, ff):
+        return reflux_correct(zero_c, fc, tuple(ff), spec, dt_over_dx)
+
+    vsync_reflux = []
+    for c in range(dim):
+        v = _mismatch(crse_aux["flux_vel"][c], fine_avg["flux_vel"][c])
+        if crse_aux["vflux_vel"] is not None:
+            v = v + _mismatch(
+                crse_aux["vflux_vel"][c], fine_avg["vflux_vel"][c]
+            ) / rho_c
+        vsync_reflux.append(v)
+    ssync_reflux = []
+    for t in range(cfg.ntrac):
+        s = zero_c
+        if cfg.do_cons_trac:
+            s = _mismatch(crse_aux["flux_trac"][t], fine_avg["flux_trac"][t])
+        if crse_aux["vflux_trac"][t] is not None:
+            dv = _mismatch(
+                crse_aux["vflux_trac"][t], fine_avg["vflux_trac"][t]
+            )
+            s = s + (dv if cfg.do_cons_trac else dv / rho_c)
+        ssync_reflux.append(s)
 
     from iamr_tpu.amr.sync import (
         interface_delta_umac,
@@ -231,7 +268,9 @@ def _couple_levels(
     )
     from iamr_tpu.ns.bcprovider import _prolong_node_patch
 
-    deltas = interface_delta_umac(crse_aux["umac"], tuple(umac_sum), spec)
+    deltas = interface_delta_umac(
+        crse_aux["umac"], tuple(fine_avg["umac"]), spec
+    )
     ucorr, _ = mac_sync_velocity(
         cfg, crse_out.rho, deltas, spec, fixed_cycles=fixed_mg_cycles
     )
@@ -263,6 +302,7 @@ def _couple_levels(
         ds = uncovered(
             -dt_c
             * sync_aofs(cfg, crse_out.trac[t], ucorr, 1 + t, cfg.do_cons_trac)
+            + ssync_reflux[t]
         )
         coef = cfg.scal_diff_coefs[t] if t < len(cfg.scal_diff_coefs) else 0.0
         if coef > 0.0 and eb_c is None:
@@ -276,7 +316,10 @@ def _couple_levels(
     # Vsync: velocity correction, then the sync projection; corrections are
     # added to the coarse level and interpolated onto the fine level
     vsync = jnp.stack(
-        [uncovered(-dt_c * a) for a in sync_aofs_vel(cfg, crse_out.vel, ucorr)]
+        [
+            uncovered(-dt_c * a + vsync_reflux[c])
+            for c, a in enumerate(sync_aofs_vel(cfg, crse_out.vel, ucorr))
+        ]
     )
     if cfg.vel_visc_coef > 0.0 and eb_c is None:
         rho_half_c = 0.5 * (crse_new.rho + rho_sync)
@@ -284,18 +327,43 @@ def _couple_levels(
             cfg, bcp_c, vsync, rho_half_c, mu_faces(cfg), dt_c,
             cfg.be_cn_theta, fixed_cycles=fixed_mg_cycles,
         )
-    vsync_p, phi_sync = sync_project(
-        cfg, vsync, crse_out.rho, dt_c, spec, fixed_cycles=fixed_mg_cycles
-    )
-    vel_sync = crse_out.vel + vsync_p
-    p_sync = crse_out.p + phi_sync
+    if eb_c is None and eb_f is None:
+        # genuine 2-level composite sync projection with the nodal
+        # sync-register RHS (MLsyncProject + SyncRegister::InitRHS)
+        from iamr_tpu.amr.sync import (
+            sync_project_composite,
+            sync_register_rhs,
+        )
 
-    fine_out = fine_new._replace(
-        vel=fine_new.vel
-        + jnp.stack([interp_cell_to_fine(vsync_p[c], spec) for c in range(dim)]),
-        rho=fine_new.rho + interp_cell_to_fine(ssync_rho, spec),
-        p=fine_new.p + _prolong_node_patch(phi_sync, spec),
-    )
+        rhnd = sync_register_rhs(
+            cfg, spec, crse_new.vel, fine_avg["vel_new"], dt_c
+        )
+        vsync_p, vcorr_p, phi_sync, phi_f = sync_project_composite(
+            cfg, cfg_f, spec, vsync, crse_out.rho, fine_new.rho, dt_c,
+            rhnd=rhnd, fixed_cycles=fixed_mg_cycles,
+        )
+        vel_sync = crse_out.vel + vsync_p
+        p_sync = crse_out.p + phi_sync
+        fine_out = fine_new._replace(
+            vel=fine_new.vel + vcorr_p,
+            rho=fine_new.rho + interp_cell_to_fine(ssync_rho, spec),
+            p=fine_new.p + phi_f,
+        )
+    else:
+        # EB: coarse-level sync projection + interpolated fine correction
+        vsync_p, phi_sync = sync_project(
+            cfg, vsync, crse_out.rho, dt_c, spec, fixed_cycles=fixed_mg_cycles
+        )
+        vel_sync = crse_out.vel + vsync_p
+        p_sync = crse_out.p + phi_sync
+        fine_out = fine_new._replace(
+            vel=fine_new.vel
+            + jnp.stack(
+                [interp_cell_to_fine(vsync_p[c], spec) for c in range(dim)]
+            ),
+            rho=fine_new.rho + interp_cell_to_fine(ssync_rho, spec),
+            p=fine_new.p + _prolong_node_patch(phi_sync, spec),
+        )
     if eb_c is not None:
         vel_sync = vel_sync * eb_c.fluid
         rho_sync = eb_c.fluid * rho_sync + eb_c.covered * crse_new.rho
@@ -328,28 +396,46 @@ def advance_subtree(
     if lev + 1 < len(states):
         spec = specs[lev]
         r = spec.ratio
-        flux_sum = umac_sum = None
+
+        def _acc(sums, tree, w):
+            """Accumulate w * tree into sums (matching None-preserving
+            nested tuples/lists of arrays)."""
+            if tree is None:
+                return None
+            if isinstance(tree, (tuple, list)):
+                if sums is None:
+                    sums = [None] * len(tree)
+                return [
+                    _acc(s0, t0, w) for s0, t0 in zip(sums, tree)
+                ]
+            return w * tree if sums is None else sums + w * tree
+
+        fine_avg = {}
         for k in range(r):
             bcp_f = CoarseFineBCProvider(
                 cfgs[lev + 1], spec, cfgs[lev].geom,
                 _interp_states(crse_old, crse_new, k / r),
                 _interp_states(crse_old, crse_new, (k + 1) / r),
                 crse_p=crse_new.p, crse_mac_phi=aux["mac_phi"],
+                crse_umac=aux["umac"],
             )
             out, aux_f = advance_subtree(
                 cfgs, specs, out, lev + 1, dt / r, fixed_mg_cycles, hit,
                 bcp=bcp_f, ebs=ebs,
             )
-            fr = aux_f["flux_rho"]
-            if flux_sum is None:
-                flux_sum = [f / r for f in fr]
-                umac_sum = [u / r for u in aux_f["umac"]]
-            else:
-                flux_sum = [s0 + f / r for s0, f in zip(flux_sum, fr)]
-                umac_sum = [s0 + u / r for s0, u in zip(umac_sum, aux_f["umac"])]
+            # time-averaged fine fluxes / fields over the subcycles (the
+            # FineAdd * 1/crse_dt_ratio accumulation; Projection.cpp:413-426)
+            for key in (
+                "flux_rho", "umac", "flux_trac", "flux_vel",
+                "vflux_vel", "vflux_trac",
+            ):
+                fine_avg[key] = _acc(fine_avg.get(key), aux_f[key], 1.0 / r)
+            fine_avg["vel_new"] = _acc(
+                fine_avg.get("vel_new"), out[lev + 1].vel, 1.0 / r
+            )
         crse_out, fine_out = _couple_levels(
             cfgs[lev], cfgs[lev + 1], spec, crse_new, aux, out[lev + 1],
-            flux_sum, umac_sum, dt, fixed_mg_cycles,
+            fine_avg, dt, fixed_mg_cycles,
             eb_c=eb_l, eb_f=ebs[lev + 1] if ebs else None,
         )
         out[lev] = crse_out

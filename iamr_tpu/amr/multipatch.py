@@ -212,6 +212,7 @@ def advance_two_level_multipatch(
                 _interp_states(crse, crse_new, th0),
                 _interp_states(crse, crse_new, th1),
                 crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
+                crse_umac=crse_aux["umac"],
                 siblings=siblings,
             )
             fb, aux_b = advance(

@@ -30,14 +30,27 @@ from iamr_tpu.ns.state import NSConfig, NSState
 
 @dataclasses.dataclass(frozen=True)
 class ErrorTag:
-    """One refinement indicator (AMRErrorTag semantics, NS_error.cpp:10-115)."""
+    """One refinement indicator (AMRErrorTag semantics, NS_error.cpp:10-115).
+
+    values: per-level thresholds (AMRErrorTag picks value[min(level,
+    len-1)]). in_box: optional (lo, hi) physical RealBox gating the tagged
+    region (amr.<name>.in_box_lo/in_box_hi, NS_error.cpp:26-31); with test
+    "in_box" the box itself IS the indicator (NS_error.cpp:79-82)."""
 
     field: str               # state/derived field name
-    test: str                # value_greater | value_less | adjacent_difference_greater | vorticity_greater
-    value: float
+    test: str                # value_greater | value_less | adjacent_difference_greater | vorticity_greater | in_box
+    values: tuple = (0.0,)
     start_time: float = -1e200
     end_time: float = 1e200
     max_level: int = 10
+    in_box: tuple = ()       # ((lo...), (hi...)) or empty
+
+    @property
+    def value(self) -> float:
+        return self.values[0]
+
+    def value_at(self, level: int) -> float:
+        return self.values[min(level, len(self.values) - 1)]
 
 
 def parse_refinement_indicators(pp: ParmParse) -> List[ErrorTag]:
@@ -49,30 +62,58 @@ def parse_refinement_indicators(pp: ParmParse) -> List[ErrorTag]:
     for name in names:
         sc = pp.scoped(f"amr.{name}")
         field = str(sc.query("field_name", name))
+        in_box = ()
+        if sc.contains("in_box_lo"):
+            lo = tuple(float(v) for v in sc.getarr("in_box_lo"))
+            hi = tuple(float(v) for v in sc.getarr("in_box_hi"))
+            in_box = (lo, hi)
+
+        def _vals(key):
+            return tuple(float(v) for v in sc.getarr(key))
+
         if sc.contains("value_greater"):
-            test, value = "value_greater", float(sc.get("value_greater"))
+            test, values = "value_greater", _vals("value_greater")
         elif sc.contains("value_less"):
-            test, value = "value_less", float(sc.get("value_less"))
+            test, values = "value_less", _vals("value_less")
         elif sc.contains("adjacent_difference_greater"):
-            test, value = "adjacent_difference_greater", float(
-                sc.get("adjacent_difference_greater")
+            test, values = "adjacent_difference_greater", _vals(
+                "adjacent_difference_greater"
             )
         elif sc.contains("vorticity_greater"):
-            test, value = "vorticity_greater", float(sc.get("vorticity_greater"))
+            test, values = "vorticity_greater", _vals("vorticity_greater")
             field = "mag_vort"
+        elif in_box:
+            test, values = "in_box", (0.0,)
         else:
             raise ValueError(f"refinement indicator {name}: no test given")
         tags.append(
             ErrorTag(
                 field=field,
                 test=test,
-                value=value,
+                values=values,
                 start_time=float(sc.query("start_time", -1e200)),
                 end_time=float(sc.query("end_time", 1e200)),
                 max_level=int(sc.query("max_level", 10)),
+                in_box=in_box,
             )
         )
     return tags
+
+
+def _realbox_mask(cfg: NSConfig, in_box):
+    """Cell-center mask of a physical RealBox."""
+    lo, hi = in_box
+    geom = cfg.geom
+    m = None
+    for d in range(cfg.dim):
+        x = geom.prob_lo[d] + (np.arange(geom.ncell[d]) + 0.5) * geom.dx[d]
+        shape = [1] * cfg.dim
+        shape[d] = geom.ncell[d]
+        md = jnp.asarray(
+            ((x >= lo[d]) & (x <= hi[d])).reshape(shape)
+        )
+        m = md if m is None else m & md
+    return jnp.broadcast_to(m, tuple(geom.ncell))
 
 
 def _get_field(cfg: NSConfig, state: NSState, name: str):
@@ -89,18 +130,28 @@ def _get_field(cfg: NSConfig, state: NSState, name: str):
     return derive(cfg, state, name)
 
 
-def tag_cells(cfg: NSConfig, state: NSState, tags: List[ErrorTag]):
-    """Boolean tag array over the level (errorEst, NS_error.cpp:118-145)."""
+def tag_cells(cfg: NSConfig, state: NSState, tags: List[ErrorTag], level: int = 0):
+    """Boolean tag array over the level (errorEst, NS_error.cpp:118-145).
+
+    level: this level's index — gates per-tag max_level and selects the
+    per-level threshold (AMRErrorTag::operator())."""
     out = jnp.zeros(cfg.geom.ncell, dtype=bool)
     t = float(state.time)
     for tag in tags:
         if not (tag.start_time <= t <= tag.end_time):
             continue
+        if level >= tag.max_level:
+            continue
+        val = tag.value_at(level)
+        if tag.test == "in_box":
+            m = _realbox_mask(cfg, tag.in_box)
+            out = out | m
+            continue
         f = _get_field(cfg, state, tag.field)
         if tag.test in ("value_greater", "vorticity_greater"):
-            m = f > tag.value
+            m = f > val
         elif tag.test == "value_less":
-            m = f < tag.value
+            m = f < val
         elif tag.test == "adjacent_difference_greater":
             m = jnp.zeros_like(out)
             for d in range(cfg.dim):
@@ -109,11 +160,13 @@ def tag_cells(cfg: NSConfig, state: NSState, tags: List[ErrorTag]):
                 pad_lo[d] = (1, 0)
                 pad_hi = [(0, 0)] * cfg.dim
                 pad_hi[d] = (0, 1)
-                m = m | (jnp.pad(df, pad_hi) > tag.value) | (
-                    jnp.pad(df, pad_lo) > tag.value
+                m = m | (jnp.pad(df, pad_hi) > val) | (
+                    jnp.pad(df, pad_lo) > val
                 )
         else:
             raise ValueError(tag.test)
+        if tag.in_box:
+            m = m & _realbox_mask(cfg, tag.in_box)
         out = out | m
     return out
 
@@ -271,4 +324,52 @@ def cluster_to_patches(
     for s in specs:
         if s not in uniq:
             uniq.append(s)
-    return uniq
+    return coalesce_specs(uniq)
+
+
+def coalesce_specs(specs):
+    """Merge boxes whose union is a rectangle into one box (greedy, to a
+    fixpoint).
+
+    This is the level-wide-solve answer on TPU: the reference splits levels
+    into max_grid_size boxes for MPI distribution and then runs MLMG
+    level-wide across the BoxArray (SURVEY.md section 2.3.1); dense TPU
+    arrays want the OPPOSITE — one big box wherever the union allows it, so
+    every elliptic solve on the merged patch IS level-wide (no fine-fine
+    Dirichlet seams). Only genuinely non-rectangular unions keep multiple
+    boxes (their seams stay at truncation size, tests/test_multipatch)."""
+    out = list(specs)
+    merged = True
+    while merged and len(out) > 1:
+        merged = False
+        for i in range(len(out)):
+            for j in range(i + 1, len(out)):
+                a, b = out[i], out[j]
+                if a.ratio != b.ratio:
+                    continue
+                dim = a.dim
+                diff = [
+                    d for d in range(dim)
+                    if not (a.lo[d] == b.lo[d] and a.ncell[d] == b.ncell[d])
+                ]
+                if len(diff) != 1:
+                    continue
+                d = diff[0]
+                lo_a, hi_a = a.lo[d], a.lo[d] + a.ncell[d]
+                lo_b, hi_b = b.lo[d], b.lo[d] + b.ncell[d]
+                if hi_a == lo_b or hi_b == lo_a:
+                    lo = min(lo_a, lo_b)
+                    n = max(hi_a, hi_b) - lo
+                    nlo = list(a.lo)
+                    nn = list(a.ncell)
+                    nlo[d] = lo
+                    nn[d] = n
+                    out[i] = LevelSpec(
+                        lo=tuple(nlo), ncell=tuple(nn), ratio=a.ratio
+                    )
+                    out.pop(j)
+                    merged = True
+                    break
+            if merged:
+                break
+    return out

@@ -18,7 +18,7 @@ Conventions:
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -45,6 +45,10 @@ class EBData(NamedTuple):
     regular: jnp.ndarray
     aeb_vol: jnp.ndarray
     d_eb: jnp.ndarray
+    # StateRedist merge tracker (Redistribution::MakeITracker equivalent):
+    # per-cell int, -1 = no merge, else 2*d+side = merge with the face
+    # neighbor at offset -+e_d. None for geometries built before round 2.
+    merge_dir: Optional[jnp.ndarray] = None
 
     @property
     def dim(self) -> int:
@@ -128,6 +132,37 @@ def intersect_bodies(*psis):
         for p in psis[1:]:
             out = np.maximum(out, p(*x))
         return out
+
+    return psi
+
+
+def difference_bodies(psi_a, psi_b):
+    """Body A minus body B (EB2::makeDifference): fluid = fluid(A) OR
+    body-interior-of-B, i.e. max(psi_a, -psi_b) in fluid-positive form."""
+
+    def psi(*x):
+        return np.maximum(psi_a(*x), -psi_b(*x))
+
+    return psi
+
+
+def lathe_if(psi2d):
+    """Revolve a 2D fluid-positive IF around the y axis (EB2::lathe):
+    psi3d(x, y, z) = psi2d(sqrt(x^2 + z^2), y)."""
+
+    def psi(*x):
+        r = np.sqrt(x[0] ** 2 + x[2] ** 2)
+        return psi2d(r, x[1])
+
+    return psi
+
+
+def translate_if(psi0, shift):
+    """EB2::translate: evaluate psi0 at x - shift."""
+    s = np.asarray(shift, dtype=np.float64)
+
+    def psi(*x):
+        return psi0(*(xi - s[d] for d, xi in enumerate(x)))
 
     return psi
 
@@ -239,6 +274,27 @@ def build_eb_geometry(psi, geom: Geometry, ss: int = 8, dtype="float64") -> EBDa
     hmin = min(geom.dx)
     d_eb = 0.5 * hmin * np.clip(vfrac, 0.25, 1.0)
 
+    # StateRedist merge tracker: each small cut cell (0 < vfrac < 0.5)
+    # merges with its largest-volume face neighbor (the reference tracker
+    # prefers the EB-normal direction and can chain up to 3 neighbors,
+    # Redistribution/hydro_create_itracker_*.cpp; the largest-kappa face
+    # neighbor is the same choice in the common single-neighbor case)
+    small = (vfrac > 0.0) & (vfrac < 0.5)
+    merge_dir = np.full(vfrac.shape, -1, dtype=np.int32)
+    best_vf = np.zeros_like(vfrac)
+    for d in range(dim):
+        for side in (0, 1):
+            shift = -1 if side == 0 else 1
+            nb = np.roll(vfrac, -shift, axis=d)
+            # non-periodic edges: rolled wrap data is invalid; clamp to 0
+            edge = [slice(None)] * dim
+            edge[d] = slice(-1, None) if shift == 1 else slice(0, 1)
+            if not geom.periodic[d]:
+                nb[tuple(edge)] = 0.0
+            better = small & (nb > best_vf) & (nb > vfrac)
+            merge_dir[better] = 2 * d + side
+            best_vf = np.where(better, nb, best_vf)
+
     jd = jnp.dtype(dtype)
     return EBData(
         vfrac=jnp.asarray(vfrac, jd),
@@ -248,6 +304,7 @@ def build_eb_geometry(psi, geom: Geometry, ss: int = 8, dtype="float64") -> EBDa
         regular=jnp.asarray(regular, jd),
         aeb_vol=jnp.asarray(aeb_vol, jd),
         d_eb=jnp.asarray(d_eb, jd),
+        merge_dir=jnp.asarray(merge_dir),
     )
 
 
@@ -293,9 +350,99 @@ def psi_from_inputs(pp, dim: int):
         point = [float(x) for x in eb2.queryarr("plane_point", [0.0] * dim)]
         normal = [float(x) for x in eb2.queryarr("plane_normal", [1.0] + [0.0] * (dim - 1))]
         psi = plane_if(point[:dim], normal[:dim])
+    elif gt == "Inflow-Pipe":
+        # two-cylinder difference (NS_init_eb2.cpp:225-287): a fat pipe
+        # with a thinner inflow pipe bored through its wall
+        pipe = pp.scoped("pipe")
+        d1 = int(pipe.query("direction1", 2))
+        d2 = int(pipe.query("direction2", 2))
+        r1 = float(pipe.query("radius1", 0.018))
+        r2 = float(pipe.query("radius2", 0.007))
+        h1 = float(pipe.query("height1", 0.01))
+        h2 = float(pipe.query("height2", 0.01))
+        c1 = [float(x) for x in pipe.getarr("center1")]
+        c2 = [float(x) for x in pipe.getarr("center2")]
+        cyl1 = cylinder_if(c1[:dim], r1, h1, d1, fluid_inside=True)
+        cyl2 = cylinder_if(c2[:dim], r2, h2, d2, fluid_inside=True)
+        # bodies are the cylinder EXTERIORS here (CylinderIF(..., false) =
+        # body outside); difference(body1, body2): fluid inside cyl1 OR cyl2
+        psi = union_fluids(cyl1, cyl2)
+    elif gt == "Square-Grid":
+        # square-grid turbulence generator (NS_init_eb2.cpp:328-380;
+        # Exec/square_grid_turbulence): a square frame = big box minus its
+        # small-box core, body-positive
+        sg = pp.scoped("square_grid")
+        L0 = float(sg.query("dim_L0", 0.08))
+        rc = float(sg.query("ratio_t0_L0_cross", 0.11))
+        rs = float(sg.query("ratio_t0_stream_thickness", 1.0))
+        t0 = rc * L0
+        pos_big = 0.5 * (L0 + t0)
+        pos_small = 0.5 * (L0 - t0)
+        sl = t0 * rs
+        big = box_if((0.0, -pos_big, -pos_big), (sl, pos_big, pos_big),
+                     fluid_inside=False)   # body inside the big box
+        small = box_if((0.0, -pos_small, -pos_small),
+                       (sl, pos_small, pos_small), fluid_inside=False)
+        # frame body = big minus small -> fluid = outside big OR inside small
+        psi = _fluid_union_with_body_complement(big, small)
+    elif gt == "combustor":
+        # axisymmetric combustor (NS_init_eb2.cpp:79-130): 2D poly section
+        # (far wall + ramp + pipe + flat corner, body-positive) revolved
+        # around the axial direction and translated to the domain center
+        cb = pp.scoped("combustor")
+        fwl = float(cb.get("far_wall_loc"))
+        p1 = [float(x) for x in cb.getarr("ramp_plane1_point")]
+        p2 = [float(x) for x in cb.getarr("ramp_plane2_point")]
+        n2 = [float(x) for x in cb.getarr("ramp_plane2_normal")]
+        p3 = [float(x) for x in cb.getarr("ramp_plane3_point")]
+        plo = [float(x) for x in pp.scoped("geometry").queryarr("prob_lo", [0.0] * 3)]
+        phi_ = [float(x) for x in pp.scoped("geometry").queryarr("prob_hi", [1.0] * 3)]
+        farwall = plane_if((fwl, 0.0), (1.0, 0.0))
+        ramp = intersect_bodies(
+            plane_if((p1[0], p1[1]), (0.0, -1.0)),
+            plane_if((p2[0], p2[1]), (n2[0], n2[1])),
+            plane_if((p3[0], p3[1]), (1.0, 0.0)),
+        )
+        k2 = abs(n2[0] / max(abs(n2[1]), 1e-300))
+        secty = p2[1] + k2 * (p3[0] - p2[0])
+        pipe = box_if((float(cb.getarr("pipe_lo")[0]),
+                       float(cb.getarr("pipe_lo")[1])),
+                      (float(cb.getarr("pipe_hi")[0]),
+                       float(cb.getarr("pipe_hi")[1])), fluid_inside=False)
+        flat = box_if((p3[0], 0.0), (1e10, secty), fluid_inside=False)
+        poly2d = union_bodies(farwall, ramp, pipe, flat)
+        lenx = phi_[0] - plo[0]
+        leny = phi_[1] - plo[1]
+        psi = translate_if(lathe_if(poly2d), (0.5 * lenx, 0.5 * leny, 0.0))
     else:
         raise NotImplementedError(
             f"eb2.geom_type = {gt} not implemented (supported: all_regular, "
-            "sphere, cylinder, box, plane)"
+            "sphere, cylinder, box, plane, Inflow-Pipe, Square-Grid, "
+            "combustor)"
         )
+    return psi
+
+
+def union_fluids(*psis):
+    """Fluid union = max of fluid-positive IFs (= body intersection)."""
+
+    def psi(*x):
+        out = psis[0](*x)
+        for p in psis[1:]:
+            out = np.maximum(out, p(*x))
+        return out
+
+    return psi
+
+
+def _fluid_union_with_body_complement(psi_body_a, psi_body_b):
+    """Fluid of (body A minus body B): outside A or inside B.
+
+    psi_body_*: fluid-positive IFs whose BODY is the box interior
+    (box_if(..., fluid_inside=False)); the difference re-adds B's interior
+    to the fluid."""
+
+    def psi(*x):
+        return np.maximum(psi_body_a(*x), -psi_body_b(*x))
+
     return psi

@@ -76,19 +76,97 @@ def hybrid_divergence(dc, eb: EBData, periodic):
     return eb.fluid * (hyb + receive)
 
 
+def _shift(a, d, s, periodic):
+    """a shifted so result[i] = a[i+s] along d (edge: wrap or zero)."""
+    out = jnp.roll(a, -s, axis=d)
+    if not periodic:
+        idx = [slice(None)] * a.ndim
+        idx[d] = slice(s, None) if s < 0 else slice(a.shape[d] - s, None)
+        out = out.at[tuple(idx)].set(0.0)
+    return out
+
+
+def state_redistribute(q, eb: EBData, periodic):
+    """Weighted state redistribution (the reference default
+    redistribution_type = StateRedist, NavierStokesBase.cpp:4984-5001;
+    AMReX-Hydro Redistribution::StateRedistribute; Giuliani et al. 2022).
+
+    Each small cut cell (vfrac < 0.5) merges with its largest-volume face
+    neighbor (eb.merge_dir, built at geometry time); with nu_j = number of
+    merged neighborhoods containing cell j:
+
+        Vhat_i = sum_{r in N(i)} kappa_r / nu_r
+        Qhat_i = sum_{r in N(i)} kappa_r q_r / nu_r / Vhat_i
+        q_j    = (1/nu_j) sum_{i : j in N(i)} Qhat_i
+
+    Conserves sum kappa q exactly. Piecewise-constant neighborhood
+    reconstruction (the reference adds limited slopes; first-order at the
+    handful of merged cells, which matches the cut-cell scheme's wall
+    order)."""
+    dim = q.ndim
+    md = eb.merge_dir
+    vf = eb.vfrac
+
+    def offs(k):
+        d, side = k // 2, k % 2
+        return d, (-1 if side == 0 else 1)
+
+    nk = 2 * dim
+    masks = [(md == k).astype(q.dtype) for k in range(nk)]
+    # nu_j = 1 + number of cells merging INTO j
+    nu = jnp.ones_like(q)
+    for k in range(nk):
+        d, s = offs(k)
+        nu = nu + _shift(masks[k], d, -s, periodic[d])
+
+    kq_nu = vf * q / nu
+    k_nu = vf / nu
+    # neighborhood sums for merging cells: self + target
+    sum_kq = kq_nu
+    sum_k = k_nu
+    for k in range(nk):
+        d, s = offs(k)
+        sum_kq = sum_kq + masks[k] * _shift(kq_nu, d, s, periodic[d])
+        sum_k = sum_k + masks[k] * _shift(k_nu, d, s, periodic[d])
+    qhat = jnp.where(sum_k > _EPS, sum_kq / jnp.maximum(sum_k, _EPS), q)
+
+    # q_j = (Qhat_j + sum of Qhat from cells merging into j) / nu_j
+    out = qhat
+    for k in range(nk):
+        d, s = offs(k)
+        out = out + _shift(masks[k] * qhat, d, -s, periodic[d])
+    return eb.fluid * out / nu
+
+
 def eb_aofs(flux, umac, eb: EBData, dx: Sequence[float], iconserv: bool,
-            s_cc=None, periodic=()):
-    """EB advective tendency with flux redistribution.
+            s_cc=None, periodic=(), rtype: str = "FluxRedist", dt=None):
+    """EB advective tendency with redistribution.
 
     flux: face fluxes (umac*edge states); conservative: redistribute
     Dc(flux). Convective: redistribute Dc(flux) - s*Dc(umac)
-    (ComputeConvectiveTerm semantics, NavierStokesBase.cpp:4813)."""
+    (ComputeConvectiveTerm semantics, NavierStokesBase.cpp:4813).
+
+    rtype: NoRedist | FluxRedist | StateRedist (ns.redistribution_type,
+    NavierStokesBase.cpp:573-578). StateRedist redistributes the UPDATED
+    state q - dt*Dc and converts back to a tendency (ApplyRedistribution
+    update-form semantics); it needs s_cc and dt."""
     dim = len(flux)
     if not periodic:
         periodic = (False,) * dim
     dc = eb_mac_div(flux, eb, dx)
     if not iconserv:
         dc = dc - s_cc * eb_mac_div(umac, eb, dx)
+    if rtype == "NoRedist":
+        return dc
+    if (
+        rtype == "StateRedist"
+        and eb.merge_dir is not None
+        and s_cc is not None
+        and dt is not None
+    ):
+        q_upd = s_cc - dt * dc
+        q_new = state_redistribute(q_upd, eb, periodic)
+        return (s_cc - q_new) * eb.fluid / dt
     return hybrid_divergence(dc, eb, periodic)
 
 

@@ -32,6 +32,11 @@ def save_checkpoint(path: str, state: NSState, step: int = 0):
         temp=np.asarray(state.temp),
         p=np.asarray(state.p),
         gradp=np.asarray(state.gradp),
+        **(
+            {"dsdt": np.asarray(state.dsdt)}
+            if state.dsdt is not None
+            else {}
+        ),
     )
     meta = {
         "version": FORMAT_VERSION,
@@ -73,6 +78,9 @@ def load_checkpoint(path: str, cfg: NSConfig) -> Tuple[NSState, int]:
         gradp=gradp,
         time=jnp.asarray(meta["time"], dtype=dtype),
         dt=jnp.asarray(meta["dt"], dtype=dtype),
+        dsdt=(
+            jnp.asarray(z["dsdt"], dtype=dtype) if "dsdt" in z.files else None
+        ),
     )
     return state, int(meta["step"])
 

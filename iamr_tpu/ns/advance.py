@@ -160,21 +160,45 @@ def visc_terms_vel(cfg: NSConfig, vel):
     return jnp.stack(out)
 
 
-def est_time_step(cfg: NSConfig, state: NSState):
+def est_time_step(cfg: NSConfig, state: NSState, hit=None):
     """CFL timestep (estTimeStep, NavierStokesBase.cpp:1353-1510):
-    dt = cfl * min over cells/dims of dx_d / |u_d|, with a gravity-force
-    limit sqrt(2 dx / |f/rho|) when forces dominate."""
+    dt = cfl * min over cells/dims of dx_d / max|u_d|, plus the force
+    limit sqrt(2 dx_d / max|f_d|) with f = (tforces - Gp)/rho evaluated
+    per cell (cpp:1436-1447). ns.fixed_dt short-circuits (cpp:1357-1371);
+    viscous terms are excluded (CN is unconditionally stable)."""
+    if cfg.fixed_dt > 0.0:
+        return jnp.asarray(cfg.fixed_dt, dtype=cfg.jdtype)
     dx = cfg.geom.dx
-    eps = 1e-300 if cfg.dtype == "float64" else 1e-30
-    dt = jnp.asarray(jnp.inf, dtype=cfg.jdtype)
+    small = 1e-8
+    dt = jnp.asarray(1e20, dtype=cfg.jdtype)
+    fallback = jnp.asarray(1e20, dtype=cfg.jdtype)
+    tf = get_force(cfg, state.rho, state.time, hit)
     for d in range(cfg.dim):
-        dt = jnp.minimum(dt, dx[d] / jnp.maximum(jnp.max(jnp.abs(state.vel[d])), eps))
-    if abs(cfg.gravity) > 1e-4:
-        # force-limited dt: dx = 0.5*(f/rho)*dt^2
-        f = abs(cfg.gravity)
-        for d in range(cfg.dim):
-            dt = jnp.minimum(dt, jnp.sqrt(2.0 * dx[d] / f))
-    return cfg.cfl * dt
+        umax = jnp.max(jnp.abs(state.vel[d]))
+        dt = jnp.where(
+            umax > small, jnp.minimum(dt, dx[d] / jnp.maximum(umax, small)), dt
+        )
+        fmax = jnp.max(jnp.abs((tf[d] - state.gradp[d]) / state.rho))
+        dt = jnp.where(
+            fmax > small,
+            jnp.minimum(dt, jnp.sqrt(2.0 * dx[d] / jnp.maximum(fmax, small))),
+            dt,
+        )
+        # raw body-force timescale, used ONLY when nothing else bounds dt
+        # (the reference aborts and demands ns.init_dt there, cpp:1460-1483;
+        # a perfectly balanced quiescent gravity state has tf - Gp = 0)
+        fraw = jnp.max(jnp.abs(tf[d] / state.rho))
+        fallback = jnp.where(
+            fraw > small,
+            jnp.minimum(
+                fallback, jnp.sqrt(2.0 * dx[d] / jnp.maximum(fraw, small))
+            ),
+            fallback,
+        )
+    ok = dt < 1e19
+    if cfg.init_dt > 0.0:
+        return jnp.where(ok, cfg.cfl * dt, cfg.init_dt)
+    return cfg.cfl * jnp.where(ok, dt, fallback)
 
 
 # ---------------------------------------------------------------------------
@@ -320,13 +344,19 @@ def advance(
         )
         divu_src = lapT / (rho * state.temp)
 
+    # MAC RHS time-centering: divu + dt/2 * dsdt with dsdt from the
+    # previous step (create_mac_rhs, NavierStokes.cpp:594-641)
+    mac_divu = divu_src
+    if divu_src is not None and state.dsdt is not None:
+        mac_divu = divu_src + 0.5 * dt * state.dsdt
+
     mac_bc, mac_bvals = bcp.mac_bc()
     umac, mac_phi, _ = mac_project(
-        umac, rho, cfg.dom, dx, divu_src=divu_src,
+        umac, rho, cfg.dom, dx, divu_src=mac_divu,
         rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
         bc=mac_bc, bvals=mac_bvals, eb=eb, rz=rz,
     )
-    umac_g = grow_umac_transverse(umac, periodic)
+    umac_g = bcp.grow_umac(umac)
 
     # --- 3. velocity advection -------------------------------------------
     # convective form by default; ns.do_mom_diff=1 advects momentum rho*U
@@ -337,6 +367,7 @@ def advance(
     if mom_diff:
         rho_g3 = bcp.fill_scal(rho, 3, 0)
     aofs_vel = []
+    flux_vel = []
     for c in range(dim):
         sg = vel_g[c] if not mom_diff else rho_g3 * vel_g[c]
         fg = force_g[c]
@@ -351,9 +382,11 @@ def advance(
         if eb is not None:
             a = eb_aofs(
                 fl, umac, eb, dx, mom_diff,
-                s_cc=vel[c] if not mom_diff else None, periodic=periodic,
+                s_cc=vel[c] if not mom_diff else rho * vel[c],
+                periodic=periodic, rtype=cfg.redist_type, dt=dt,
             )
         aofs_vel.append(a)
+        flux_vel.append(fl)
     aofs_vel = jnp.stack(aofs_vel)
 
     # --- 4. scalar advection + updates ----------------------------------
@@ -365,7 +398,10 @@ def advance(
     )
     flux_rho, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True, rz=rz)
     if eb is not None:
-        aofs_rho = eb_aofs(flux_rho, umac, eb, dx, True, periodic=periodic)
+        aofs_rho = eb_aofs(
+            flux_rho, umac, eb, dx, True, s_cc=rho, periodic=periodic,
+            rtype=cfg.redist_type, dt=dt,
+        )
     rho_new = rho - dt * aofs_rho
     if cfg.do_denminmax:
         rho_new = _scal_min_max(rho_g, rho_new)
@@ -376,6 +412,7 @@ def advance(
     # tracers: convective by default (do_cons_trac for conservative)
     trac_new = []
     flux_trac = []
+    vflux_trac = []
     for t in range(cfg.ntrac):
         s = trac[t]
         s_g = bcp.fill_scal(s, 3, 1 + t)
@@ -388,7 +425,10 @@ def advance(
             edges, umac, dx, icons, s_cc=s, rz=rz
         )
         if eb is not None:
-            aofs_s = eb_aofs(flux_s, umac, eb, dx, icons, s_cc=s, periodic=periodic)
+            aofs_s = eb_aofs(
+                flux_s, umac, eb, dx, icons, s_cc=s, periodic=periodic,
+                rtype=cfg.redist_type, dt=dt,
+            )
         flux_trac.append(flux_s)
         s_star = s - dt * aofs_s
         coef = cfg.scal_diff_coefs[t] if t < len(cfg.scal_diff_coefs) else 0.0
@@ -414,6 +454,22 @@ def advance(
                 )
         if eb is not None:
             s_star = eb.fluid * s_star + eb.covered * s
+        # CN viscous flux for the coarse-fine viscous flux registers
+        # (scalar_diffusion_update register increments,
+        # NavierStokes.cpp:949-994): F = -beta grad((1-th)s^n + th s^{n+1})
+        if return_aux and coef > 0.0 and eb is None:
+            th = cfg.be_cn_theta
+            from iamr_tpu.ops import mg as _mg
+
+            sbc_, sbv_ = bcp.scal_diff_bc(1 + t)
+            vflux_trac.append(
+                _mg.get_fluxes(
+                    (1.0 - th) * s + th * s_star, bcoef, 1.0, dx, sbc_,
+                    bvals=sbv_,
+                )
+            )
+        else:
+            vflux_trac.append(None)
         trac_new.append(s_star)
     trac_new = jnp.stack(trac_new)
 
@@ -430,7 +486,8 @@ def advance(
         )
         if eb is not None:
             aofs_t = eb_aofs(
-                flux_t, umac, eb, dx, False, s_cc=state.temp, periodic=periodic
+                flux_t, umac, eb, dx, False, s_cc=state.temp,
+                periodic=periodic, rtype=cfg.redist_type, dt=dt,
             )
         temp_new = state.temp - dt * aofs_t
         if cfg.temp_cond_coef > 0.0:
@@ -521,6 +578,29 @@ def advance(
                 comps.append(u_new * eb.fluid)
             vel_star = jnp.stack(comps)
 
+    # CN viscous fluxes for the velocity viscous flux registers
+    # (diffuse_velocity register increments; tensor cross-term fluxes are
+    # omitted from the registers — componentwise part only, documented)
+    vflux_vel = None
+    if (
+        return_aux
+        and (cfg.vel_visc_coef > 0.0 or cfg.do_les)
+        and eb is None
+    ):
+        from iamr_tpu.ops import mg as _mg
+
+        th = cfg.be_cn_theta
+        mfv = _mu()
+        vflux_vel = []
+        for c in range(dim):
+            vbc, vbv = bcp.vel_diff_bc(c)
+            vflux_vel.append(
+                _mg.get_fluxes(
+                    (1.0 - th) * vel[c] + th * vel_star[c], mfv, 1.0, dx,
+                    vbc, bvals=vbv,
+                )
+            )
+
     # --- 6. nodal projection ---------------------------------------------
     divu_new = None
     if cfg.do_temp and cfg.temp_cond_coef > 0.0:
@@ -548,6 +628,11 @@ def advance(
         bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb, rz=rz,
     )
 
+    # dsdt for the next step's MAC RHS (calc_dsdt, NavierStokes.cpp:631-641)
+    dsdt_new = None
+    if divu_new is not None and divu_src is not None:
+        dsdt_new = (divu_new - divu_src) / dt
+
     # --- next dt ----------------------------------------------------------
     new_state = NSState(
         vel=vel_new,
@@ -558,8 +643,9 @@ def advance(
         gradp=gradp_new,
         time=state.time + dt,
         dt=dt,
+        dsdt=dsdt_new,
     )
-    dt_next = est_time_step(cfg, new_state)
+    dt_next = est_time_step(cfg, new_state, hit)
     dt_next = jnp.minimum(dt_next, cfg.change_max * dt)
     new_state = new_state._replace(dt=dt_next)
     if return_aux:
@@ -568,6 +654,9 @@ def advance(
             "mac_phi": mac_phi,
             "flux_rho": flux_rho,
             "flux_trac": tuple(flux_trac),
+            "flux_vel": tuple(flux_vel),
+            "vflux_vel": tuple(vflux_vel) if vflux_vel is not None else None,
+            "vflux_trac": tuple(vflux_trac),
         }
         return new_state, aux
     if return_umac:

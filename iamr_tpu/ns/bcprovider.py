@@ -116,6 +116,13 @@ class PhysBCProvider:
     def nodal(self) -> Tuple[NodalBC, Optional[jnp.ndarray]]:
         return make_nodal_bc(self.cfg.dom), None
 
+    def grow_umac(self, umac):
+        """MAC velocities with one transverse ghost row (create_umac_grown
+        single-level semantics, NavierStokesBase.cpp:1092-1107)."""
+        from iamr_tpu.ops.godunov import grow_umac_transverse
+
+        return grow_umac_transverse(umac, tuple(self.cfg.geom.periodic))
+
 
 class CoarseFineBCProvider(PhysBCProvider):
     """Fine-patch provider: ghosts from the parent level, Dirichlet C-F
@@ -137,6 +144,7 @@ class CoarseFineBCProvider(PhysBCProvider):
         crse_new: Dict,
         crse_p=None,
         crse_mac_phi=None,
+        crse_umac=None,
     ):
         super().__init__(cfg_fine)
         self.spec = spec
@@ -145,6 +153,7 @@ class CoarseFineBCProvider(PhysBCProvider):
         self.crse_new = crse_new
         self.crse_p = crse_p
         self.crse_mac_phi = crse_mac_phi
+        self.crse_umac = crse_umac
         self.cf_side = {
             (d, s): not spec.touches_domain(crse_geom, d, s)
             for d in range(self.dim)
@@ -319,6 +328,91 @@ class CoarseFineBCProvider(PhysBCProvider):
         if self.crse_p is not None:
             phi_bc = _prolong_node_patch(self.crse_p, self.spec)
         return nb, phi_bc
+
+    def grow_umac(self, umac):
+        """Fine-level create_umac_grown (NavierStokesBase.cpp:1109-1311):
+        transverse ghost rows at C-F sides come from FACE-LINEAR
+        interpolation of the parent's MAC velocity (FillPatchTwoLevels with
+        face_linear_interp) instead of edge copies; physical/periodic sides
+        keep the single-level fill. (The reference's follow-up
+        divergence-preserving fix adjusts only the outer NORMAL ghost face
+        of each ghost cell — a face this discretization's transverse
+        stencils never read, so the interpolated values are the
+        load-bearing part here.)"""
+        if self.crse_umac is None:
+            return super().grow_umac(umac)
+        import numpy as np
+
+        from iamr_tpu.ops.stencil import sl
+
+        spec = self.spec
+        r = spec.ratio
+        dim = self.dim
+        periodic = tuple(self.cfg.geom.periodic)
+
+        def interp_row(d, e, side, grown_dims):
+            """Coarse umac[d] interpolated to the fine ghost row just
+            outside the patch along e (single cell layer); edge-padded
+            along previously grown transverse dims."""
+            cu = self.crse_umac[d]
+            out = cu
+            for f in range(dim):
+                if f == d:
+                    g = np.arange(spec.lo[f], spec.lo[f] + spec.ncell[f] + 1)
+                    c0 = g // r
+                    w = ((g - c0 * r) / r).astype(np.float64)
+                    c1 = np.minimum(c0 + 1, cu.shape[f] - 1)
+                    a = jnp.take(out, jnp.asarray(c0), axis=f)
+                    b = jnp.take(out, jnp.asarray(c1), axis=f)
+                    ws = [1] * dim
+                    ws[f] = len(g)
+                    out = a + (b - a) * jnp.asarray(w, out.dtype).reshape(ws)
+                elif f == e:
+                    gcell = (
+                        spec.lo[f] - 1 if side == 0
+                        else spec.lo[f] + spec.ncell[f]
+                    )
+                    ncc = cu.shape[f]  # coarse cells along f (f != d)
+                    cc = (gcell // r) % ncc
+                    out = jnp.take(out, jnp.asarray([cc]), axis=f)
+                else:
+                    j = (
+                        np.arange(spec.lo[f], spec.lo[f] + spec.ncell[f]) // r
+                    )
+                    out = jnp.take(out, jnp.asarray(j), axis=f)
+            # previously grown dims: pad the row to match (corner cells,
+            # edge-replicated like the reference's untouched grid corners)
+            for f in grown_dims:
+                out = jnp.pad(
+                    out,
+                    [(1, 1) if q == f else (0, 0) for q in range(dim)],
+                    mode="edge",
+                )
+            return out
+
+        out = []
+        for d, u in enumerate(umac):
+            grown = []
+            for e in range(dim):
+                if e == d:
+                    continue
+                rows = {}
+                for side in (0, 1):
+                    if self.cf_side[(e, side)]:
+                        rows[side] = interp_row(d, e, side, grown)
+                    elif periodic[e]:
+                        rows[side] = (
+                            sl(u, e, -1, None) if side == 0 else sl(u, e, 0, 1)
+                        )
+                    else:
+                        rows[side] = (
+                            sl(u, e, 0, 1) if side == 0
+                            else sl(u, e, -1, None)
+                        )
+                u = jnp.concatenate([rows[0], u, rows[1]], axis=e)
+                grown.append(e)
+            out.append(u)
+        return tuple(out)
 
 
 def _prolong_node_patch(crse_p, spec: LevelSpec):

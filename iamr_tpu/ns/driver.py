@@ -45,6 +45,11 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None, eb=None) -> NSState:
 
     @jax.jit
     def _init(state):
+        # dsdt starts at zero for temperature runs (Dsdt_Type initialized
+        # zero); a stable pytree schema avoids a second jit trace when the
+        # first step starts producing it
+        if cfg.do_temp and cfg.temp_cond_coef > 0.0 and state.dsdt is None:
+            state = state._replace(dsdt=jnp.zeros_like(state.rho))
         if cfg.do_init_proj:
             vel_proj, _ = initial_velocity_project(
                 state.vel, state.rho, cfg.dom, cfg.geom.dx,
@@ -52,6 +57,18 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None, eb=None) -> NSState:
                 fixed_cycles=fixed_mg_cycles, eb=eb, rz=rz,
             )
             state = state._replace(vel=vel_proj)
+
+        # hydrostatic initial pressure for gravity runs
+        # (initialPressureProject; post_init_state NavierStokesBase.cpp:2418)
+        if abs(cfg.gravity) > 1e-4 and rz is None:
+            from iamr_tpu.solvers.nodal_proj import initial_pressure_project
+
+            p0, gp0 = initial_pressure_project(
+                state.rho, cfg.gravity, cfg.dom, cfg.geom.dx, geom=cfg.geom,
+                rtol=cfg.proj_tol, atol=cfg.proj_abs_tol,
+                fixed_cycles=fixed_mg_cycles, eb=eb,
+            )
+            state = state._replace(p=p0, gradp=gp0)
 
         # first dt (init_shrink * cfl estimate, or init_dt override)
         if cfg.init_dt > 0.0:
@@ -316,6 +333,13 @@ def run(
                 if verbose:
                     print(f"steady state reached at step {step}")
                 break
+        # okToContinue: stop when dt collapses below ns.dt_cutoff
+        # (NavierStokesBase.cpp:2217)
+        if cfg.dt_cutoff > 0.0 and float(state.dt) <= cfg.dt_cutoff:
+            raise RuntimeError(
+                f"dt {float(state.dt):.3e} fell below ns.dt_cutoff "
+                f"{cfg.dt_cutoff:.3e} at step {step}"
+            )
     return state
 
 

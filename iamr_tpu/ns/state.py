@@ -35,6 +35,10 @@ class NSState(NamedTuple):
     gradp: jnp.ndarray    # (dim, *ncell)
     time: jnp.ndarray     # scalar
     dt: jnp.ndarray       # scalar (dt used for the NEXT step)
+    # d(divu)/dt from the previous step (Dsdt_Type; calc_dsdt,
+    # NavierStokes.cpp:631-641). None unless ns.do_temp with conduction —
+    # feeds the MAC RHS time-centering divu + dt/2 * dsdt (cpp:594-595).
+    dsdt: Optional[jnp.ndarray] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -55,6 +59,7 @@ class NSConfig:
     init_dt: float = -1.0
     change_max: float = 1.1
     fixed_dt: float = -1.0
+    dt_cutoff: float = 0.0
     gravity: float = 0.0
     vel_visc_coef: float = 0.0
     scal_diff_coefs: Tuple[float, ...] = (0.0,)
@@ -73,6 +78,9 @@ class NSConfig:
     stop_when_steady: bool = False
     steady_tol: float = 1e-10
     advection_scheme: str = "Godunov_PLM"
+    # EB small-cell stabilization (ns.redistribution_type; reference default
+    # StateRedist, NavierStokesBase.cpp:573-578)
+    redist_type: str = "StateRedist"
     use_forces_in_trans: bool = False
     visc_tol: float = 1e-10
     visc_abs_tol: float = 1e-14
@@ -215,6 +223,7 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         init_dt=float(ns.query("init_dt", -1.0)),
         change_max=float(ns.query("change_max", 1.1)),
         fixed_dt=float(ns.query("fixed_dt", -1.0)),
+        dt_cutoff=float(ns.query("dt_cutoff", 0.0)),
         gravity=float(ns.query("gravity", 0.0)),
         vel_visc_coef=float(ns.query("vel_visc_coef", 0.0)),
         scal_diff_coefs=tuple(float(x) for x in diff),
@@ -233,6 +242,7 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         stop_when_steady=bool(int(ns.query("stop_when_steady", 0))),
         steady_tol=float(ns.query("steady_tol", 1e-10)),
         advection_scheme=str(ns.query("advection_scheme", "Godunov_PLM")),
+        redist_type=str(ns.query("redistribution_type", "StateRedist")),
         visc_tol=float(ns.query("visc_tol", 1e-10)),
         max_step=int(pp.query("max_step", -1)),
         stop_time=float(pp.query("stop_time", -1.0)),

@@ -464,7 +464,8 @@ def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
     e_c = _nodal_vcycle(r_c, levels, bc, lev_idx + 1, nu1, nu2, nu_bottom)
     e_f = _prolong_node(e_c, dim)
     phi = constrain(phi + levels[lev_idx].mask * e_f)
-    phi, _ = _smooth2(phi, rhs, lev, bc, nu2, False)
+    # post-smooth reuses the pre-smooth's fused kernel (see mg._vcycle)
+    phi, _ = _smooth2(phi, rhs, lev, bc, nu2, nu2 == nu1)
     return phi
 
 

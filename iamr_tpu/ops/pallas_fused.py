@@ -74,12 +74,15 @@ _SLAB_LIMIT = 100 * 1024 * 1024
 # mode selection
 
 
-def _slab_T(shape, streams, H, n_out, allow_pad=False):
+def _slab_T(shape, streams, H, n_out, allow_pad=False, work_rows=4,
+            out_mult=1):
     """Largest slab tile whose VMEM footprint fits: double-buffered input
-    blocks + outputs + ~4 rows of working values (calibrated against the
-    Mosaic scoped-vmem report at 256^3). allow_pad: the caller end-pads
-    dim 0 to a multiple of T (node arrays); the wrap halo + end pad must
-    then still fit inside one period (extra + H + 1 <= n0 - 1)."""
+    blocks + outputs + work_rows row-blocks of compute temporaries
+    (calibrated against XLA's scoped-vmem reports at 256^3: the cell GSRB
+    core holds ~4 live blocks, the 27-corner nodal FEM core ~9 with
+    triple-buffered outputs). allow_pad: the caller end-pads dim 0 to a
+    multiple of T (node arrays); the wrap halo + end pad must then still
+    fit inside one period (extra + H + 1 <= n0 - 1)."""
     layer = (shape[1] + 2) * (shape[2] + 2) * 4
     for T in (32, 16, 8):
         if allow_pad:
@@ -89,7 +92,9 @@ def _slab_T(shape, streams, H, n_out, allow_pad=False):
         elif shape[0] % T != 0 and shape[0] > T:
             continue
         rows = T + 2 * H
-        est = layer * (2 * streams * (rows + 1) + n_out * T + 4 * rows)
+        est = layer * (
+            2 * streams * (rows + 1) + out_mult * n_out * T + work_rows * rows
+        )
         if est <= _SLAB_LIMIT:
             return T
     return None
@@ -118,7 +123,8 @@ def nodal_mode(nshape, dtype, want_resid, nsweeps) -> Optional[str]:
     if len(nshape) != 3:
         return None
     H = nsweeps + (1 if want_resid else 0)
-    T = _slab_T(nshape, 3, H, 2 if want_resid else 1, allow_pad=True)
+    T = _slab_T(nshape, 3, H, 2 if want_resid else 1, allow_pad=True,
+                work_rows=9, out_mult=3)
     return "slab" if T is not None else None
 
 
@@ -515,12 +521,18 @@ def _nodal_core(
             L = contrib if L is None else L + contrib
         return rhs + inv_vol * L  # rhs - (-(1/V) assemble)
 
-    for p in range(nsweeps):
+    # rolled sweep loop: the 27-corner FEM body is large; unrolling
+    # nsweeps copies blows Mosaic's register allocator into ~100MB of
+    # VMEM spill slots at 256^3 (fori_loop keeps ONE body instance)
+    def _sweep(_, c):
         r = residual(c)
         upd = c + omega * r / diag
         if ok is not None:
             upd = jnp.where(ok, upd, c)
-        c = upd
+        return upd
+
+    if nsweeps > 0:
+        c = jax.lax.fori_loop(0, nsweeps, _sweep, c)
 
     if slab is None:
         out_ref[...] = c
@@ -625,7 +637,8 @@ def nodal_smooth_fused(
 
     # slab mode (3D)
     H = nsweeps + (1 if want_resid else 0)
-    T = _slab_T(nshape, 3, H, 2 if want_resid else 1, allow_pad=True)
+    T = _slab_T(nshape, 3, H, 2 if want_resid else 1, allow_pad=True,
+                work_rows=9, out_mult=3)
     nn0, n1, n2 = nshape
     per0 = bc_lo[0] == N_PERIODIC
     nn0p = ((nn0 + T - 1) // T) * T

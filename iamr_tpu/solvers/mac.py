@@ -30,6 +30,10 @@ from iamr_tpu.ops.stencil import cell_to_face, mac_div
 
 
 def mac_poisson_bc(dom: DomainBC) -> PoissonBC:
+    """Physical BC -> MAC Poisson BC. Outflow faces carry homogeneous
+    Dirichlet phi — exactly the reference's MAC-side outflow treatment
+    (MacProj::set_outflow_bcs zeroes the phi strip just outside every
+    outflow face, Source/MacProj.cpp:849-940)."""
     def kind(p: PhysBC):
         if p == PhysBC.Interior:
             return PERIODIC

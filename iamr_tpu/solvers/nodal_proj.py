@@ -186,6 +186,47 @@ def initial_velocity_project(
     return vel_new, (res, it)
 
 
+def initial_pressure_project(
+    rho,
+    gravity: float,
+    dom: DomainBC,
+    dx: Sequence[float],
+    geom=None,
+    rtol: float = 1e-12,
+    atol: float = 1e-16,
+    fixed_cycles: Optional[int] = None,
+    eb=None,
+):
+    """Hydrostatic initial pressure for gravity runs
+    (Projection::initialPressureProject, Projection.cpp:841-969): project
+    the pure body-force field V = (0,...,0,g) with sigma = 1/rho; the
+    resulting phi is the hydrostatic pressure (rho-weighted, so variable-
+    density columns get the correct discrete balance) and Gp its nodal
+    gradient. Returns (p, gradp)."""
+    dim = rho.ndim
+    bc = nodal_bc(dom)
+    sigma = 1.0 / rho
+    g = jnp.full_like(rho, gravity)
+    u = tuple(
+        g if d == dim - 1 else jnp.zeros_like(rho) for d in range(dim)
+    )
+    phi_bc = None
+    if geom is not None:
+        phi_bc = hydrostatic_phi_bc(geom, dom, rho, gravity)
+    if eb is not None:
+        sigma_op = sigma * eb.vfrac
+        rhs = div_cell_to_node(tuple(eb.vfrac * ud for ud in u), dx, bc)
+    else:
+        sigma_op = sigma
+        rhs = div_cell_to_node(u, dx, bc)
+    phi, res, it = nodal_solve(
+        rhs, sigma_op, dx, bc, rtol=rtol, atol=atol,
+        fixed_cycles=fixed_cycles, phi_bc=phi_bc,
+    )
+    gphi = grad_node_to_cell(phi, dx)
+    return phi, jnp.stack(gphi)
+
+
 def hydrostatic_phi_bc(geom, dom: DomainBC, rho, gravity: float):
     """Outflow Dirichlet phi strip with hydrostatic weighting
     (Projection::set_outflow_bcs + computeRhoG, Projection.cpp:1721-2060).

@@ -10,9 +10,10 @@ Usage:
     python regression/runner.py                     # run + compare
     python regression/runner.py --only euler,poiseuille_2d
 
-Benchmarks are stored as npz files under regression/benchmarks/ (generate
-them on the machine/dtype you test on, like the reference's
-regtest.py --make_benchmarks; they are not committed).
+Benchmarks are stored as npz files under regression/benchmarks/ (f64 CPU
+runs; COMMITTED, like the reference's stored benchmark plotfiles, so the
+suite proves parity against a fixed answer instead of only detecting
+change). Multilevel configs store both levels' fields (crse_*/fine_*).
 """
 
 from __future__ import annotations
@@ -60,12 +61,30 @@ TESTS = [
     ("double_shear_layer_2d",
      f"{REF}/Tutorials/DoubleShearLayer/inputs.2d.double_shear_layer-rotate",
      ("max_step=2", "amr.max_level=0", "eb2.geom_type=all_regular"), 1e-10),
+    # --- 2-level AMR configs (subcycled; the sync machinery is exercised:
+    # reflux + mac_sync + composite sync projection) ----------------------
+    ("rayleigh_taylor_2d_2lev",
+     f"{REF}/Tutorials/RayleighTaylor/inputs.2d.rayleightaylor",
+     ("max_step=3", "amr.max_level=1", "amr.n_cell=32 64",
+      "amr.regrid_int=0"), 1e-10),
+    ("euler_3d_2lev", f"{REF}/Exec/run3d/regtest.3d.euler",
+     ("max_step=2", "amr.max_level=1", "amr.n_cell=16 16 16",
+      "amr.regrid_int=0"), 1e-10),
+    ("hotspot_2d_2lev", f"{REF}/Exec/run2d/regtest.2d.hotspot",
+     ("max_step=2", "amr.max_level=1", "amr.regrid_int=0"), 1e-10),
 ]
 
 BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")
 
 
 def state_fields(state):
+    # multilevel runs return MLState (or (crse, fines, specs) tuples):
+    # store every level's fields
+    if hasattr(state, "crse"):
+        out = {}
+        for lev, s in (("crse", state.crse), ("fine", state.fine)):
+            out.update({f"{lev}_{k}": v for k, v in state_fields(s).items()})
+        return out
     out = {"vel": np.asarray(state.vel), "rho": np.asarray(state.rho),
            "trac": np.asarray(state.trac), "p": np.asarray(state.p)}
     return out

@@ -12,6 +12,8 @@ from iamr_tpu.core.geometry import Geometry
 from iamr_tpu.eb.geom import build_eb_geometry, eb_from_inputs, sphere_if
 from iamr_tpu.eb.redist import eb_mac_div, hybrid_divergence, eb_aofs
 
+pytestmark = pytest.mark.slow
+
 
 def _circle_geom(n=64, radius=0.2, ss=8):
     geom = Geometry(
@@ -171,3 +173,106 @@ def test_eb_two_level_flow_past_cylinder():
         assert float(jnp.max(jnp.abs(st.vel * ebs[lev].covered))) == 0.0
     # flow still passing through
     assert float(jnp.max(out[0].vel[0])) > 0.5
+
+
+def test_state_redistribute_conserves_and_fixes_small_cells():
+    """StateRedist (Giuliani et al. 2022; AMReX-Hydro default): conserves
+    sum(kappa q) exactly and pulls small-cell outliers toward their merged
+    neighborhood average."""
+    import numpy as np
+    import jax.numpy as jnp
+    from iamr_tpu.core.geometry import Geometry
+    from iamr_tpu.eb.geom import build_eb_geometry, sphere_if
+    from iamr_tpu.eb.redist import state_redistribute
+
+    n = 32
+    geom = Geometry((n, n), (0.0, 0.0), (1.0, 1.0), (False, False), 0)
+    eb = build_eb_geometry(
+        sphere_if((0.5, 0.5), 0.31, fluid_inside=False), geom
+    )
+    md = np.asarray(eb.merge_dir)
+    small = (np.asarray(eb.vfrac) > 0) & (np.asarray(eb.vfrac) < 0.5)
+    # every small cut cell found a merge partner
+    assert (md[small] >= 0).all()
+    assert (md[~small] == -1).all()
+
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.rand(n, n)) * eb.fluid
+    q2 = state_redistribute(q, eb, (False, False))
+    tot0 = float(jnp.sum(eb.vfrac * q))
+    tot1 = float(jnp.sum(eb.vfrac * q2))
+    assert abs(tot1 - tot0) < 1e-12 * max(abs(tot0), 1.0)
+    # cells in no merged neighborhood (not merging, no incoming merges)
+    # are untouched; merge TARGETS legitimately change
+    incoming = np.zeros((n, n), bool)
+    for k in range(4):
+        d, s = k // 2, (-1 if k % 2 == 0 else 1)
+        incoming |= np.roll(md == k, s, axis=d)
+    untouched = (md == -1) & ~incoming
+    assert float(
+        jnp.max(jnp.abs((q2 - q) * jnp.asarray(untouched)))
+    ) < 1e-14
+
+
+def test_named_geometry_catalog():
+    """Named EB geometries from NS_init_eb2.cpp parse and build sensible
+    fraction fields (Square-Grid, Inflow-Pipe, combustor)."""
+    import numpy as np
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.core.geometry import Geometry
+    from iamr_tpu.eb.geom import eb_from_inputs
+
+    # Square-Grid: a thin square frame in an otherwise open domain
+    pp = ParmParse.from_string(
+        """
+        eb2.geom_type = Square-Grid
+        square_grid.dim_L0 = 0.5
+        square_grid.ratio_t0_L0_cross = 0.2
+        """
+    )
+    geom = Geometry((32, 32, 32), (-0.5, -0.5, -0.5), (0.5, 0.5, 0.5),
+                    (False, False, False), 0)
+    eb = eb_from_inputs(pp, geom, ss=4)
+    vf = np.asarray(eb.vfrac)
+    assert 0.0 < vf.mean() < 1.0 and (vf == 0).any() and (vf == 1).any()
+    # the frame's open core is fluid (center of the grid, x inside the frame)
+    assert vf[18, 16, 16] == 1.0
+
+    # Inflow-Pipe: fluid inside either cylinder, body elsewhere
+    pp = ParmParse.from_string(
+        """
+        eb2.geom_type = Inflow-Pipe
+        pipe.direction1 = 2
+        pipe.direction2 = 0
+        pipe.radius1 = 0.3
+        pipe.radius2 = 0.12
+        pipe.height1 = -1
+        pipe.height2 = -1
+        pipe.center1 = 0.0 0.0 0.0
+        pipe.center2 = 0.0 0.35 0.0
+        """
+    )
+    eb = eb_from_inputs(pp, geom, ss=4)
+    vf = np.asarray(eb.vfrac)
+    assert vf[16, 16, 16] == 1.0          # inside the main pipe
+    assert vf[16, 16 + 14, 16] > 0.0      # inside the inflow bore
+    assert vf[2, 2, 16] == 0.0            # wall corner away from both pipes
+
+    # combustor: builds and produces a mix of covered/cut/regular
+    pp = ParmParse.from_string(
+        """
+        geometry.prob_lo = 0. 0. 0.
+        geometry.prob_hi = 1. 1. 1.
+        eb2.geom_type = combustor
+        combustor.far_wall_loc = 0.45
+        combustor.ramp_plane1_point = 0.25 0.25
+        combustor.ramp_plane2_point = 0.25 0.25
+        combustor.ramp_plane2_normal = -1. -1.
+        combustor.ramp_plane3_point = 0.4 0.
+        combustor.pipe_lo = 0.1 -1.
+        combustor.pipe_hi = 0.2 0.2
+        """
+    )
+    eb = eb_from_inputs(pp, geom, ss=4)
+    vf = np.asarray(eb.vfrac)
+    assert (vf == 0).any() and (vf == 1).any()

@@ -1,6 +1,7 @@
 """Two-level composite-step tests: TG accuracy vs single level, mass
 conservation with reflux, C-F boundary smoothness."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -16,6 +17,8 @@ from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.ns.driver import initialize
 from iamr_tpu.ns.probs import init_state
 from iamr_tpu.ns.state import config_from_inputs
+
+pytestmark = pytest.mark.slow
 
 TG = """
 max_step = 5

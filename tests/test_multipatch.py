@@ -2,6 +2,7 @@
 exchange, masked reflux/sync at fine-fine faces, agreement with the
 equivalent single-patch level."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -17,6 +18,8 @@ from iamr_tpu.amr.multipatch import advance_two_level_multipatch
 from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.ns.driver import initialize
 from iamr_tpu.ns.state import config_from_inputs
+
+pytestmark = pytest.mark.slow
 
 
 def _cfg():
@@ -123,7 +126,7 @@ def test_run_multipatch_with_br_regrid():
         """
     )
     cfg = config_from_inputs(pp)
-    tags = [ErrorTag(field="mag_vort", test="vorticity_greater", value=3.0)]
+    tags = [ErrorTag(field="mag_vort", test="vorticity_greater", values=(3.0,))]
     crse, fines, specs = run_multipatch(
         cfg, max_steps=3, fixed_mg_cycles=4, error_tags=tags, regrid_int=2,
     )
@@ -131,3 +134,34 @@ def test_run_multipatch_with_br_regrid():
     assert len(specs) >= 1
     for fb in fines:
         assert bool(jnp.all(jnp.isfinite(fb.vel)))
+
+
+def test_coalesce_specs_rectangle_union():
+    """Boxes tiling a rectangle merge into ONE patch, making every elliptic
+    solve on it level-wide (no fine-fine seams at all); an L-shaped union
+    stays multi-box."""
+    from iamr_tpu.amr.tagging import coalesce_specs
+
+    specs = [
+        LevelSpec(lo=(8, 8), ncell=(24, 48), ratio=2),
+        LevelSpec(lo=(32, 8), ncell=(24, 48), ratio=2),
+    ]
+    out = coalesce_specs(specs)
+    assert out == [LevelSpec(lo=(8, 8), ncell=(48, 48), ratio=2)]
+
+    # 3-way strip merge
+    specs = [
+        LevelSpec(lo=(0, 0), ncell=(16, 16), ratio=2),
+        LevelSpec(lo=(16, 0), ncell=(16, 16), ratio=2),
+        LevelSpec(lo=(32, 0), ncell=(16, 16), ratio=2),
+    ]
+    assert coalesce_specs(specs) == [
+        LevelSpec(lo=(0, 0), ncell=(48, 16), ratio=2)
+    ]
+
+    # L-shape: no rectangle union -> unchanged count
+    specs = [
+        LevelSpec(lo=(0, 0), ncell=(16, 16), ratio=2),
+        LevelSpec(lo=(16, 0), ncell=(16, 32), ratio=2),
+    ]
+    assert len(coalesce_specs(specs)) == 2

@@ -9,6 +9,8 @@ from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.ns.driver import run
 from iamr_tpu.ns.state import config_from_inputs
 
+pytestmark = pytest.mark.slow
+
 
 def test_hydrostatic_rest_with_lateral_outflow():
     """Fluid at rest under gravity with a LATERAL outflow face must stay at
@@ -71,3 +73,40 @@ def test_probtype3_jump():
     state = run(cfg, max_steps=2)
     assert bool(jnp.all(jnp.isfinite(state.vel)))
     assert float(jnp.max(state.rho)) > 2.0 and float(jnp.min(state.rho)) > 0.9
+
+
+def test_initial_pressure_project_hydrostatic_balance():
+    """initialPressureProject (Projection.cpp:841-969): with gravity and
+    constant density, p is hydrostatic (Gp = rho g z-hat) and a quiescent
+    state stays at rest with NO initial pressure iterations."""
+    import numpy as np
+    import jax.numpy as jnp
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.ns.driver import initialize, run
+    from iamr_tpu.ns.state import config_from_inputs
+
+    pp = ParmParse.from_string(
+        """
+        max_step = 2
+        amr.n_cell = 16 16
+        ns.cfl = 0.5
+        ns.init_iter = 0
+        ns.init_dt = 0.01
+        ns.gravity = -9.8
+        geometry.prob_lo = 0. 0.
+        geometry.prob_hi = 1. 1.
+        geometry.is_periodic = 0 0
+        ns.lo_bc = 4 4
+        ns.hi_bc = 4 4
+        prob.probtype = 4
+        prob.density_ic = 1.0
+        """
+    )
+    cfg = config_from_inputs(pp)
+    state = initialize(cfg)
+    # Gp = rho * g in the vertical component
+    gp = np.asarray(state.gradp)
+    assert abs(gp[1].mean() - (-9.8)) < 1e-8
+    assert np.abs(gp[0]).max() < 1e-8
+    out = run(cfg, state, verbose=False)
+    assert float(jnp.max(jnp.abs(out.vel))) < 1e-10

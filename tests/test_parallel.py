@@ -24,6 +24,8 @@ from iamr_tpu.ns.state import config_from_inputs
 from iamr_tpu.parallel import SpatialMesh, shard_state, use_mesh
 from iamr_tpu.parallel.context import level_spec
 
+pytestmark = pytest.mark.slow
+
 INPUTS = """
 max_step = 3
 amr.n_cell = {cells}

@@ -1,5 +1,6 @@
 """Tracer-particle advection tests + HIT forcing/IC sanity."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -12,6 +13,8 @@ from iamr_tpu.ns.particles import (
     read_ascii_init_file,
     redistribute,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _geom2(n=16, periodic=True):

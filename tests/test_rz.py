@@ -2,6 +2,7 @@
 projection scaling (reference Projection.cpp:1238-1505 scaleVar/radMult;
 HotSpot_rz regtest config Exec/run2d/regtest.2d.hotspot_rz)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -9,6 +10,8 @@ from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.core.bc import DomainBC, PhysBC
 from iamr_tpu.core.geometry import Geometry
 from iamr_tpu.ns.state import config_from_inputs
+
+pytestmark = pytest.mark.slow
 
 
 def _rz_div(umac, rz, dx):

@@ -2,6 +2,7 @@
 mac_sync solve, sync projection (reference MacProj.cpp:359-789,
 Projection::MLsyncProject)."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,6 +15,8 @@ from iamr_tpu.amr.sync import (
 from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.ns.state import config_from_inputs
 from iamr_tpu.ops.stencil import mac_div
+
+pytestmark = pytest.mark.slow
 
 
 def _cfg(n=32):

@@ -42,7 +42,7 @@ def test_parse_indicators():
 def test_tag_and_cluster():
     cfg = config_from_inputs(ParmParse.from_string(BASE))
     state = init_state(cfg)
-    tags = [ErrorTag(field="mag_vort", test="vorticity_greater", value=0.1)]
+    tags = [ErrorTag(field="mag_vort", test="vorticity_greater", values=(0.1,))]
     m = np.asarray(tag_cells(cfg, state, tags))
     assert m.any()  # TG has |vort| up to ~4pi
     spec = cluster_to_patch(m, ratio=2, blocking_factor=4)
@@ -80,3 +80,52 @@ def test_regrid_preserves_fine_overlap():
     # global fine (22,22) -> new coords (2,2)
     assert float(fine_new.rho[2, 2]) == 42.0
     assert fine_new.rho.shape == (16, 16)
+
+
+def test_in_box_indicator_and_realbox_gate():
+    """in_box tags exactly the cells inside the RealBox; in_box_lo/hi also
+    gates other tests' regions (NS_error.cpp:26-37, 79-82)."""
+    import numpy as np
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.ns.probs import init_state
+    from iamr_tpu.ns.state import config_from_inputs
+    from iamr_tpu.amr.tagging import parse_refinement_indicators, tag_cells
+
+    pp = ParmParse.from_string(
+        """
+        max_step = 1
+        amr.n_cell = 16 16
+        ns.cfl = 0.5
+        geometry.prob_lo = 0. 0.
+        geometry.prob_hi = 1. 1.
+        geometry.is_periodic = 1 1
+        ns.lo_bc = 0 0
+        ns.hi_bc = 0 0
+        prob.probtype = 11
+        amr.refinement_indicators = zone hot
+        amr.zone.in_box_lo = 0.25 0.25
+        amr.zone.in_box_hi = 0.5 0.5
+        amr.hot.field_name = density
+        amr.hot.value_greater = 0.5 0.9
+        amr.hot.in_box_lo = 0.0 0.0
+        amr.hot.in_box_hi = 0.5 1.0
+        amr.hot.max_level = 1
+        """
+    )
+    cfg = config_from_inputs(pp)
+    state = init_state(cfg)
+    tags = parse_refinement_indicators(pp)
+    assert tags[0].test == "in_box"
+    assert tags[1].values == (0.5, 0.9)
+
+    m = np.asarray(tag_cells(cfg, state, [tags[0]]))
+    # cells with centers in [0.25,0.5]^2: indices 4..7 (x=(i+0.5)/16)
+    expect = np.zeros((16, 16), bool)
+    expect[4:8, 4:8] = True
+    assert (m == expect).all()
+
+    # density=1 everywhere for TG: value_greater 0.5 fires but only inside
+    # its in_box gate (x < 0.5), and not at level >= max_level
+    m1 = np.asarray(tag_cells(cfg, state, [tags[1]], level=0))
+    assert m1[:8].all() and not m1[8:].any()
+    assert not np.asarray(tag_cells(cfg, state, [tags[1]], level=1)).any()

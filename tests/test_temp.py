@@ -2,6 +2,7 @@
 (reference Tutorials/HotSpot inputs.2d.average_hotspot: probtype 6,
 ns.do_temp=1, gravity -9.8)."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -9,6 +10,8 @@ from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.ns.advance import make_step
 from iamr_tpu.ns.driver import initialize
 from iamr_tpu.ns.state import config_from_inputs
+
+pytestmark = pytest.mark.slow
 
 HOTSPOT = """
 max_step = 5

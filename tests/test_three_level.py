@@ -2,6 +2,7 @@
 nested patches, per-level dt = dt0/r^lev, coupling (avgDown/reflux/sync) at
 every parent/child pair, exact mass conservation across all levels."""
 
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -14,6 +15,8 @@ from iamr_tpu.amr.multilevel import (
 from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.ns.driver import initialize
 from iamr_tpu.ns.state import config_from_inputs
+
+pytestmark = pytest.mark.slow
 
 
 def _setup():

@@ -2,6 +2,7 @@
 Poiseuille analytic profile, ConvectedVortex translation, DoubleShearLayer
 smoke, steady-state stopping."""
 
+import pytest
 import numpy as np
 import jax.numpy as jnp
 
@@ -9,6 +10,8 @@ from iamr_tpu.config.parmparse import ParmParse
 from iamr_tpu.ns.advance import make_step
 from iamr_tpu.ns.driver import initialize, run
 from iamr_tpu.ns.state import config_from_inputs
+
+pytestmark = pytest.mark.slow
 
 
 def test_poiseuille_profile():
