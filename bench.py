@@ -87,6 +87,10 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # x64 ON: the MLMG-to-1e-11 metric solves in f64 (mixed precision);
+    # without this the f64 arrays silently downcast to f32 and the solve
+    # stalls at the f32 floor. The throughput step stays f32 (cfg.dtype).
+    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256

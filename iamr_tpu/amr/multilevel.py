@@ -342,11 +342,14 @@ def _couple_levels(
             cfg, cfg_f, spec, vsync, crse_out.rho, fine_new.rho, dt_c,
             rhnd=rhnd, fixed_cycles=fixed_mg_cycles,
         )
+        from iamr_tpu.amr.sync import interp_cell_to_fine_protected
+
         vel_sync = crse_out.vel + vsync_p
         p_sync = crse_out.p + phi_sync
         fine_out = fine_new._replace(
             vel=fine_new.vel + vcorr_p,
-            rho=fine_new.rho + interp_cell_to_fine(ssync_rho, spec),
+            rho=fine_new.rho
+            + interp_cell_to_fine_protected(ssync_rho, fine_new.rho, spec),
             p=fine_new.p + phi_f,
         )
     else:

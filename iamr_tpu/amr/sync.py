@@ -200,13 +200,41 @@ def sync_project(
 
 
 def interp_cell_to_fine(a, spec: LevelSpec):
-    """SyncInterp (piecewise-constant variant): coarse correction -> fine
-    patch increments (NavierStokesBase::SyncInterp, cpp:3071-3263)."""
+    """SyncInterp: coarse correction -> fine patch increments with
+    MC-limited cell-conservative-linear interpolation (the reference's
+    CellConsLin default; NavierStokesBase::SyncInterp, cpp:3071-3263 —
+    prolong_cell is exactly conservative with limited slopes)."""
     return prolong_cell(a, spec.ratio)[
         tuple(
             slice(spec.lo[d], spec.lo[d] + spec.ncell[d]) for d in range(spec.dim)
         )
     ]
+
+
+def interp_cell_to_fine_protected(inc_c, fine_field, spec: LevelSpec):
+    """protected_interp (the reference's CellConsProt SyncInterp for
+    density, NavierStokesBase.H:353-359): limited cell-conservative
+    interpolation of the correction, falling back to piecewise-constant in
+    any coarse cell whose limited increment would drive the fine field
+    negative (both variants are exactly conservative)."""
+    dim = spec.dim
+    r = spec.ratio
+    patch = tuple(
+        slice(spec.lo[d], spec.lo[d] + spec.ncell[d]) for d in range(dim)
+    )
+    inc_lim = prolong_cell(inc_c, r)[patch]
+    inc_pc = prolong_cell(inc_c, r, limited=False)[patch]
+    bad = (fine_field + inc_lim) < 0.0
+    # per coarse cell: any offending fine child -> PC for the whole cell
+    b = bad
+    for d in range(dim):
+        shp = list(b.shape)
+        shp[d] //= r
+        shp.insert(d + 1, r)
+        b = jnp.any(b.reshape(shp), axis=d + 1)
+    for d in range(dim):
+        b = jnp.repeat(b, r, axis=d)
+    return jnp.where(b, inc_pc, inc_lim)
 
 
 # ---------------------------------------------------------------------------

@@ -114,7 +114,20 @@ def cell_mode(shape, dtype, has_alpha, want_resid, nsweeps) -> Optional[str]:
     return "slab" if T is not None else None
 
 
+# the fused NODAL path is DISABLED for production: Mosaic CSE hoists all
+# 27 unique shifted-phi blocks of the roll-based FEM stencil into vector
+# registers and spills 100-200MB of VMEM (tested at 65^3 whole AND 256^3
+# slab, with three source-level formulations: incremental view tree, flat
+# recompute, fori_loop sweeps). The single-pass pallas_mg nodal kernels
+# (padded-ref slicing style, which rematerializes VMEM loads instead of
+# keeping register values) handle the nodal smoother; a transverse-tiled
+# fused kernel with explicit scratch refs is the planned fix.
+_NODAL_FUSED_OK = False
+
+
 def nodal_mode(nshape, dtype, want_resid, nsweeps) -> Optional[str]:
+    if not _NODAL_FUSED_OK:
+        return None
     if jnp.dtype(dtype) != jnp.float32:
         return None
     nbytes = int(np.prod(nshape)) * 4
@@ -500,24 +513,22 @@ def _nodal_core(
         return _node_shift(v, d, o, kind, per)
 
     def residual(c):
-        # per-corner evaluation: for each t build the 2^dim shifted-phi
-        # values it needs incrementally (offsets t_d-1 and t_d per dim) --
-        # bounded live set, ~2*(2^dim-1) rolls per corner
+        # flat 4^dim-term evaluation with every shifted value recomputed on
+        # the fly: the live set stays ~4 blocks (an incremental-view-tree
+        # variant kept ~30 blocks live and drove Mosaic's register
+        # allocator into ~100MB of VMEM spill slots at 256^3)
         L = None
         for t in corners:
-            views = {(): c}
-            for d in range(dim):
-                nxt = {}
-                for key, v in views.items():
-                    for bd in (0, 1):
-                        nxt[key + (bd,)] = shift1(v, d, t[d] + bd - 1)
-                views = nxt
+            st = sig(t)
             a_t = tuple(1 - td for td in t)
             acc = None
             for bb in corners:
-                term = K[(a_t, bb)] * views[bb]
+                v = c
+                for d in range(dim):
+                    v = shift1(v, d, t[d] + bb[d] - 1)
+                term = K[(a_t, bb)] * v
                 acc = term if acc is None else acc + term
-            contrib = sig(t) * acc
+            contrib = st * acc
             L = contrib if L is None else L + contrib
         return rhs + inv_vol * L  # rhs - (-(1/V) assemble)
 
