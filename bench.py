@@ -29,6 +29,8 @@ import os
 import sys
 import time
 
+sys.setrecursionlimit(100000)  # the fused step traces a deep graph
+
 import numpy as np
 
 A100_BASELINE_CELLS_PER_S = 5.0e7
@@ -37,44 +39,57 @@ A100_BASELINE_CELLS_PER_S = 5.0e7
 def _mlmg_to_tolerance(n: int):
     """Nodal-projection MLMG wall-time to rtol 1e-11 (BASELINE.md metric).
 
-    f64 problem (sigma = 1/rho with O(1) contrast, random smooth rhs from a
-    divergence of a velocity field), solved with mixed-precision iterative
-    refinement. Returns (seconds, cycles, final relative residual)."""
-    import jax
-    import jax.numpy as jnp
+    Runs in a SUBPROCESS with x64 enabled: x64 in the main process trips an
+    infinite-recursion bug in Mosaic's convert_element_type lowering for
+    the f32 step kernels, so the throughput step must compile x64-off.
+    Returns (seconds, cycles, final relative residual)."""
+    import json as _json
+    import subprocess
 
-    from iamr_tpu.ops.mg_nodal import (
-        NodalBC,
-        N_PERIODIC,
-        div_cell_to_node,
-        nodal_solve,
-    )
-
-    dim = 3
-    dx = tuple(1.0 / n for _ in range(dim))
-    bc = NodalBC((N_PERIODIC,) * dim, (N_PERIODIC,) * dim)
-    rng = np.random.RandomState(11)
-    x = (np.arange(n) + 0.5) / n
-    X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
-    rho = 1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
-    sigma = jnp.asarray(1.0 / rho, jnp.float64)
-    u = tuple(
-        jnp.asarray(rng.rand(n, n, n) - 0.5, jnp.float64) for _ in range(dim)
-    )
-    rhs = div_cell_to_node(u, dx, bc)
-
-    f = jax.jit(
-        lambda r, s: nodal_solve(r, s, dx, bc, rtol=1e-11, atol=0.0,
-                                 mixed=True)
-    )
-    phi, res, it = f(rhs, sigma)  # compile + warm
-    jax.block_until_ready(phi)
-    t0 = time.perf_counter()
-    phi, res, it = f(rhs, sigma)
-    resf = float(res)
-    secs = time.perf_counter() - t0
-    bnorm = float(jnp.max(jnp.abs(rhs)))
-    return secs, int(it), resf / bnorm
+    code = f"""
+import json, sys, time
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  {os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")!r})
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+import numpy as np
+from iamr_tpu.ops.mg_nodal import NodalBC, N_PERIODIC, div_cell_to_node, nodal_solve
+n = {n}
+dx = (1.0 / n,) * 3
+bc = NodalBC((N_PERIODIC,) * 3, (N_PERIODIC,) * 3)
+rng = np.random.RandomState(11)
+x = (np.arange(n) + 0.5) / n
+X, Y, Z = np.meshgrid(x, x, x, indexing="ij")
+rho = 1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
+sigma = jnp.asarray(1.0 / rho, jnp.float64)
+u = tuple(jnp.asarray(rng.rand(n, n, n) - 0.5, jnp.float64) for _ in range(3))
+rhs = div_cell_to_node(u, dx, bc)
+f = jax.jit(lambda r, s: nodal_solve(r, s, dx, bc, rtol=1e-11, atol=0.0, mixed=True))
+phi, res, it = f(rhs, sigma)
+jax.block_until_ready(phi); _ = float(res)
+t0 = time.perf_counter()
+phi, res, it = f(rhs, sigma)
+resf = float(res)
+secs = time.perf_counter() - t0
+bnorm = float(jnp.max(jnp.abs(rhs)))
+print("MLMG_JSON " + json.dumps([secs, int(it), resf / bnorm]))
+"""
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=3600,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("MLMG_JSON "):
+                secs, it, rel = _json.loads(line[len("MLMG_JSON "):])
+                return secs, it, rel
+    except Exception:
+        pass
+    return -1.0, -1, -1.0
 
 
 def main():
@@ -87,10 +102,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    # x64 ON: the MLMG-to-1e-11 metric solves in f64 (mixed precision);
-    # without this the f64 arrays silently downcast to f32 and the solve
-    # stalls at the f32 floor. The throughput step stays f32 (cfg.dtype).
-    jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256

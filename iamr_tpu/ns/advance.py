@@ -36,6 +36,7 @@ from iamr_tpu.core.bc import (
 )
 from iamr_tpu.core.fill import fill_ghost
 from iamr_tpu.ops.godunov import (
+    advect_field,
     compute_edge_states,
     compute_fluxes_and_aofs,
     extrap_vel_to_faces,
@@ -371,13 +372,10 @@ def advance(
     for c in range(dim):
         sg = vel_g[c] if not mom_diff else rho_g3 * vel_g[c]
         fg = force_g[c]
-        edges = compute_edge_states(
-            sg, umac_g, dt, dx, cfg.geom.ncell, iconserv=mom_diff,
-            force_g=fg, periodic=periodic, scheme=scheme,
-        )
-        fl, a = compute_fluxes_and_aofs(
-            edges, umac, dx, mom_diff, s_cc=vel[c] if not mom_diff else None,
-            rz=rz,
+        fl, a = advect_field(
+            sg, umac, umac_g, dt, dx, cfg.geom.ncell, mom_diff,
+            s_cc=vel[c] if not mom_diff else None, force_g=fg,
+            periodic=periodic, scheme=scheme, rz=rz, eb=eb,
         )
         if eb is not None:
             a = eb_aofs(
@@ -392,11 +390,10 @@ def advance(
     # --- 4. scalar advection + updates ----------------------------------
     # density: conservative, no forcing
     rho_g = bcp.fill_scal(rho, 3, 0)
-    edges_rho = compute_edge_states(
-        rho_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=True, periodic=periodic,
-        scheme=scheme,
+    flux_rho, aofs_rho = advect_field(
+        rho_g, umac, umac_g, dt, dx, cfg.geom.ncell, True,
+        periodic=periodic, scheme=scheme, rz=rz, eb=eb,
     )
-    flux_rho, aofs_rho = compute_fluxes_and_aofs(edges_rho, umac, dx, True, rz=rz)
     if eb is not None:
         aofs_rho = eb_aofs(
             flux_rho, umac, eb, dx, True, s_cc=rho, periodic=periodic,
@@ -417,12 +414,9 @@ def advance(
         s = trac[t]
         s_g = bcp.fill_scal(s, 3, 1 + t)
         icons = cfg.do_cons_trac
-        edges = compute_edge_states(
-            s_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=icons, periodic=periodic,
-            scheme=scheme,
-        )
-        flux_s, aofs_s = compute_fluxes_and_aofs(
-            edges, umac, dx, icons, s_cc=s, rz=rz
+        flux_s, aofs_s = advect_field(
+            s_g, umac, umac_g, dt, dx, cfg.geom.ncell, icons, s_cc=s,
+            periodic=periodic, scheme=scheme, rz=rz, eb=eb,
         )
         if eb is not None:
             aofs_s = eb_aofs(
@@ -477,12 +471,9 @@ def advance(
     temp_new = state.temp
     if cfg.do_temp:
         t_g = bcp.fill_temp(state.temp, 3)
-        edges_t = compute_edge_states(
-            t_g, umac_g, dt, dx, cfg.geom.ncell, iconserv=False, periodic=periodic,
-            scheme=scheme,
-        )
-        flux_t, aofs_t = compute_fluxes_and_aofs(
-            edges_t, umac, dx, False, s_cc=state.temp, rz=rz
+        flux_t, aofs_t = advect_field(
+            t_g, umac, umac_g, dt, dx, cfg.geom.ncell, False, s_cc=state.temp,
+            periodic=periodic, scheme=scheme, rz=rz, eb=eb,
         )
         if eb is not None:
             aofs_t = eb_aofs(

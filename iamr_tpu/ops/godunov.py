@@ -352,6 +352,43 @@ def grow_umac_transverse(umac, bc_periodic: Sequence[bool]):
     return tuple(out)
 
 
+def advect_field(
+    s_g,
+    umac,
+    umac_g,
+    dt,
+    dx,
+    ncell,
+    iconserv: bool,
+    s_cc=None,
+    force_g=None,
+    periodic=None,
+    scheme: str = "plm",
+    rz=None,
+    eb=None,
+):
+    """Edge states + fluxes + advective tendency for one field.
+
+    Dispatches to the fused Pallas PLM kernel (ops/pallas_godunov.py) on
+    TPU for the common configuration, else composes compute_edge_states +
+    compute_fluxes_and_aofs. Returns (fluxes, aofs)."""
+    from iamr_tpu.ops.pallas_godunov import (
+        godunov_fused_ok,
+        godunov_plm_fused,
+    )
+
+    if godunov_fused_ok(tuple(ncell), s_g.dtype, scheme, rz, eb):
+        return godunov_plm_fused(
+            s_g, umac, umac_g, dt, dx, ncell, iconserv,
+            force_g=force_g, periodic=periodic,
+        )
+    edges = compute_edge_states(
+        s_g, umac_g, dt, dx, ncell, iconserv, force_g=force_g,
+        periodic=periodic, scheme=scheme,
+    )
+    return compute_fluxes_and_aofs(edges, umac, dx, iconserv, s_cc=s_cc, rz=rz)
+
+
 def compute_edge_states(
     s_g,
     umac_grown,

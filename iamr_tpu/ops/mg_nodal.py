@@ -392,6 +392,14 @@ def _smooth2(phi, rhs, lev: NodalLevel, bc: NodalBC, nsweeps: int,
              want_resid: bool, omega: float = 0.85):
     """Jacobi smoother (+ optional masked residual), fused when possible."""
     mode, interp = _fused_gate(lev, rhs.dtype, nsweeps, want_resid)
+    if mode == "sr":
+        from iamr_tpu.ops.pallas_fused import nodal_smooth_sr
+
+        upd = omega * lev.mask / lev.diag
+        return nodal_smooth_sr(
+            phi, lev.sigma, rhs, upd, lev.mask, lev.dx, bc.lo,
+            nsweeps, want_resid, interpret=interp,
+        )
     if mode is not None:
         from iamr_tpu.ops.pallas_fused import nodal_smooth_fused
 

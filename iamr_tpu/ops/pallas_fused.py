@@ -62,6 +62,9 @@ N_NEUMANN = 1
 N_DIRICHLET = 2
 
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+# the sr nodal kernel's double-buffered windows brush against the 128M
+# chip VMEM; give it (only) the near-full budget
+_SR_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024)
 
 _T = 16  # slab tile rows (multiple of the f32 sublane tiling, 8)
 
@@ -114,21 +117,35 @@ def cell_mode(shape, dtype, has_alpha, want_resid, nsweeps) -> Optional[str]:
     return "slab" if T is not None else None
 
 
-# the fused NODAL path is DISABLED for production: Mosaic CSE hoists all
-# 27 unique shifted-phi blocks of the roll-based FEM stencil into vector
-# registers and spills 100-200MB of VMEM (tested at 65^3 whole AND 256^3
-# slab, with three source-level formulations: incremental view tree, flat
-# recompute, fori_loop sweeps). The single-pass pallas_mg nodal kernels
-# (padded-ref slicing style, which rematerializes VMEM loads instead of
-# keeping register values) handle the nodal smoother; a transverse-tiled
-# fused kernel with explicit scratch refs is the planned fix.
+# the ROLL-BASED fused nodal modes ("whole"/"slab") are disabled for
+# production: Mosaic CSE hoists all 27 unique shifted-phi blocks of the
+# roll-based FEM stencil into vector registers and spills 100-200MB of
+# VMEM (tested at 65^3 whole AND 256^3 slab, with three source-level
+# formulations: incremental view tree, flat recompute, fori_loop sweeps).
+# Production uses the scratch-ref "sr" kernel (nodal_smooth_sr): ref
+# slicing rematerializes VMEM loads instead of pinning register values.
 _NODAL_FUSED_OK = False
 
 
 def nodal_mode(nshape, dtype, want_resid, nsweeps) -> Optional[str]:
-    if not _NODAL_FUSED_OK:
-        return None
     if jnp.dtype(dtype) != jnp.float32:
+        return None
+    # the 2D-tiled scratch-ref kernel ("sr") compiles and is exact, but
+    # measures SLOWER than the single-pass pallas_mg path on v5e (14.0 vs
+    # 11.2 ms for a 2-sweep+residual smoother at 257^3): the (22/16)^2 halo
+    # redundancy and 289 small grid programs outweigh the launch savings,
+    # and the 27-point FEM arithmetic is near the VPU roofline either way.
+    # Gate it off; IAMR_NODAL_SR=1 re-enables for experiments.
+    import os
+
+    if os.environ.get("IAMR_NODAL_SR", "") == "1" and (
+        len(nshape) == 3
+        and nshape[0] >= 17
+        and nshape[1] >= 17
+        and nshape[2] >= 16
+    ):
+        return "sr"
+    if not _NODAL_FUSED_OK:
         return None
     nbytes = int(np.prod(nshape)) * 4
     if nbytes * 16 <= _WHOLE_LIMIT:
@@ -571,6 +588,216 @@ def _nodal_slab_kernel(phi_ref, sigp_ref, rhs_ref, out_ref, res_ref,
     i = pl.program_id(0)
     slab = dict(T=T, H=H, nn0=nn0, per0=per0, g0=i * T - H)
     _nodal_core(phi_ref, sigp_ref, rhs_ref, out_ref, res_ref, slab=slab, **kw)
+
+
+# ===========================================================================
+# nodal fused smoother, scratch-ref style ("sr"): the production 3D path.
+#
+# All neighbor access is REF SLICING against a VMEM scratch block (the
+# pallas_mg style) — Mosaic rematerializes VMEM loads instead of pinning 27
+# shifted blocks in vector registers, so this does NOT spill where the
+# roll-based kernels above do. One pallas_call runs nsweeps Jacobi passes
+# (fori_loop, interior written back to the scratch, periodic transverse
+# ghosts refreshed in-block) plus the optional trailing masked residual.
+# Slab halo discipline over dim 0: H = nsweeps + want_resid.
+
+
+def _nodal_sr_kernel(
+    phip_ref, sigp_ref, rhs_ref, upd_ref, msk_ref, out_ref, res_ref, scr,
+    *, T0, T1, H, n2, K, inv_vol, nsweeps, want_resid, per2,
+):
+    """One 2D tile: output nodes rows [i*T0, i*T0+T0) x [j*T1, j*T1+T1).
+
+    Local conventions (r0 = row - i*T0 + H + 1 etc.):
+      phip/sigp blocks: (rows0+2, BS1, n2+2) with rows0 = T0+2H; dim1 uses
+      the same H+1 halo inside a BS1-sized (8-aligned) block window.
+      rhs/upd/msk blocks: (rows0, BS1, n2) with dim1 halo H+1 inside BS1.
+    Scratch: the evolving phi tile incl. ghost ring; dims 0/1 rely on halo
+    discipline (H = nsweeps + want_resid), dim 2 ghosts are refreshed each
+    sweep when periodic (duplicated-DOF wrap).
+    """
+    rows0 = T0 + 2 * H
+    rows1 = T1 + 2 * H
+    corners = list(itertools.product((0, 1), repeat=3))
+    scr[...] = phip_ref[0:rows0 + 2, 0:rows1 + 2, :]
+
+    def sl_phi(off):
+        return scr[off[0]:off[0] + rows0, off[1]:off[1] + rows1,
+                   off[2]:off[2] + n2]
+
+    def sl_sig(t):
+        return sigp_ref[t[0]:t[0] + rows0, t[1]:t[1] + rows1,
+                        t[2]:t[2] + n2]
+
+    def resid():
+        L = None
+        for t in corners:
+            a = tuple(1 - td for td in t)
+            acc = None
+            for bb in corners:
+                w = K[(a, bb)]
+                off = (t[0] + bb[0], t[1] + bb[1], t[2] + bb[2])
+                term = w * sl_phi(off)
+                acc = term if acc is None else acc + term
+            contrib = sl_sig(t) * acc
+            L = contrib if L is None else L + contrib
+        return rhs_ref[0:rows0, 1:rows1 + 1, :] + inv_vol * L
+
+    def body(_, carry):
+        r = resid()
+        scr[1:rows0 + 1, 1:rows1 + 1, 1:n2 + 1] = (
+            sl_phi((1, 1, 1)) + upd_ref[0:rows0, 1:rows1 + 1, :] * r
+        )
+        if per2:
+            # duplicated-DOF wrap: ghost left of node 0 = node nn-2 etc.
+            scr[:, :, 0] = scr[:, :, n2 - 1]
+            scr[:, :, n2 + 1] = scr[:, :, 2]
+        return carry
+
+    if nsweeps > 0:
+        jax.lax.fori_loop(0, nsweeps, body, 0)
+    out_ref[...] = scr[H + 1:H + 1 + T0, H + 1:H + 1 + T1, 1:n2 + 1]
+    if want_resid:
+        r = msk_ref[0:rows0, 1:rows1 + 1, :] * resid()
+        res_ref[...] = r[H:H + T0, H:H + T1]
+
+
+def nodal_smooth_sr(
+    phi, sigma, rhs, upd, msk, dx, bc_lo, nsweeps: int, want_resid: bool,
+    interpret: bool = False,
+):
+    """nsweeps nodal Jacobi sweeps (+ optional masked residual) in ONE
+    pallas_call, scratch-ref style with a 2D (dim0 x dim1) tile grid.
+
+    upd: omega * mask / diag (the per-node update factor); msk: the
+    Dirichlet mask for the residual. Matches mg_nodal._jacobi /
+    _nodal_residual arithmetic. Periodic dims wrap (duplicated-DOF);
+    non-periodic ghosts are zero with zero sigma weight."""
+    from iamr_tpu.ops.mg_nodal import _fem_element_matrix
+
+    nshape = tuple(phi.shape)
+    nn0, nn1, n2 = nshape
+    dtype = phi.dtype
+    K = _fem_element_matrix(dx)
+    vol = 1.0
+    for h in dx:
+        vol *= h
+    inv_vol = float(1.0 / vol)
+    H = nsweeps + (1 if want_resid else 0)
+    # tile choice: Mosaic materializes all 27 shifted neighbor values of
+    # the FEM stencil, so the tile must keep ~50 value-sized buffers under
+    # the VMEM budget; 16^2 x n2 tiles measure ~40M at 256^3 (32^2 hit 118M)
+    T0 = 16 if nn0 >= 64 else 8
+    T1 = 16 if nn1 >= 64 else 8
+    rows1 = T1 + 2 * H
+    # dim1 block sizes must be 8-divisible (Mosaic second-minor tiling)
+    BS1 = ((rows1 + 2 + 7) // 8) * 8
+    per = tuple(bc_lo[d] == N_PERIODIC for d in range(3))
+
+    nblk0 = (nn0 + T0 - 1) // T0
+    nblk1 = (nn1 + T1 - 1) // T1
+    ex0 = nblk0 * T0 - nn0
+    ex1 = nblk1 * T1 - nn1
+
+    def pad_nodes(x, d, lo, hi, wrap):
+        """Node-array pad along d: duplicated-DOF wrap or zeros."""
+        if wrap:
+            n = x.shape[d]
+            a = jax.lax.slice_in_dim(x, n - 1 - lo, n - 1, axis=d)
+            b = jax.lax.slice_in_dim(x, 1, 1 + hi, axis=d)
+            return jnp.concatenate([a, x, b], axis=d)
+        pads = [(0, 0)] * x.ndim
+        pads[d] = (lo, hi)
+        return jnp.pad(x, pads)
+
+    # phi: dim2 ghost ring (wrap or zeros), dims 0/1 halo H+1 (+ block pad)
+    if per[2]:
+        lo2 = phi[:, :, n2 - 2:n2 - 1]
+        hi2 = phi[:, :, 1:2]
+    else:
+        lo2 = jnp.zeros(phi.shape[:2] + (1,), dtype)
+        hi2 = lo2
+    phit = jnp.concatenate([lo2, phi, hi2], axis=2)
+    phip = pad_nodes(phit, 0, H + 1, H + 1 + ex0, per[0])
+    # dim1: lo H+1; hi sized so the last block window (offset j*T1, size
+    # BS1) fits: need len >= (nblk1-1)*T1 + BS1
+    hi1 = (nblk1 - 1) * T1 + BS1 - (nn1 + H + 1)
+    phip = pad_nodes(phip, 1, H + 1, hi1, per[1])
+
+    # sigma: cells; dim2 pad 1 per side (wrap/zeros); dims 0/1 aligned so
+    # sig[p] = cell (p - H - 1)
+    sigt = _sig_padded(sigma, bc_lo, dims=(2,))
+    nc0, nc1 = sigma.shape[0], sigma.shape[1]
+
+    def pad_cells(x, d, lo, hi, wrap, nc):
+        if wrap:
+            a = jax.lax.slice_in_dim(x, nc - lo, nc, axis=d)
+            b = jax.lax.slice_in_dim(x, 0, hi, axis=d)
+            return jnp.concatenate([a, x, b], axis=d)
+        pads = [(0, 0)] * x.ndim
+        pads[d] = (lo, hi)
+        return jnp.pad(x, pads)
+
+    sigp = pad_cells(sigt, 0, H + 1, H + 1 + ex0 + 1, per[0], nc0)
+    sig_hi1 = (nblk1 - 1) * T1 + BS1 - (nc1 + H + 1)
+    sigp = pad_cells(sigp, 1, H + 1, sig_hi1, per[1], nc1)
+
+    # rhs/upd/msk: dims 0 pad H; dim 1 pad H+1 inside BS1-style windows
+    def pad_rum(x):
+        x = pad_nodes(x, 0, H, H + ex0, per[0])
+        hi = (nblk1 - 1) * T1 + BS1 - (nn1 + H + 1)
+        return pad_nodes(x, 1, H + 1, hi, per[1])
+
+    rhsp = pad_rum(rhs)
+    updp = pad_rum(upd)
+    mskp = pad_rum(msk)
+
+    rows0 = T0 + 2 * H
+    kern = partial(
+        _nodal_sr_kernel, T0=T0, T1=T1, H=H, n2=n2, K=K, inv_vol=inv_vol,
+        nsweeps=nsweeps, want_resid=want_resid, per2=per[2],
+    )
+
+    def spec(r0, c1, a):
+        return pl.BlockSpec(
+            (pl.Element(r0, (0, 0)), pl.Element(c1, (0, 0)),
+             pl.Element(a.shape[2], (0, 0))),
+            lambda i, j: (i * T0, j * T1, 0),
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((nblk0 * T0, nblk1 * T1, n2), dtype),
+        jax.ShapeDtypeStruct(
+            (nblk0 * T0, nblk1 * T1, n2) if want_resid else (1, 1, 1), dtype
+        ),
+    )
+    phi_out, res = pl.pallas_call(
+        kern,
+        grid=(nblk0, nblk1),
+        out_shape=out_shapes,
+        in_specs=[
+            spec(rows0 + 2, BS1, phip),
+            spec(rows0 + 1, BS1, sigp),
+            spec(rows0, BS1, rhsp),
+            spec(rows0, BS1, updp),
+            spec(rows0, BS1, mskp),
+        ],
+        out_specs=(
+            pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, 0)),
+            pl.BlockSpec(
+                (T0, T1, n2) if want_resid else (1, 1, 1),
+                (lambda i, j: (i, j, 0)) if want_resid
+                else (lambda i, j: (0, 0, 0)),
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((rows0 + 2, rows1 + 2, n2 + 2), dtype)],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(phip, sigp, rhsp, updp, mskp)
+    phi_out = phi_out[:nn0, :nn1]
+    if want_resid:
+        return phi_out, res[:nn0, :nn1]
+    return phi_out, None
 
 
 def _sig_padded(sigma, bc_lo, dims=None):

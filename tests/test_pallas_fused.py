@@ -233,3 +233,59 @@ def test_mixed_precision_nodal_reaches_f64_tolerance():
     bnorm = float(jnp.max(jnp.abs(mask * rhs)))
     assert float(res) < 1e-11 * bnorm, (float(res), int(it))
     assert phi.dtype == jnp.float64
+
+
+SR_CASES = [
+    ((32, 16, 16), NodalBC((N_PERIODIC,) * 3, (N_PERIODIC,) * 3), 2, True),
+    (
+        (32, 16, 16),
+        NodalBC((N_NEUMANN, N_DIRICHLET, N_NEUMANN),
+                (N_DIRICHLET, N_NEUMANN, N_DIRICHLET)),
+        2,
+        True,
+    ),
+    (
+        (24, 16, 16),
+        NodalBC((N_NEUMANN, N_PERIODIC, N_DIRICHLET),
+                (N_NEUMANN, N_PERIODIC, N_DIRICHLET)),
+        3,
+        False,
+    ),
+    ((32, 16, 16), NodalBC((N_PERIODIC,) * 3, (N_PERIODIC,) * 3), 0, True),
+]
+
+
+@pytest.mark.parametrize("cshape,bc,nsweeps,wr", SR_CASES)
+def test_nodal_sr_matches_xla(cshape, bc, nsweeps, wr):
+    """The production scratch-ref fused nodal kernel reproduces the XLA
+    smoother + masked residual exactly (interpret mode)."""
+    from iamr_tpu.ops.pallas_fused import nodal_smooth_sr
+
+    rng = np.random.RandomState(2)
+    dim = len(cshape)
+    nshape = tuple(c + 1 for c in cshape)
+    dx = tuple(1.0 / c for c in cshape)
+    sigma = jnp.asarray(0.5 + rng.rand(*cshape), jnp.float32)
+    phi = jnp.asarray(rng.rand(*nshape), jnp.float32)
+    rhs = jnp.asarray(rng.rand(*nshape), jnp.float32)
+    for d in range(dim):
+        if bc.lo[d] == N_PERIODIC:
+            iL = [slice(None)] * dim
+            iL[d] = 0
+            iH = [slice(None)] * dim
+            iH[d] = -1
+            phi = phi.at[tuple(iH)].set(phi[tuple(iL)])
+            rhs = rhs.at[tuple(iH)].set(rhs[tuple(iL)])
+    lev = build_nodal_hierarchy(sigma, dx, bc)[0]
+    omega = 0.85
+    pr = mn._jacobi(phi, rhs, lev, bc, nsweeps, omega)
+    rr = mn._nodal_residual(pr, rhs, lev, bc)
+    upd = omega * lev.mask / lev.diag
+    pf, rf = nodal_smooth_sr(
+        phi, sigma, rhs, upd, lev.mask, dx, bc.lo, nsweeps, wr,
+        interpret=True,
+    )
+    scale = max(float(jnp.max(jnp.abs(rr))), 1.0)
+    assert float(jnp.max(jnp.abs(pf - pr))) < 1e-5
+    if wr:
+        assert float(jnp.max(jnp.abs(rf - rr))) < 1e-3 * scale
