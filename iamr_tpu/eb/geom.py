@@ -367,6 +367,16 @@ def psi_from_inputs(pp, dim: int):
         # bodies are the cylinder EXTERIORS here (CylinderIF(..., false) =
         # body outside); difference(body1, body2): fluid inside cyl1 OR cyl2
         psi = union_fluids(cyl1, cyl2)
+    elif gt == "Mixing-Pipe":
+        # a single cylinder (NS_init_eb2.cpp:288-327); internal_flow
+        # selects fluid inside (pipe flow) vs outside (flow past a rod)
+        pipe = pp.scoped("pipe")
+        d1 = int(pipe.query("direction", 1))
+        r1 = float(pipe.query("radius", 0.018))
+        h1 = float(pipe.query("height", 0.01))
+        c1 = [float(x) for x in pipe.getarr("center")]
+        internal = bool(int(pipe.query("internal_flow", 1)))
+        psi = cylinder_if(c1[:dim], r1, h1, d1, fluid_inside=internal)
     elif gt == "Square-Grid":
         # square-grid turbulence generator (NS_init_eb2.cpp:328-380;
         # Exec/square_grid_turbulence): a square frame = big box minus its

@@ -71,6 +71,47 @@ def slope4(qg, d):
     return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
 
 
+def slope4_eb(qg, d, fluid_g):
+    """Near-wall-aware limited slope (input extent m -> output m-4).
+
+    The reference's EBGodunov reconstructs near-wall slopes with a
+    least-squares fit over UNCOVERED neighbors instead of the regular
+    4th-order stencil (AMReX-Hydro EBGodunov slopes; IAMR call site
+    NavierStokesBase.cpp:4477-4480). Dense equivalent: away from the body
+    the standard slope4; where any cell of the 5-point stencil is covered,
+    fall back to the validity-masked 1D fit — central difference when both
+    face neighbors are fluid, one-sided when one is, zero when isolated —
+    with monotonized-central limiting over the valid sides. Covered cells
+    themselves get zero slope."""
+    m = qg.shape[d]
+    s4 = slope4(qg, d)
+    # masked slope at cells 2..m-2 (extent m-4)
+    c = _shift(qg, d, 2, m - 4)
+    lo = _shift(qg, d, 1, m - 4)
+    hi = _shift(qg, d, 3, m - 4)
+    f_c = _shift(fluid_g, d, 2, m - 4)
+    f_lo = _shift(fluid_g, d, 1, m - 4)
+    f_hi = _shift(fluid_g, d, 3, m - 4)
+    both = (f_lo > 0.0) & (f_hi > 0.0)
+    dc = jnp.where(
+        both,
+        0.5 * (hi - lo),
+        jnp.where(f_hi > 0.0, hi - c, jnp.where(f_lo > 0.0, c - lo, 0.0)),
+    )
+    dl = jnp.where(f_lo > 0.0, 2.0 * (c - lo), jnp.inf)
+    dr = jnp.where(f_hi > 0.0, 2.0 * (hi - c), jnp.inf)
+    dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+    ok = jnp.where(both, dl * dr > 0.0, True)
+    dlim = jnp.where(ok, dlim, 0.0)
+    s_m = jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
+    s_m = s_m * f_c
+    # near-wall: any covered cell within the 5-point stencil
+    near = jnp.zeros_like(f_c, dtype=bool)
+    for o in range(5):
+        near = near | (_shift(fluid_g, d, o, m - 4) == 0.0)
+    return jnp.where(near, s_m, s4)
+
+
 def ppm_lr(q3, d, cfl_L, cfl_R):
     """PPM (Colella-Woodward 1984) normal predictor: L/R face states.
 
@@ -382,9 +423,15 @@ def advect_field(
             s_g, umac, umac_g, dt, dx, ncell, iconserv,
             force_g=force_g, periodic=periodic,
         )
+    fluid_g = None
+    if eb is not None and scheme != "ppm":
+        # near-wall least-squares slopes need the grown fluid mask; domain
+        # ghosts hold valid (extrapolated/BC) data -> fluid
+        ng = (s_g.shape[0] - ncell[0]) // 2
+        fluid_g = jnp.pad(eb.fluid, ng, mode="constant", constant_values=1.0)
     edges = compute_edge_states(
         s_g, umac_g, dt, dx, ncell, iconserv, force_g=force_g,
-        periodic=periodic, scheme=scheme,
+        periodic=periodic, scheme=scheme, fluid_g=fluid_g,
     )
     return compute_fluxes_and_aofs(edges, umac, dx, iconserv, s_cc=s_cc, rz=rz)
 
@@ -399,6 +446,7 @@ def compute_edge_states(
     force_g=None,
     periodic: Optional[Sequence[bool]] = None,
     scheme: str = "plm",
+    fluid_g=None,
 ):
     """Predict scalar edge states on all faces given time-centered u_mac.
 
@@ -429,7 +477,10 @@ def compute_edge_states(
     slopes = []
     if scheme != "ppm":
         for d in range(dim):
-            s = slope4(s_g, d)
+            s = (
+                slope4(s_g, d) if fluid_g is None
+                else slope4_eb(s_g, d, fluid_g)
+            )
             s = _trim(s, 1, ng, dims=[e for e in range(dim) if e != d])
             slopes.append(s)
     s_1 = _trim(s_g, 1, ng)

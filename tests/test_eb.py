@@ -276,3 +276,25 @@ def test_named_geometry_catalog():
     eb = eb_from_inputs(pp, geom, ss=4)
     vf = np.asarray(eb.vfrac)
     assert (vf == 0).any() and (vf == 1).any()
+
+
+def test_slope4_eb_near_wall():
+    """Near-wall least-squares slopes: away from the body identical to
+    slope4; adjacent to covered cells they use only fluid neighbors (a
+    linear field's slope is recovered one-sidedly); covered cells get 0."""
+    from iamr_tpu.ops.godunov import slope4, slope4_eb
+
+    n = 16
+    x = np.arange(n + 6, dtype=np.float64)
+    q = jnp.asarray(np.broadcast_to(x[:, None], (n + 6, n + 6)).copy())
+    fluid = np.ones((n + 6, n + 6))
+    fluid[8, :] = 0.0  # a covered plane
+    s4 = slope4(q, 0)
+    se = slope4_eb(q, 0, jnp.asarray(fluid))
+    # far cells identical
+    assert float(jnp.max(jnp.abs(se[12:] - s4[12:]))) == 0.0
+    # linear field: one-sided slope still exact (rows 7 and 9 flank the wall)
+    assert abs(float(se[7 - 2, 0]) - 1.0) < 1e-12
+    assert abs(float(se[9 - 2, 0]) - 1.0) < 1e-12
+    # covered row has zero slope
+    assert float(jnp.max(jnp.abs(se[8 - 2]))) == 0.0
