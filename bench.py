@@ -78,10 +78,18 @@ secs = time.perf_counter() - t0
 bnorm = float(jnp.max(jnp.abs(rhs)))
 print("MLMG_JSON " + json.dumps([secs, int(it), resf / bnorm]))
 """
+    env = dict(os.environ)
+    # x64 + Mosaic don't mix (failed legalization); the mixed solve runs
+    # its f32 V-cycles through the XLA smoothers here. The wall-time is
+    # dominated by the per-cycle f64 residual (XLA:TPU f64 is emulated and
+    # unfused -> memory-bound 27-pass FEM apply); a double-f32 fused
+    # residual kernel is the planned improvement.
+    env["IAMR_ENABLE_PALLAS"] = "0"
+    env["IAMR_FUSED"] = "0"
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=3600,
+            timeout=3600, env=env,
         )
         for line in out.stdout.splitlines():
             if line.startswith("MLMG_JSON "):
