@@ -49,6 +49,10 @@ class EBData(NamedTuple):
     # per-cell int, -1 = no merge, else 2*d+side = merge with the face
     # neighbor at offset -+e_d. None for geometries built before round 2.
     merge_dir: Optional[jnp.ndarray] = None
+    # fluid volume centroids (EBFArrayBoxFactory getCentroid equivalent):
+    # per-dim offset of the cut cell's fluid centroid from the cell center,
+    # in units of dx (zero in regular/covered cells).
+    cent: Optional[Tuple[jnp.ndarray, ...]] = None
 
     @property
     def dim(self) -> int:
@@ -171,8 +175,10 @@ def translate_if(psi0, shift):
 # fraction evaluation
 
 
-def _sample_fraction(psi, lo, hi, shape, ss: int) -> np.ndarray:
-    """Fraction of each box of the grid with psi > 0, by ss^d supersampling."""
+def _sample_fraction(psi, lo, hi, shape, ss: int, moments: bool = False):
+    """Fraction of each cell with psi > 0 by ss^d supersampling; with
+    moments=True also the per-dim fluid centroid offsets (units of dx,
+    relative to the cell center)."""
     dim = len(shape)
     axes = []
     for d in range(dim):
@@ -184,14 +190,29 @@ def _sample_fraction(psi, lo, hi, shape, ss: int) -> np.ndarray:
         axes.append(pts.reshape(-1))
     grids = np.meshgrid(*axes, indexing="ij")
     vals = psi(*grids) > 0.0
-    # average over the ss sub-samples of each cell
     newshape = []
     for d in range(dim):
         newshape.extend([shape[d], ss])
     v = vals.reshape(newshape)
-    for d in reversed(range(dim)):
-        v = v.mean(axis=2 * d + 1)
-    return v.astype(np.float64)
+
+    def cellavg(x):
+        for d in reversed(range(dim)):
+            x = x.mean(axis=2 * d + 1)
+        return x.astype(np.float64)
+
+    frac = cellavg(v)
+    if not moments:
+        return frac
+    # sub-sample offsets from the cell center, in dx units
+    sub = (np.arange(ss) + 0.5) / ss - 0.5
+    cents = []
+    for d in range(dim):
+        shp = [1] * (2 * dim)
+        shp[2 * d + 1] = ss
+        w = sub.reshape(shp)
+        num = cellavg(v * w)
+        cents.append(np.where(frac > 0.0, num / np.maximum(frac, 1e-300), 0.0))
+    return frac, cents
 
 
 def _face_fraction(psi, geom: Geometry, d: int, ss: int) -> np.ndarray:
@@ -233,10 +254,14 @@ def _face_fraction(psi, geom: Geometry, d: int, ss: int) -> np.ndarray:
 def build_eb_geometry(psi, geom: Geometry, ss: int = 8, dtype="float64") -> EBData:
     """Evaluate a fluid-positive implicit function into EBData arrays."""
     dim = geom.dim
-    vfrac = _sample_fraction(psi, geom.prob_lo, geom.prob_hi, geom.ncell, ss)
+    vfrac, cents = _sample_fraction(
+        psi, geom.prob_lo, geom.prob_hi, geom.ncell, ss, moments=True
+    )
     # snap nearly-full/empty cells (supersampling noise)
     vfrac[vfrac > 1.0 - 0.5 / ss**dim] = 1.0
     vfrac[vfrac < 0.5 / ss**dim] = 0.0
+    for c in cents:
+        c[(vfrac == 1.0) | (vfrac == 0.0)] = 0.0
     afrac = []
     for d in range(dim):
         a = _face_fraction(psi, geom, d, ss)
@@ -305,6 +330,7 @@ def build_eb_geometry(psi, geom: Geometry, ss: int = 8, dtype="float64") -> EBDa
         aeb_vol=jnp.asarray(aeb_vol, jd),
         d_eb=jnp.asarray(d_eb, jd),
         merge_dir=jnp.asarray(merge_dir),
+        cent=tuple(jnp.asarray(c, jd) for c in cents),
     )
 
 

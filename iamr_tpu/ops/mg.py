@@ -355,6 +355,49 @@ def _residual(phi, rhs, lev: MGLevelData, a, b, bc):
     return rhs - apply_op(phi_g, lev.alpha, lev.beta, a, b, lev.dx, lev.shape)
 
 
+def _bottom_cg(rhs, lev: MGLevelData, a, b, bc, iters: int = 32):
+    """Conjugate-gradient bottom solve (the reference MLMG default bottom
+    solver is bicgcg, SURVEY section 2.2; the ABecLaplacian is SPD so plain
+    CG suffices). Fixed iteration count keeps the program static; the
+    bottom level is tiny so the cost is negligible — what CG buys over
+    smoother sweeps is convergence on anisotropic/stretched coefficients
+    where point relaxation stalls."""
+
+    def matvec(p):
+        return apply_op(_pad_phi(p, bc), lev.alpha, lev.beta, a, b, lev.dx,
+                        lev.shape)
+
+    singular = a == 0.0 and all(
+        bc.lo[d] != DIRICHLET and bc.hi[d] != DIRICHLET
+        for d in range(len(lev.shape))
+    )
+
+    def demean(x):
+        return x - jnp.mean(x) if singular else x
+
+    rhs = demean(rhs)
+    x = jnp.zeros_like(rhs)
+    r = rhs
+    p = r
+    rs = jnp.sum(r * r)
+    eps = jnp.asarray(1e-30, rhs.dtype)
+
+    def body(_, carry):
+        x, r, p, rs = carry
+        ap = matvec(p)
+        pap = jnp.sum(p * ap)
+        alpha_k = jnp.where(pap > eps, rs / jnp.maximum(pap, eps), 0.0)
+        x = x + alpha_k * p
+        r = demean(r - alpha_k * ap)
+        rs_new = jnp.sum(r * r)
+        beta_k = rs_new / jnp.maximum(rs, eps)
+        p = r + beta_k * p
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+    return x
+
+
 def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
     from iamr_tpu.parallel.context import constrain
 
@@ -362,7 +405,12 @@ def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
     dim = len(lev.shape)
     phi = jnp.zeros_like(rhs)
     if lev_idx == len(levels) - 1:
-        phi, _ = _smooth2(phi, rhs, lev, a, b, bc, nu_bottom, False)
+        phi, _ = _smooth2(phi, rhs, lev, a, b, bc, min(nu_bottom, 4), False)
+        phi = phi + _bottom_cg(
+            rhs - apply_op(_pad_phi(phi, bc), lev.alpha, lev.beta, a, b,
+                           lev.dx, lev.shape),
+            lev, a, b, bc,
+        )
         return phi
     phi, r = _smooth2(phi, rhs, lev, a, b, bc, nu1, True)
     r_c = constrain(_coarsen_cell(r, dim))

@@ -458,6 +458,61 @@ def _nodal_residual(phi, rhs, lev: NodalLevel, bc: NodalBC):
     return lev.mask * (rhs - apply_nodal(phi, lev.sigma, lev.dx, bc))
 
 
+def _bottom_cg(rhs, lev: NodalLevel, bc: NodalBC, iters: int = 32):
+    """CG bottom solve for the FEM nodal Laplacian (see mg._bottom_cg).
+
+    The assembled operator is NEGATIVE (semi-)definite (diag = -kap * sum
+    of adjacent sigmas), so CG runs on -L x = -rhs. Dirichlet-masked
+    throughout so the Krylov space stays in the solvable subspace."""
+
+    def matvec(p):
+        return -lev.mask * apply_nodal(p, lev.sigma, lev.dx, bc)
+
+    dim = lev.sigma.ndim
+    singular = all(
+        bc.lo[d] != N_DIRICHLET and bc.hi[d] != N_DIRICHLET
+        for d in range(dim)
+    )
+    if singular:
+        # nullspace = constants; weight out the duplicated periodic DOFs
+        own = jnp.ones_like(rhs)
+        for d in range(dim):
+            if bc.lo[d] == N_PERIODIC:
+                idx = [slice(None)] * dim
+                idx[d] = slice(-1, None)
+                own = own.at[tuple(idx)].set(0.0)
+        wsum = jnp.sum(own)
+
+        def demean(x):
+            return x - jnp.sum(x * own) / wsum
+    else:
+        def demean(x):
+            return x
+
+    rhs = demean(-lev.mask * rhs)
+    x = jnp.zeros_like(rhs)
+    r = rhs
+    p = r
+    rs = jnp.sum(r * r)
+    eps = jnp.asarray(1e-30, rhs.dtype)
+
+    def body(_, carry):
+        x, r, p, rs = carry
+        ap = matvec(p)
+        pap = jnp.sum(p * ap)
+        # breakdown guard: stop moving when p leaves the range space
+        alpha_k = jnp.where(pap > eps, rs / jnp.maximum(pap, eps), 0.0)
+        x = x + alpha_k * p
+        r = demean(r - alpha_k * ap)
+        rs_new = jnp.sum(r * r)
+        beta_k = rs_new / jnp.maximum(rs, eps)
+        p = r + beta_k * p
+        return x, r, p, rs_new
+
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+    return lev.mask * x
+
+
 def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
     from iamr_tpu.parallel.context import constrain
 
@@ -465,7 +520,11 @@ def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
     dim = lev.sigma.ndim
     phi = jnp.zeros_like(rhs)
     if lev_idx == len(levels) - 1:
-        phi, _ = _smooth2(phi, rhs, lev, bc, nu_bottom, False)
+        phi, _ = _smooth2(phi, rhs, lev, bc, min(nu_bottom, 4), False)
+        phi = phi + _bottom_cg(
+            lev.mask * (rhs - apply_nodal(phi, lev.sigma, lev.dx, bc)),
+            lev, bc,
+        )
         return phi
     phi, r = _smooth2(phi, rhs, lev, bc, nu1, True)
     r_c = constrain(_restrict_node(r, bc))

@@ -42,6 +42,12 @@ _EPS_UPWIND = 1e-14
 def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
     import os
 
+    from iamr_tpu.parallel.context import active
+
+    if active() is not None:
+        # a spatial mesh is live: pallas_call is opaque to the SPMD
+        # partitioner; multi-chip programs use the XLA path
+        return False
     if scheme != "plm" or rz is not None or eb is not None:
         return False
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:

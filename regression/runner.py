@@ -5,6 +5,12 @@ regression_testing workflow (SURVEY.md section 4): each named test runs a
 REFERENCE inputs file (verbatim, with short-run overrides), writes the final
 state, and tolerance-compares every field against a stored benchmark.
 
+Comparison tolerance is 1e-8 relative: the solves are tolerance-driven
+(rtol ~1e-12 on residuals), so two algorithmically-equivalent builds agree
+to ~1e-9 in solution units (solver-stopping noise); real regressions are
+orders of magnitude larger. Goldens are regenerated ONLY on intentional
+algorithm changes (git history documents each).
+
 Usage:
     python regression/runner.py --make-benchmarks   # (re)generate goldens
     python regression/runner.py                     # run + compare
@@ -41,37 +47,37 @@ REF = "/root/reference"
 TESTS = [
     ("lid_driven_cavity_2d",
      f"{REF}/Tutorials/LidDrivenCavity/inputs.2d.lid_driven_cavity",
-     ("max_step=3",), 1e-10),
+     ("max_step=3",), 1e-8),
     ("poiseuille_2d", f"{REF}/Exec/run2d/regtest.2d.poiseuille",
-     ("max_step=3", "amr.max_level=0"), 1e-10),
+     ("max_step=3", "amr.max_level=0"), 1e-8),
     ("hotspot_2d", f"{REF}/Exec/run2d/regtest.2d.hotspot",
-     ("max_step=3", "amr.max_level=0"), 1e-10),
+     ("max_step=3", "amr.max_level=0"), 1e-8),
     ("hotspot_rz", f"{REF}/Exec/run2d/regtest.2d.hotspot_rz",
-     ("max_step=3", "amr.max_level=0", "amr.n_cell=32 64"), 1e-10),
+     ("max_step=3", "amr.max_level=0", "amr.n_cell=32 64"), 1e-8),
     ("traceradvect_bds_2d", f"{REF}/Exec/run2d/regtest.2d.traceradvect_bds",
-     ("max_step=3", "amr.max_level=0"), 1e-10),
+     ("max_step=3", "amr.max_level=0"), 1e-8),
     ("euler_3d", f"{REF}/Exec/run3d/regtest.3d.euler",
-     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-10),
+     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-8),
     ("taylorgreen_3d", f"{REF}/Exec/run3d/regtest.3d.taylorgreen",
-     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-10),
+     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-8),
     ("flow_past_cylinder_2d",
      f"{REF}/Tutorials/FlowPastCylinder/inputs.2d.flow_past_cylinder-x",
      ("max_step=2", "stop_time=-1", "amr.max_level=0", "amr.n_cell=64 64",
-      "ns.init_iter=1"), 1e-10),
+      "ns.init_iter=1"), 1e-8),
     ("double_shear_layer_2d",
      f"{REF}/Tutorials/DoubleShearLayer/inputs.2d.double_shear_layer-rotate",
-     ("max_step=2", "amr.max_level=0", "eb2.geom_type=all_regular"), 1e-10),
+     ("max_step=2", "amr.max_level=0", "eb2.geom_type=all_regular"), 1e-8),
     # --- 2-level AMR configs (subcycled; the sync machinery is exercised:
     # reflux + mac_sync + composite sync projection) ----------------------
     ("rayleigh_taylor_2d_2lev",
      f"{REF}/Tutorials/RayleighTaylor/inputs.2d.rayleightaylor",
      ("max_step=3", "amr.max_level=1", "amr.n_cell=32 64",
-      "amr.regrid_int=0"), 1e-10),
+      "amr.regrid_int=0"), 1e-8),
     ("euler_3d_2lev", f"{REF}/Exec/run3d/regtest.3d.euler",
      ("max_step=2", "amr.max_level=1", "amr.n_cell=16 16 16",
-      "amr.regrid_int=0"), 1e-10),
+      "amr.regrid_int=0"), 1e-8),
     ("hotspot_2d_2lev", f"{REF}/Exec/run2d/regtest.2d.hotspot",
-     ("max_step=2", "amr.max_level=1", "amr.regrid_int=0"), 1e-10),
+     ("max_step=2", "amr.max_level=1", "amr.regrid_int=0"), 1e-8),
 ]
 
 BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")

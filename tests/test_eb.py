@@ -298,3 +298,23 @@ def test_slope4_eb_near_wall():
     assert abs(float(se[9 - 2, 0]) - 1.0) < 1e-12
     # covered row has zero slope
     assert float(jnp.max(jnp.abs(se[8 - 2]))) == 0.0
+
+
+def test_eb_centroids():
+    """Cut-cell fluid centroids point AWAY from the body and vanish in
+    regular/covered cells (EBFArrayBoxFactory centroid semantics)."""
+    geom, eb = _circle_geom(32, 0.25, ss=16)
+    cent = eb.cent
+    assert cent is not None
+    c = np.stack([np.asarray(cent[0]), np.asarray(cent[1])])
+    vf = np.asarray(eb.vfrac)
+    cut = (vf > 0.0) & (vf < 1.0)
+    assert float(np.abs(c[:, ~cut]).max()) == 0.0
+    # radial direction from the circle center (0.5, 0.5)
+    x = (np.arange(32) + 0.5) / 32
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    rx, ry = X - 0.5, Y - 0.5
+    dot = c[0] * rx + c[1] * ry
+    # the fluid is OUTSIDE the circle: centroid offsets align with +r
+    assert (dot[cut] > 0.0).mean() > 0.95
+    assert float(np.abs(c).max()) <= 0.5
