@@ -384,16 +384,22 @@ def _bottom_cg(rhs, lev: MGLevelData, a, b, bc, iters: int = 32):
 
     def body(_, carry):
         x, r, p, rs = carry
+        # freeze once converged: iterating CG past convergence with fixed
+        # iteration counts amplifies roundoff noise (rs/pap -> 0/0) and made
+        # sharded and unsharded runs diverge at 1e-4 level
+        active = rs > jnp.maximum(1e-28 * rs0, eps)
         ap = matvec(p)
         pap = jnp.sum(p * ap)
-        alpha_k = jnp.where(pap > eps, rs / jnp.maximum(pap, eps), 0.0)
+        alpha_k = jnp.where(active & (pap > eps), rs / jnp.maximum(pap, eps),
+                            0.0)
         x = x + alpha_k * p
         r = demean(r - alpha_k * ap)
         rs_new = jnp.sum(r * r)
-        beta_k = rs_new / jnp.maximum(rs, eps)
+        beta_k = jnp.where(active, rs_new / jnp.maximum(rs, eps), 0.0)
         p = r + beta_k * p
         return x, r, p, rs_new
 
+    rs0 = rs
     x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
     return x
 
