@@ -174,12 +174,19 @@ def est_time_step(cfg: NSConfig, state: NSState, hit=None):
     dt = jnp.asarray(1e20, dtype=cfg.jdtype)
     fallback = jnp.asarray(1e20, dtype=cfg.jdtype)
     tf = get_force(cfg, state.rho, state.time, hit)
+    # one fused pass for all 3*dim max-reductions (separate jnp.max calls
+    # each cost a full HBM sweep + a two-stage reduction launch)
+    inv_rho = 1.0 / state.rho
+    stacked = jnp.abs(
+        jnp.stack([state.vel, (tf - state.gradp) * inv_rho, tf * inv_rho])
+    )
+    maxes = jnp.max(stacked.reshape(3, cfg.dim, -1), axis=2)
     for d in range(cfg.dim):
-        umax = jnp.max(jnp.abs(state.vel[d]))
+        umax = maxes[0, d]
         dt = jnp.where(
             umax > small, jnp.minimum(dt, dx[d] / jnp.maximum(umax, small)), dt
         )
-        fmax = jnp.max(jnp.abs((tf[d] - state.gradp[d]) / state.rho))
+        fmax = maxes[1, d]
         dt = jnp.where(
             fmax > small,
             jnp.minimum(dt, jnp.sqrt(2.0 * dx[d] / jnp.maximum(fmax, small))),
@@ -188,7 +195,7 @@ def est_time_step(cfg: NSConfig, state: NSState, hit=None):
         # raw body-force timescale, used ONLY when nothing else bounds dt
         # (the reference aborts and demands ns.init_dt there, cpp:1460-1483;
         # a perfectly balanced quiescent gravity state has tf - Gp = 0)
-        fraw = jnp.max(jnp.abs(tf[d] / state.rho))
+        fraw = maxes[2, d]
         fallback = jnp.where(
             fraw > small,
             jnp.minimum(

@@ -214,8 +214,15 @@ def build_hierarchy(
     bc: PoissonBC,
     min_size: int = 2,
     max_levels: int = 30,
+    stop_dofs: int = 0,
 ):
-    """Build the MG level list (runs under jit; level count is static)."""
+    """Build the MG level list (runs under jit; level count is static).
+
+    stop_dofs: also stop coarsening once a level has <= stop_dofs cells
+    (the dense-bottom truncation: the ladder of tiny levels below ~8^3
+    costs fixed kernel-launch overhead per V-cycle and is replaced by one
+    direct solve — the TPU analogue of AMReX MLMG's agglomeration +
+    bottom solver, SURVEY.md section 2.2)."""
     from iamr_tpu.parallel.context import constrain, constrain_tuple
 
     dim = alpha.ndim
@@ -223,6 +230,8 @@ def build_hierarchy(
     shape = tuple(alpha.shape)
     dtype = alpha.dtype
     cur_alpha, cur_beta, cur_dx = alpha, tuple(beta), tuple(dx)
+    import numpy as _np
+
     while True:
         # multi-chip: pin each level's layout (fine levels sharded on the
         # spatial mesh, coarse levels replicated — the agglomeration policy,
@@ -241,6 +250,7 @@ def build_hierarchy(
             len(levels) >= max_levels
             or any(n % 2 != 0 for n in shape)
             or min(shape) <= min_size
+            or int(_np.prod(shape)) <= stop_dofs
         ):
             break
         cur_alpha = _coarsen_cell(cur_alpha, dim)
@@ -404,13 +414,89 @@ def _bottom_cg(rhs, lev: MGLevelData, a, b, bc, iters: int = 32):
     return x
 
 
-def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
+# dense-bottom size cap: largest level solved by direct (pseudo)inverse
+DENSE_BOTTOM_DOFS = 512
+
+
+def _bottom_dense_inv(lev: MGLevelData, a, b, bc):
+    """Materialize the bottom-level operator on the identity basis and
+    invert it ONCE per solve. Replaces the per-cycle 32-iteration CG: on
+    the tunneled TPU each CG iteration is several tiny sequential kernels
+    whose fixed launch cost dwarfs the arithmetic, while the dense apply
+    is one matvec per cycle. Exact (direct) bottom solve — strictly better
+    convergence than truncated CG. Singular (all-periodic/Neumann, a=0)
+    operators are regularized on the constants nullspace.
+
+    The reference reaches the same regime via MLMG agglomeration + a
+    bottom solver on the consolidated grid (SURVEY.md section 2.2)."""
+    import numpy as _np
+
+    shape = lev.shape
+    ndof = int(_np.prod(shape))
+    if ndof > 4096:
+        # hierarchy stopped early (odd extent) on a level too big to
+        # materialize — fall back to the CG bottom
+        return None
+    dtype = lev.alpha.dtype
+    eye = jnp.eye(ndof, dtype=dtype).reshape((ndof,) + shape)
+    cols = jax.vmap(
+        lambda e: apply_op(
+            _pad_phi(e, bc), lev.alpha, lev.beta, a, b, lev.dx, shape
+        ).ravel()
+    )(eye)
+    A = cols.T  # A[i, j] = (L e_j)_i
+    # EB/covered DOFs: a cell whose diagonal is (near-)zero has every face
+    # coefficient zero too, so its row AND column vanish — the matrix would
+    # be singular and inv() garbage. Decouple them with identity rows; their
+    # solution is pinned to 0 in _bottom_solve.
+    scale = jnp.mean(jnp.abs(lev.diag))
+    alive = (jnp.abs(lev.diag) > 1e-10 * scale).astype(dtype).ravel()
+    A = A + jnp.diag(1.0 - alive)
+    singular = a == 0.0 and all(
+        bc.lo[d] != DIRICHLET and bc.hi[d] != DIRICHLET
+        for d in range(len(shape))
+    )
+    if singular:
+        # rank-1 shift off the (alive-restricted) constants nullspace
+        w = alive / jnp.linalg.norm(alive)
+        A = A + scale * jnp.outer(w, w)
+    return jnp.linalg.inv(A), alive
+
+
+def _bottom_solve(rhs, lev: MGLevelData, a, b, bc, binv):
+    if binv is None:
+        return _bottom_cg(rhs, lev, a, b, bc)
+    inv, alive = binv
+    singular = a == 0.0 and all(
+        bc.lo[d] != DIRICHLET and bc.hi[d] != DIRICHLET
+        for d in range(len(lev.shape))
+    )
+    nalive = jnp.sum(alive)
+    r = alive * rhs.ravel()
+    if singular:
+        r = alive * (r - jnp.sum(r) / nalive)
+    x = alive * (inv @ r)
+    if singular:
+        x = alive * (x - jnp.sum(x) / nalive)
+    return x.reshape(lev.shape)
+
+
+def _use_dense_bottom() -> bool:
+    import os
+
+    return os.environ.get("IAMR_BOTTOM", "") != "cg"
+
+
+def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom, binv=None):
     from iamr_tpu.parallel.context import constrain
 
     lev = levels[lev_idx]
     dim = len(lev.shape)
     phi = jnp.zeros_like(rhs)
     if lev_idx == len(levels) - 1:
+        if binv is not None:
+            # direct bottom: no smoothing needed, the solve is exact
+            return _bottom_solve(rhs, lev, a, b, bc, binv)
         phi, _ = _smooth2(phi, rhs, lev, a, b, bc, min(nu_bottom, 4), False)
         phi = phi + _bottom_cg(
             rhs - apply_op(_pad_phi(phi, bc), lev.alpha, lev.beta, a, b,
@@ -420,7 +506,8 @@ def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom):
         return phi
     phi, r = _smooth2(phi, rhs, lev, a, b, bc, nu1, True)
     r_c = constrain(_coarsen_cell(r, dim))
-    e_c = _vcycle(r_c, levels, a, b, bc, lev_idx + 1, nu1, nu2, nu_bottom)
+    e_c = _vcycle(r_c, levels, a, b, bc, lev_idx + 1, nu1, nu2, nu_bottom,
+                  binv)
     phi = constrain(phi + _prolong(e_c, dim))
     # post-smooth requests (and discards) the residual so it reuses the SAME
     # fused kernel as the pre-smooth when nu2 == nu1 — halves the per-level
@@ -499,7 +586,9 @@ def mg_solve(
 
     rhs = constrain(rhs)
     phi = constrain(phi)
-    levels = build_hierarchy(alpha, beta, a, b, dx, bc)
+    dense = _use_dense_bottom()
+    stop = DENSE_BOTTOM_DOFS if dense else 0
+    levels = build_hierarchy(alpha, beta, a, b, dx, bc, stop_dofs=stop)
 
     use_mixed = (
         jnp.dtype(dtype) == jnp.float64
@@ -512,8 +601,11 @@ def mg_solve(
         b32 = b if isinstance(b, (int, float)) else jnp.asarray(b, f32)
         levels32 = build_hierarchy(
             alpha.astype(f32), tuple(bd.astype(f32) for bd in beta),
-            a, b32, dx, bc,
+            a, b32, dx, bc, stop_dofs=stop,
         )
+        binv = _bottom_dense_inv(levels32[-1], a, b32, bc) if dense else None
+    else:
+        binv = _bottom_dense_inv(levels[-1], a, b, bc) if dense else None
 
     bnorm = jnp.max(jnp.abs(rhs))
     tol = jnp.maximum(rtol * bnorm, atol)
@@ -523,10 +615,10 @@ def mg_solve(
         if use_mixed:
             e = _vcycle(
                 r.astype(jnp.float32), levels32, a, b32, bc, 0,
-                nu1, nu2, nu_bottom,
+                nu1, nu2, nu_bottom, binv,
             ).astype(dtype)
         else:
-            e = _vcycle(r, levels, a, b, bc, 0, nu1, nu2, nu_bottom)
+            e = _vcycle(r, levels, a, b, bc, 0, nu1, nu2, nu_bottom, binv)
         phi = phi + e
         if singular:
             phi = phi - jnp.mean(phi)

@@ -328,8 +328,13 @@ class NodalLevel:
     nshape: Tuple[int, ...]
 
 
-def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2, max_levels: int = 30):
+def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2,
+                          max_levels: int = 30, stop_dofs: int = 0):
+    """stop_dofs: stop coarsening once a level has <= stop_dofs NODES
+    (dense-bottom truncation, see mg.build_hierarchy)."""
     from iamr_tpu.parallel.context import constrain
+
+    import numpy as _np
 
     dim = sigma.ndim
     levels = []
@@ -346,6 +351,7 @@ def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2, max_levels:
             len(levels) >= max_levels
             or any(n % 2 != 0 for n in cshape)
             or min(cshape) <= min_size
+            or int(_np.prod(nshape)) <= stop_dofs
         ):
             break
         cur_sigma = _coarsen_sigma(cur_sigma, dim)
@@ -518,13 +524,96 @@ def _bottom_cg(rhs, lev: NodalLevel, bc: NodalBC, iters: int = 32):
     return lev.mask * x
 
 
-def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
+# dense-bottom size cap in NODES (9^3 = 729 in 3D)
+NODAL_DENSE_BOTTOM_DOFS = 1000
+
+
+def _nodal_own(lev: NodalLevel, bc: NodalBC):
+    """Weights of 'owned' nodes: 1 except the duplicated hi-side copy in
+    periodic dims (and 0 on Dirichlet-masked nodes)."""
+    dim = lev.sigma.ndim
+    own = jnp.ones(lev.nshape, dtype=lev.sigma.dtype)
+    for d in range(dim):
+        if bc.lo[d] == N_PERIODIC:
+            idx = [slice(None)] * dim
+            idx[d] = slice(-1, None)
+            own = own.at[tuple(idx)].set(0.0)
+    return own * lev.mask
+
+
+def _bottom_dense_inv_nodal(lev: NodalLevel, bc: NodalBC):
+    """Dense bottom (pseudo)inverse for the FEM nodal op (see
+    mg._bottom_dense_inv for rationale). The operator is restricted to the
+    Dirichlet mask; masked-out DOFs get identity rows so the matrix stays
+    invertible (their rhs is always 0). Singular all-periodic/Neumann
+    operators are shifted on the own-weighted constants nullspace."""
+    import numpy as _np
+
+    nshape = lev.nshape
+    ndof = int(_np.prod(nshape))
+    if ndof > 4096:
+        # hierarchy stopped early (odd extent) on a level too big to
+        # materialize — fall back to the CG bottom
+        return None
+    dtype = lev.sigma.dtype
+    eye = jnp.eye(ndof, dtype=dtype).reshape((ndof,) + nshape)
+    cols = jax.vmap(
+        lambda e: (
+            -(lev.mask * apply_nodal(lev.mask * e, lev.sigma, lev.dx, bc))
+        ).ravel()
+    )(eye)
+    A = cols.T
+    dim = lev.sigma.ndim
+    # identity on masked-out DOFs — both Dirichlet-masked nodes and
+    # EB-covered nodes (sigma = 0 in every adjacent cell -> zero diag AND
+    # zero row/column; inv() of that is garbage, mg_nodal.py:256)
+    scale = jnp.mean(jnp.abs(lev.diag))
+    # covered test: nodal_diag PINS zero-diag (fully covered) nodes to -kap,
+    # so test the adjacent sigma sum, not the diag
+    adj = _adjacent_cell_sum(lev.sigma, bc)
+    alive = (lev.mask * (adj > 0.0).astype(dtype)).ravel()
+    A = A + jnp.diag(1.0 - alive)
+    singular = all(
+        bc.lo[d] != N_DIRICHLET and bc.hi[d] != N_DIRICHLET
+        for d in range(dim)
+    )
+    if singular:
+        w = _nodal_own(lev, bc).ravel() * alive
+        w = w / jnp.linalg.norm(w)
+        A = A + scale * jnp.outer(w, w)
+    return jnp.linalg.inv(A), alive
+
+
+def _bottom_solve_nodal(rhs, lev: NodalLevel, bc: NodalBC, binv):
+    if binv is None:
+        return _bottom_cg(rhs, lev, bc)
+    inv, alive = binv
+    dim = lev.sigma.ndim
+    singular = all(
+        bc.lo[d] != N_DIRICHLET and bc.hi[d] != N_DIRICHLET
+        for d in range(dim)
+    )
+    r = -alive * rhs.ravel()  # CG solves -L x = -rhs (neg. semidefinite L)
+    if singular:
+        own = _nodal_own(lev, bc).ravel() * alive
+        wsum = jnp.sum(own)
+        r = r - jnp.sum(r * own) / wsum  # own-weighted mean out (as CG)
+        x = alive * (inv @ r)
+        x = alive * (x - jnp.sum(x * own) / wsum)
+    else:
+        x = alive * (inv @ r)
+    return x.reshape(lev.nshape)
+
+
+def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom, binv=None):
     from iamr_tpu.parallel.context import constrain
 
     lev = levels[lev_idx]
     dim = lev.sigma.ndim
     phi = jnp.zeros_like(rhs)
     if lev_idx == len(levels) - 1:
+        if binv is not None:
+            return _bottom_solve_nodal(rhs, lev, bc, binv)
         phi, _ = _smooth2(phi, rhs, lev, bc, min(nu_bottom, 4), False)
         phi = phi + _bottom_cg(
             lev.mask * (rhs - apply_nodal(phi, lev.sigma, lev.dx, bc)),
@@ -533,7 +622,8 @@ def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom):
         return phi
     phi, r = _smooth2(phi, rhs, lev, bc, nu1, True)
     r_c = constrain(_restrict_node(r, bc))
-    e_c = _nodal_vcycle(r_c, levels, bc, lev_idx + 1, nu1, nu2, nu_bottom)
+    e_c = _nodal_vcycle(r_c, levels, bc, lev_idx + 1, nu1, nu2, nu_bottom,
+                        binv)
     e_f = _prolong_node(e_c, dim)
     phi = constrain(phi + levels[lev_idx].mask * e_f)
     # post-smooth reuses the pre-smooth's fused kernel (see mg._vcycle)
@@ -571,8 +661,12 @@ def nodal_solve(
     Singular when no Dirichlet side exists: rhs and phi are mean-projected
     each cycle (the reference's nodal solve has the same nullspace).
     """
+    from iamr_tpu.ops.mg import _use_dense_bottom
+
     dim = sigma.ndim
-    levels = build_nodal_hierarchy(sigma, dx, bc)
+    dense = _use_dense_bottom()
+    stop = NODAL_DENSE_BOTTOM_DOFS if dense else 0
+    levels = build_nodal_hierarchy(sigma, dx, bc, stop_dofs=stop)
     lev0 = levels[0]
     phi = jnp.zeros(lev0.nshape, dtype=rhs.dtype) if phi0 is None else phi0
 
@@ -611,7 +705,12 @@ def nodal_solve(
         and (mixed if mixed is not None else _mixed_auto())
     )
     if use_mixed:
-        levels32 = build_nodal_hierarchy(sigma.astype(jnp.float32), dx, bc)
+        levels32 = build_nodal_hierarchy(
+            sigma.astype(jnp.float32), dx, bc, stop_dofs=stop
+        )
+        binv = _bottom_dense_inv_nodal(levels32[-1], bc) if dense else None
+    else:
+        binv = _bottom_dense_inv_nodal(levels[-1], bc) if dense else None
 
     bnorm = jnp.max(jnp.abs(rhs))
     tol = jnp.maximum(rtol * bnorm, atol)
@@ -620,10 +719,11 @@ def nodal_solve(
         _, r = _smooth2(phi, rhs, lev0, bc, 0, True)
         if use_mixed:
             e = _nodal_vcycle(
-                r.astype(jnp.float32), levels32, bc, 0, nu1, nu2, nu_bottom
+                r.astype(jnp.float32), levels32, bc, 0, nu1, nu2, nu_bottom,
+                binv,
             ).astype(rhs.dtype)
         else:
-            e = _nodal_vcycle(r, levels, bc, 0, nu1, nu2, nu_bottom)
+            e = _nodal_vcycle(r, levels, bc, 0, nu1, nu2, nu_bottom, binv)
         phi = phi + lev0.mask * e
         if singular:
             phi = demean(phi)

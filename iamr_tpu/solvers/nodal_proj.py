@@ -127,6 +127,11 @@ def level_project(
     if phi0 is not None and phi_bc is not None:
         # phi_bc lifting assumes the lifted part starts homogeneous
         phi0 = None
+    if phi0 is not None and eb is not None:
+        # EB: covered nodes (sigma = 0 all around -> zero diagonal) are
+        # never touched by the masked smoother, so a warm start would
+        # freeze p_old's covered values into grad(phi) next to the body
+        phi0 = None
     phi, res, it = nodal_solve(
         rhs, sigma_op, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
         phi_bc=phi_bc, phi0=phi0,
