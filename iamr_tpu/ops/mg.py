@@ -516,6 +516,47 @@ def _vcycle(rhs, levels, a, b, bc, lev_idx, nu1, nu2, nu_bottom, binv=None):
     return phi
 
 
+def union_dirichlet_coeffs(mask, alpha, beta, a, b, dx):
+    """Coefficient transform that embeds a union-of-boxes Dirichlet problem
+    into the full rectangular solve (the level-wide multi-box solve,
+    reference MLMG solving one AMR level across its whole BoxArray).
+
+    mask: 1.0 on cells of the union (the real fine level), 0.0 on 'hole'
+    cells of the bounding box whose values are KNOWN (coarse-interpolated
+    Dirichlet data). The transform:
+      * zeroes beta on every face touching a hole cell (removes coupling),
+      * adds the removed faces' coefficients back into the union cells'
+        alpha so their diagonal still carries the Dirichlet term,
+      * pins hole cells through the identity (alpha=1 there; their rhs is
+        zeroed by the caller so they solve to exactly 0).
+    With the rhs lifted by -L_full(g_ext), the solution of the transformed
+    system is x with x=0 in holes and x+g_ext the union Dirichlet solution.
+    No smoother/V-cycle/bottom changes are needed — it is just data.
+
+    Returns (alpha', beta', a'). b is unchanged.
+    """
+    dim = mask.ndim
+    a_eff = 1.0 if a == 0.0 else a
+    alpha_eff = mask * (a * alpha / a_eff if a != 0.0 else 0.0)
+    beta_m = []
+    seam_comp = jnp.zeros_like(mask)
+    for d in range(dim):
+        # face (d, i) sits between cells i-1 and i; domain-edge faces keep
+        # their coefficient (bc handles them), so pad the mask with ones
+        pad = [(0, 0)] * dim
+        pad[d] = (1, 1)
+        mp = jnp.pad(mask, pad, constant_values=1.0)
+        fmask = sl(mp, d, 0, -1) * sl(mp, d, 1, None)
+        beta_m.append(beta[d] * fmask)
+        # diagonal compensation: seam-face beta lost from union cells
+        lost = beta[d] * (1.0 - fmask)
+        seam_comp = seam_comp + (
+            _face_lo(lost, d) + _face_hi(lost, d)
+        ) / (dx[d] * dx[d])
+    alpha_eff = alpha_eff + mask * (b / a_eff) * seam_comp + (1.0 - mask)
+    return alpha_eff, tuple(beta_m), a_eff
+
+
 def _mixed_auto() -> bool:
     """Auto-enable mixed precision for f64 solves on TPU (f64 is emulated
     there; the f32 V-cycle runs on the fused Pallas path while f64 enters
@@ -552,6 +593,8 @@ def mg_solve(
     nu_bottom: int = 16,
     fixed_cycles: Optional[int] = None,
     mixed: Optional[bool] = None,
+    interior_mask=None,
+    interior_vals=None,
 ):
     """Solve (a*alpha - b*div(beta grad)) phi = rhs to tolerance.
 
@@ -563,6 +606,12 @@ def mg_solve(
     f64 tolerances at f32 smoothing cost (the TPU answer to the reference's
     all-double MLMG, SURVEY.md section 7.3.7). None = auto (TPU only).
 
+    interior_mask/interior_vals: solve only on the union of boxes where
+    interior_mask==1, with interior Dirichlet data interior_vals on the
+    mask==0 'hole' cells (the level-wide multi-box solve; see
+    union_dirichlet_coeffs). Requires a non-singular problem (the bounding
+    box of a fine AMR level always has Dirichlet coarse-fine faces).
+
     Returns (phi, final_resnorm, n_cycles).
     """
     dim = rhs.ndim
@@ -570,14 +619,32 @@ def mg_solve(
     shape = tuple(rhs.shape)
     phi = jnp.zeros_like(rhs) if phi0 is None else phi0
 
-    singular = a == 0.0 and all(
-        bc.lo[d] != DIRICHLET and bc.hi[d] != DIRICHLET for d in range(dim)
+    singular = (
+        a == 0.0
+        and interior_mask is None
+        and all(
+            bc.lo[d] != DIRICHLET and bc.hi[d] != DIRICHLET
+            for d in range(dim)
+        )
     )
 
     # boundary lifting: fold inhomogeneous BC values into the RHS
     if bvals:
         g = _boundary_lift(shape, bc, bvals, dtype)
         rhs = rhs - apply_op(g, alpha, beta, a, b, dx, shape)
+
+    g_ext = None
+    if interior_mask is not None:
+        m = interior_mask
+        if interior_vals is not None:
+            # interior Dirichlet lifting with the FULL (untransformed)
+            # operator: the seam coupling of the hole values moves into rhs
+            g_ext = (1.0 - m) * interior_vals
+            rhs = rhs - apply_op(_pad_phi(g_ext, bc), alpha, beta, a, b, dx,
+                                 shape)
+        rhs = m * rhs
+        alpha, beta, a = union_dirichlet_coeffs(m, alpha, beta, a, b, dx)
+        phi = m * phi
 
     if singular:
         rhs = rhs - jnp.mean(rhs)
@@ -624,11 +691,14 @@ def mg_solve(
             phi = phi - jnp.mean(phi)
         return phi
 
+    def finalize(phi):
+        return phi if g_ext is None else phi + g_ext
+
     if fixed_cycles is not None:
         for _ in range(fixed_cycles):
             phi = do_cycle(phi)
         res = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
-        return phi, res, jnp.asarray(fixed_cycles)
+        return finalize(phi), res, jnp.asarray(fixed_cycles)
 
     def cond(state):
         phi, res, it = state
@@ -642,7 +712,7 @@ def mg_solve(
 
     res0 = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
     phi, res, it = jax.lax.while_loop(cond, body, (phi, res0, jnp.asarray(0)))
-    return phi, res, it
+    return finalize(phi), res, it
 
 
 def get_fluxes(phi, beta, b: float, dx, bc: PoissonBC, bvals: Optional[Dict] = None):

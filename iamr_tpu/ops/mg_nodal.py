@@ -329,9 +329,17 @@ class NodalLevel:
 
 
 def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2,
-                          max_levels: int = 30, stop_dofs: int = 0):
+                          max_levels: int = 30, stop_dofs: int = 0,
+                          mask0=None):
     """stop_dofs: stop coarsening once a level has <= stop_dofs NODES
-    (dense-bottom truncation, see mg.build_hierarchy)."""
+    (dense-bottom truncation, see mg.build_hierarchy).
+
+    mask0: optional extra node Dirichlet mask (0 = constrained) ANDed into
+    every level's bc-derived mask — the level-wide multi-box solve, where
+    nodes on/outside the union boundary carry coarse-interpolated Dirichlet
+    data (via nodal_solve's phi_bc lifting). Coarse-level masks sample the
+    fine mask at the coincident (stride-2) nodes; the solver machinery is
+    already mask-driven everywhere, so this is pure data."""
     from iamr_tpu.parallel.context import constrain
 
     import numpy as _np
@@ -339,6 +347,7 @@ def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2,
     dim = sigma.ndim
     levels = []
     cur_sigma, cur_dx = sigma, tuple(dx)
+    cur_m = mask0
     while True:
         # multi-chip per-level layout (see iamr_tpu.parallel.context)
         cur_sigma = constrain(cur_sigma)
@@ -346,6 +355,8 @@ def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2,
         nshape = tuple(n + 1 for n in cshape)
         diag = constrain(nodal_diag(cur_sigma, cur_dx, bc))
         mask = _dirichlet_mask(nshape, bc, sigma.dtype)
+        if cur_m is not None:
+            mask = mask * cur_m
         levels.append(NodalLevel(cur_sigma, diag, mask, cur_dx, nshape))
         if (
             len(levels) >= max_levels
@@ -356,6 +367,8 @@ def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2,
             break
         cur_sigma = _coarsen_sigma(cur_sigma, dim)
         cur_dx = tuple(2.0 * h for h in cur_dx)
+        if cur_m is not None:
+            cur_m = cur_m[tuple(slice(None, None, 2) for _ in range(dim))]
     return levels
 
 
@@ -646,8 +659,14 @@ def nodal_solve(
     fixed_cycles: Optional[int] = None,
     phi_bc=None,
     mixed: Optional[bool] = None,
+    interior_mask=None,
 ):
     """Solve L(phi) = rhs (FEM nodal Laplacian). Returns (phi, resnorm, iters).
+
+    interior_mask: optional node mask for the level-wide multi-box solve
+    (0 = node constrained to phi_bc's value; see build_nodal_hierarchy).
+    Callers pass sigma already zeroed on hole cells and phi_bc holding the
+    coarse-interpolated values on constrained nodes.
 
     mixed: for f64 inputs, run the V-cycle in f32 (fused Pallas smoothers)
     with f64 residual/correction outside — iterative refinement to f64
@@ -666,7 +685,8 @@ def nodal_solve(
     dim = sigma.ndim
     dense = _use_dense_bottom()
     stop = NODAL_DENSE_BOTTOM_DOFS if dense else 0
-    levels = build_nodal_hierarchy(sigma, dx, bc, stop_dofs=stop)
+    levels = build_nodal_hierarchy(sigma, dx, bc, stop_dofs=stop,
+                                   mask0=interior_mask)
     lev0 = levels[0]
     phi = jnp.zeros(lev0.nshape, dtype=rhs.dtype) if phi0 is None else phi0
 
@@ -706,7 +726,9 @@ def nodal_solve(
     )
     if use_mixed:
         levels32 = build_nodal_hierarchy(
-            sigma.astype(jnp.float32), dx, bc, stop_dofs=stop
+            sigma.astype(jnp.float32), dx, bc, stop_dofs=stop,
+            mask0=(None if interior_mask is None
+                   else interior_mask.astype(jnp.float32)),
         )
         binv = _bottom_dense_inv_nodal(levels32[-1], bc) if dense else None
     else:
