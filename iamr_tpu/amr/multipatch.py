@@ -159,6 +159,102 @@ def _masked_deltas(deltas, specs, b, covered_np):
     return tuple(out)
 
 
+def union_bbox_spec(specs: Sequence[LevelSpec]) -> LevelSpec:
+    """Bounding-box LevelSpec of a multi-box fine level (always coarse-cell
+    aligned since every member box is)."""
+    dim = specs[0].dim
+    lo = tuple(min(sp.lo[d] for sp in specs) for d in range(dim))
+    hi = tuple(max(sp.lo[d] + sp.ncell[d] for sp in specs) for d in range(dim))
+    return LevelSpec(
+        lo=lo, ncell=tuple(hi[d] - lo[d] for d in range(dim)),
+        ratio=specs[0].ratio,
+    )
+
+
+def _box_slices(sp: LevelSpec, bbox: LevelSpec, face_dim=None, node=False):
+    """Index of box sp inside the bbox array (cell/face/node centering)."""
+    sl = []
+    for d in range(sp.dim):
+        o = sp.lo[d] - bbox.lo[d]
+        n = sp.ncell[d] + (1 if (node or face_dim == d) else 0)
+        sl.append(slice(o, o + n))
+    return tuple(sl)
+
+
+def _subcycle_union(
+    crse, crse_new, crse_aux, fines, cfg, cfgs_f, specs, r, fixed_mg_cycles,
+    hit,
+):
+    """Advance the WHOLE multi-box fine level as ONE bounding-box array:
+    scatter box data into the bbox (holes from coarse interpolation), run r
+    subcycles with UnionBCProvider (level-wide union elliptic solves,
+    reference MLMG semantics), gather per-box states and register sums back.
+    """
+    from iamr_tpu.amr.multilevel import init_fine_from_coarse
+    from iamr_tpu.ns.bcprovider import UnionBCProvider
+
+    dim = cfg.dim
+    bbox = union_bbox_spec(specs)
+    cfg_u = make_fine_config(cfg, bbox)
+    dt_f = crse.dt / r
+    u = init_fine_from_coarse(cfg_u, bbox, crse)
+    for sp, f in zip(specs, fines):
+        cs = _box_slices(sp, bbox)
+        ns_ = _box_slices(sp, bbox, node=True)
+        u = u._replace(
+            vel=u.vel.at[(slice(None),) + cs].set(f.vel),
+            rho=u.rho.at[cs].set(f.rho),
+            trac=u.trac.at[(slice(None),) + cs].set(f.trac),
+            temp=u.temp.at[cs].set(f.temp),
+            p=u.p.at[ns_].set(f.p),
+            gradp=u.gradp.at[(slice(None),) + cs].set(f.gradp),
+        )
+    u = u._replace(time=fines[0].time, dt=dt_f)
+    flux_sum = None
+    umac_sum = None
+    for k in range(r):
+        th0, th1 = k / r, (k + 1) / r
+        bcp = UnionBCProvider(
+            cfg_u, bbox, specs, cfg.geom,
+            _interp_states(crse, crse_new, th0),
+            _interp_states(crse, crse_new, th1),
+            crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
+            crse_umac=crse_aux["umac"],
+        )
+        u, aux = advance(
+            u._replace(dt=dt_f), cfg_u, fixed_mg_cycles, hit=hit, bcp=bcp,
+            return_aux=True,
+        )
+        fr, um = aux["flux_rho"], aux["umac"]
+        if flux_sum is None:
+            flux_sum = [f / r for f in fr]
+            umac_sum = [x / r for x in um]
+        else:
+            flux_sum = [s + f / r for s, f in zip(flux_sum, fr)]
+            umac_sum = [s + x / r for s, x in zip(umac_sum, um)]
+    fines_new, flux_sums, umac_sums = [], [], []
+    for sp in specs:
+        cs = _box_slices(sp, bbox)
+        ns_ = _box_slices(sp, bbox, node=True)
+        fines_new.append(NSState(
+            vel=u.vel[(slice(None),) + cs],
+            rho=u.rho[cs],
+            trac=u.trac[(slice(None),) + cs],
+            temp=u.temp[cs],
+            p=u.p[ns_],
+            gradp=u.gradp[(slice(None),) + cs],
+            time=u.time, dt=u.dt,
+            dsdt=None if u.dsdt is None else u.dsdt[cs],
+        ))
+        flux_sums.append(
+            [flux_sum[d][_box_slices(sp, bbox, face_dim=d)] for d in range(dim)]
+        )
+        umac_sums.append(
+            [umac_sum[d][_box_slices(sp, bbox, face_dim=d)] for d in range(dim)]
+        )
+    return fines_new, flux_sums, umac_sums
+
+
 def advance_two_level_multipatch(
     crse: NSState,
     fines: Tuple[NSState, ...],
@@ -166,13 +262,17 @@ def advance_two_level_multipatch(
     specs: Tuple[LevelSpec, ...],
     fixed_mg_cycles: Optional[int] = None,
     hit=None,
+    union: bool = True,
 ):
     """One coarse step with r subcycles of a MULTI-BOX fine level.
 
-    All boxes share the coarse dt/r; each box's ghosts come from siblings
-    where covered, else the time-interpolated coarse level. Coupling
-    (avgDown, reflux, MAC sync registers) runs per box with fine-fine faces
-    masked out; one mac_sync solve + one sync projection serve the union.
+    All boxes share the coarse dt/r. union=True (default) advances the level
+    as ONE bounding-box array with level-wide union elliptic solves
+    (_subcycle_union; reference MLMG solves across the whole BoxArray);
+    union=False keeps the legacy per-box advance with sibling ghost pasting
+    and Dirichlet fine-fine seams. Coupling (avgDown, reflux, MAC sync
+    registers) runs per box with fine-fine faces masked out; one mac_sync
+    solve + one sync projection serve the union.
     """
     from iamr_tpu.amr.sync import (
         interface_delta_umac,
@@ -196,41 +296,49 @@ def advance_two_level_multipatch(
     )
 
     dt_f = dt_c / r
-    fines_k = [f._replace(dt=dt_f) for f in fines]
-    flux_sums = [None] * nb
-    umac_sums = [None] * nb
-    for k in range(r):
-        th0, th1 = k / r, (k + 1) / r
-        olds = [_fields_of(f) for f in fines_k]
-        new_fk = []
-        for b in range(nb):
-            siblings = [
-                (specs[c], olds[c]) for c in range(nb) if c != b
-            ]
-            bcp = MultiPatchBCProvider(
-                cfgs_f[b], specs[b], cfg.geom,
-                _interp_states(crse, crse_new, th0),
-                _interp_states(crse, crse_new, th1),
-                crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
-                crse_umac=crse_aux["umac"],
-                siblings=siblings,
-            )
-            fb, aux_b = advance(
-                fines_k[b]._replace(dt=dt_f), cfgs_f[b], fixed_mg_cycles,
-                hit=hit, bcp=bcp, return_aux=True,
-            )
-            new_fk.append(fb)
-            fr = aux_b["flux_rho"]
-            if flux_sums[b] is None:
-                flux_sums[b] = [f / r for f in fr]
-                umac_sums[b] = [u / r for u in aux_b["umac"]]
-            else:
-                flux_sums[b] = [s0 + f / r for s0, f in zip(flux_sums[b], fr)]
-                umac_sums[b] = [
-                    s0 + u / r for s0, u in zip(umac_sums[b], aux_b["umac"])
+    if union:
+        fines_new, flux_sums, umac_sums = _subcycle_union(
+            crse, crse_new, crse_aux, fines, cfg, cfgs_f, specs, r,
+            fixed_mg_cycles, hit,
+        )
+    else:
+        fines_k = [f._replace(dt=dt_f) for f in fines]
+        flux_sums = [None] * nb
+        umac_sums = [None] * nb
+        for k in range(r):
+            th0, th1 = k / r, (k + 1) / r
+            olds = [_fields_of(f) for f in fines_k]
+            new_fk = []
+            for b in range(nb):
+                siblings = [
+                    (specs[c], olds[c]) for c in range(nb) if c != b
                 ]
-        fines_k = new_fk
-    fines_new = fines_k
+                bcp = MultiPatchBCProvider(
+                    cfgs_f[b], specs[b], cfg.geom,
+                    _interp_states(crse, crse_new, th0),
+                    _interp_states(crse, crse_new, th1),
+                    crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
+                    crse_umac=crse_aux["umac"],
+                    siblings=siblings,
+                )
+                fb, aux_b = advance(
+                    fines_k[b]._replace(dt=dt_f), cfgs_f[b], fixed_mg_cycles,
+                    hit=hit, bcp=bcp, return_aux=True,
+                )
+                new_fk.append(fb)
+                fr = aux_b["flux_rho"]
+                if flux_sums[b] is None:
+                    flux_sums[b] = [f / r for f in fr]
+                    umac_sums[b] = [u / r for u in aux_b["umac"]]
+                else:
+                    flux_sums[b] = [
+                        s0 + f / r for s0, f in zip(flux_sums[b], fr)
+                    ]
+                    umac_sums[b] = [
+                        s0 + u / r for s0, u in zip(umac_sums[b], aux_b["umac"])
+                    ]
+            fines_k = new_fk
+        fines_new = fines_k
 
     # --- coupling: avgDown + reflux per box (fine-fine faces masked) -------
     crse_out = crse_new

@@ -243,6 +243,12 @@ def advance(
         from iamr_tpu.ns.bcprovider import PhysBCProvider
 
         bcp = PhysBCProvider(cfg)
+    # level-wide multi-box union advance (amr/multipatch.py): every elliptic
+    # solve runs on the box union with coarse-interpolated interior Dirichlet
+    # data in the bbox holes (reference MLMG solves each AMR level across its
+    # whole BoxArray, SURVEY.md section 2.2)
+    is_union = getattr(bcp, "is_union", False)
+    umask = bcp.cellmask if is_union else None
     dim = cfg.dim
     dx = cfg.geom.dx
     dt = state.dt
@@ -363,6 +369,8 @@ def advance(
         umac, rho, cfg.dom, dx, divu_src=mac_divu,
         rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
         bc=mac_bc, bvals=mac_bvals, eb=eb, rz=rz,
+        interior_mask=umask,
+        interior_vals=bcp.union_vals_mac() if is_union else None,
     )
     umac_g = bcp.grow_umac(umac)
 
@@ -442,6 +450,10 @@ def advance(
                     bcp._scal_rec, theta=cfg.be_cn_theta,
                     rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=sbc, poisson_bvals=sbv,
+                    interior_mask=umask,
+                    interior_vals=(
+                        bcp.union_vals_scal(1 + t) if is_union else None
+                    ),
                 )
             else:
                 # volume-weighted EB operator; no-flux at the EB wall
@@ -503,6 +515,8 @@ def advance(
                 bcp._temp_rec, theta=cfg.be_cn_theta,
                 rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                 poisson_bc=tbc, poisson_bvals=tbv,
+                interior_mask=umask,
+                interior_vals=bcp.union_vals_temp() if is_union else None,
             )
         if eb is not None:
             temp_new = eb.fluid * temp_new + eb.covered * state.temp
@@ -552,6 +566,10 @@ def advance(
                     dx, recs[c], theta=theta,
                     rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
                     poisson_bc=vbc, poisson_bvals=vbv,
+                    interior_mask=umask,
+                    interior_vals=(
+                        bcp.union_vals_vel(c) if is_union else None
+                    ),
                 )
                 comps.append(u_new)
             vel_star = jnp.stack(comps)
@@ -624,6 +642,7 @@ def advance(
         vel_star, rho_half, p, gradp, dt, cfg.dom, dx,
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
         bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb, rz=rz,
+        union=(bcp.cellmask, bcp.nodemask) if is_union else None,
     )
 
     # dsdt for the next step's MAC RHS (calc_dsdt, NavierStokes.cpp:631-641)

@@ -415,6 +415,160 @@ class CoarseFineBCProvider(PhysBCProvider):
         return tuple(out)
 
 
+def _prolong_face_patch(cu, d, spec: LevelSpec):
+    """Coarse MAC face field (faces normal to d) interpolated onto the fine
+    patch's face grid: linear in the normal dim, piecewise-constant
+    transverse (the reference's face_linear_interp)."""
+    import numpy as np
+
+    dim = cu.ndim
+    r = spec.ratio
+    out = cu
+    for f in range(dim):
+        if f == d:
+            g = np.arange(spec.lo[f], spec.lo[f] + spec.ncell[f] + 1)
+            c0 = g // r
+            w = ((g - c0 * r) / r).astype(np.float64)
+            c1 = np.minimum(c0 + 1, cu.shape[f] - 1)
+            a = jnp.take(out, jnp.asarray(c0), axis=f)
+            b = jnp.take(out, jnp.asarray(c1), axis=f)
+            ws = [1] * dim
+            ws[f] = len(g)
+            out = a + (b - a) * jnp.asarray(w, out.dtype).reshape(ws)
+        else:
+            j = np.arange(spec.lo[f], spec.lo[f] + spec.ncell[f]) // r
+            out = jnp.take(out, jnp.asarray(j), axis=f)
+    return out
+
+
+class UnionBCProvider(CoarseFineBCProvider):
+    """Provider for a WHOLE multi-box fine level advanced as ONE
+    bounding-box array (the level-wide union advance, amr/multipatch.py).
+
+    The bbox spec behaves like a single fine patch (outer coarse-fine
+    handling comes from CoarseFineBCProvider); bbox cells covered by no box
+    ('holes') are interior ghost regions: every fill pastes
+    coarse-interpolated data into them, grow_umac pastes face-interpolated
+    coarse MAC velocities onto strictly-hole faces, and the elliptic solves
+    treat hole data as interior Dirichlet values (mg_solve interior_mask /
+    nodal_solve interior_mask — reference MLMG solves each AMR level across
+    its whole BoxArray, SURVEY.md section 2.2).
+    """
+
+    is_union = True
+
+    def __init__(self, cfg_fine, bbox: LevelSpec, boxes, crse_geom,
+                 crse_old, crse_new, crse_p=None, crse_mac_phi=None,
+                 crse_umac=None):
+        super().__init__(cfg_fine, bbox, crse_geom, crse_old, crse_new,
+                         crse_p=crse_p, crse_mac_phi=crse_mac_phi,
+                         crse_umac=crse_umac)
+        import itertools
+
+        import numpy as np
+
+        self.boxes = tuple(boxes)
+        dim = self.dim
+        m = np.zeros(bbox.ncell)
+        for b in boxes:
+            m[tuple(
+                slice(b.lo[d] - bbox.lo[d], b.lo[d] - bbox.lo[d] + b.ncell[d])
+                for d in range(dim)
+            )] = 1.0
+        dtype = cfg_fine.jdtype
+        self.cellmask = jnp.asarray(m, dtype)
+        # interior node mask: free iff all 2^dim adjacent cells are in-union
+        mp = np.pad(m, 1, constant_values=0.0)
+        nshape = tuple(n + 1 for n in bbox.ncell)
+        nm = np.ones(nshape)
+        for t in itertools.product((0, 1), repeat=dim):
+            nm = nm * mp[tuple(
+                slice(t[d], t[d] + nshape[d]) for d in range(dim)
+            )]
+        self.nodemask = jnp.asarray(nm, dtype)
+        # strict hole faces (both adjacent cells are holes; domain edges
+        # count as union so boundary faces of hole cells still qualify only
+        # via the hole side)
+        self.holeface = []
+        for d in range(dim):
+            pad = [(0, 0)] * dim
+            pad[d] = (1, 1)
+            mp2 = np.pad(m, pad, constant_values=1.0)
+            lo = mp2[tuple(
+                slice(0, -1) if e == d else slice(None) for e in range(dim)
+            )]
+            hi = mp2[tuple(
+                slice(1, None) if e == d else slice(None) for e in range(dim)
+            )]
+            self.holeface.append(jnp.asarray((1.0 - lo) * (1.0 - hi), dtype))
+
+    # --- coarse data interpolated over the whole bbox ---------------------
+    def _pc_bbox(self, crse_cc):
+        sp = self.spec
+        return prolong_cell(crse_cc, sp.ratio)[tuple(
+            slice(sp.lo[d], sp.lo[d] + sp.ncell[d]) for d in range(self.dim)
+        )]
+
+    def _paste_holes(self, g, ng, crse_cc):
+        interior = tuple(slice(ng, g.shape[d] - ng) for d in range(self.dim))
+        g = g.at[interior].set(jnp.where(
+            self.cellmask > 0.0, g[interior], self._pc_bbox(crse_cc)
+        ))
+        return g
+
+    # --- fills: parent fill + hole pasting --------------------------------
+    def fill_vel(self, vel, ng):
+        g = super().fill_vel(vel, ng)
+        return jnp.stack([
+            self._paste_holes(g[c], ng, self.crse_old["vel"][c])
+            for c in range(self.dim)
+        ])
+
+    def fill_scal(self, s, ng, scomp):
+        crse = (
+            self.crse_old["rho"] if scomp == 0
+            else self.crse_old["trac"][scomp - 1]
+        )
+        return self._paste_holes(super().fill_scal(s, ng, scomp), ng, crse)
+
+    def fill_temp(self, s, ng):
+        return self._paste_holes(
+            super().fill_temp(s, ng), ng, self.crse_old["temp"]
+        )
+
+    def grow_umac(self, umac):
+        if self.crse_umac is not None:
+            pasted = []
+            for d in range(self.dim):
+                interp = _prolong_face_patch(
+                    self.crse_umac[d], d, self.spec
+                ).astype(umac[d].dtype)
+                pasted.append(
+                    jnp.where(self.holeface[d] > 0.0, interp, umac[d])
+                )
+            umac = tuple(pasted)
+        return super().grow_umac(umac)
+
+    # --- interior Dirichlet values for the union solves -------------------
+    def union_vals_vel(self, c):
+        return self._pc_bbox(self.crse_new["vel"][c])
+
+    def union_vals_scal(self, scomp):
+        crse = (
+            self.crse_new["rho"] if scomp == 0
+            else self.crse_new["trac"][scomp - 1]
+        )
+        return self._pc_bbox(crse)
+
+    def union_vals_temp(self):
+        return self._pc_bbox(self.crse_new["temp"])
+
+    def union_vals_mac(self):
+        if self.crse_mac_phi is None:
+            return jnp.zeros(self.spec.ncell, dtype=self.cellmask.dtype)
+        return self._pc_bbox(self.crse_mac_phi)
+
+
 def _prolong_node_patch(crse_p, spec: LevelSpec):
     """Bilinear interpolation of the coarse nodal field onto the fine
     patch's node grid (for C-F Dirichlet values of the fine projection)."""

@@ -88,8 +88,16 @@ def diffuse_scalar(
     poisson_bc: Optional[PoissonBC] = None,
     poisson_bvals: Optional[Dict] = None,
     alpha_op=None,
+    interior_mask=None,
+    interior_vals=None,
 ):
     """CN diffusion update after advection.
+
+    interior_mask/interior_vals: level-wide multi-box solve (mg_solve
+    union path) — the implicit solve runs on the box union with
+    coarse-interpolated new-time values as interior Dirichlet data; the
+    explicit old-time operator reads hole values straight from the filled
+    s_old (cell-value Dirichlet, same order of accuracy).
 
     Solves (alpha_op - theta dt div beta grad) S^{n+1}
          = alpha_old_weighted RHS:  alpha_new S* + (1-theta) dt div beta grad S^n
@@ -139,6 +147,8 @@ def diffuse_scalar(
         rtol=rtol,
         atol=atol,
         fixed_cycles=fixed_cycles,
+        interior_mask=interior_mask,
+        interior_vals=interior_vals,
     )
     return s_new, (res, it)
 

@@ -70,8 +70,14 @@ def mac_project(
     bvals=None,
     eb=None,
     rz=None,
+    interior_mask=None,
+    interior_vals=None,
 ):
     """Project the MAC velocities. Returns (umac_corrected, phi, stats).
+
+    interior_mask/interior_vals: level-wide multi-box solve (mg_solve
+    union path) — mask 1 on union cells, coarse-interpolated mac_phi on
+    holes. Not supported together with eb or rz.
 
     bc/bvals override the domain-derived BCs (fine levels pass Dirichlet
     coarse-fine values from the parent's mac_phi).
@@ -154,6 +160,8 @@ def mac_project(
         rtol=rtol,
         atol=atol,
         fixed_cycles=fixed_cycles,
+        interior_mask=interior_mask,
+        interior_vals=interior_vals,
     )
     # correction fluxes: get_fluxes returns -b*beta*grad(phi) = -beta grad phi
     corr = mg.get_fluxes(phi, beta, 1.0, dx, bc, bvals=bvals)

@@ -65,8 +65,14 @@ def level_project(
     divu_src=None,
     eb=None,
     rz=None,
+    union=None,
 ):
     """Approximate nodal projection of the provisional velocity.
+
+    union: optional (cellmask, nodemask) for the level-wide multi-box
+    projection — the nodal solve runs on the box union with hole elements
+    removed (sigma masked) and non-interior nodes constrained to phi_bc's
+    coarse-interpolated values. Not supported together with eb or rz.
 
     vel_star: (dim, *n) un-projected new-time velocity (updated with -Gp
     forcing); returns (vel_new, p_new, gradp_new, stats). bc/phi_bc override
@@ -110,6 +116,10 @@ def level_project(
     else:
         sigma_op = sigma
         rhs = div_cell_to_node(vs, dx, bc, inflow_vals)
+    nodemask = None
+    if union is not None:
+        cellmask, nodemask = union
+        sigma_op = sigma_op * cellmask
     if divu_src is not None:
         from iamr_tpu.ops.mg_nodal import avg_cell_to_node
 
@@ -134,7 +144,7 @@ def level_project(
         phi0 = None
     phi, res, it = nodal_solve(
         rhs, sigma_op, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
-        phi_bc=phi_bc, phi0=phi0,
+        phi_bc=phi_bc, phi0=phi0, interior_mask=nodemask,
     )
     gphi = grad_node_to_cell(phi, dx)
     if eb is not None:

@@ -98,6 +98,7 @@ def diffuse_tensor_velocity(
             alpha * vel_star[c] + (1.0 - theta) * dt * (lap_old + x_old[c])
         )
 
+    is_union = getattr(bcp, "is_union", False)
     u = vel_star
     for _ in range(n_outer):
         x_k = cross_terms(cfg, bcp, u, mu_f)
@@ -116,6 +117,8 @@ def diffuse_tensor_velocity(
                 bvals=vbv,
                 rtol=rtol,
                 fixed_cycles=fixed_cycles,
+                interior_mask=bcp.cellmask if is_union else None,
+                interior_vals=bcp.union_vals_vel(c) if is_union else None,
             )
             comps.append(u_c)
         u = jnp.stack(comps)
