@@ -171,7 +171,7 @@ def _interp_states(crse_old, crse_new, theta):
 
 def _couple_levels(
     cfg, cfg_f, spec, crse_new, crse_aux, fine_new, fine_avg,
-    dt_c, fixed_mg_cycles, eb_c=None, eb_f=None,
+    dt_c, fixed_mg_cycles, eb_c=None, eb_f=None, union=None,
 ):
     """Parent/child post-subcycle coupling: avgDown + advective reflux +
     the sync machinery (mac_sync + sync projection; SURVEY section 3.3).
@@ -179,8 +179,15 @@ def _couple_levels(
 
     eb_c/eb_f: per-level EBData; cut-cell restriction is volume-fraction
     weighted (EB_average_down semantics) and the sync solves assume the
-    C-F interface itself lies in regular cells (refine the body)."""
+    C-F interface itself lies in regular cells (refine the body).
+
+    union: for a multi-box fine level advanced as one bounding-box array
+    (amr.multipatch), {"cmask": level-wide coarse covered mask, "fmask":
+    bbox fine cell mask, "nodemask": bbox fine free-node mask} — every
+    region-slice operation switches to its mask-transition *_union variant
+    so box seams and the outer boundary share one code path."""
     dim = cfg.dim
+    cmask = union["cmask"] if union is not None else None
 
     if eb_f is not None:
         from iamr_tpu.amr.hierarchy import restrict_cell
@@ -202,6 +209,13 @@ def _couple_levels(
             )
 
         _avg = avg_down_eb
+    elif union is not None:
+        from iamr_tpu.amr.sync import avg_down_union
+
+        cmask_box = cmask[crse_region(spec)]
+
+        def _avg(crse, fine):
+            return avg_down_union(crse, fine, spec, cmask_box)
     else:
         def _avg(crse, fine):
             return avg_down(crse, fine, spec)
@@ -214,16 +228,37 @@ def _couple_levels(
         [_avg(crse_new.trac[t], fine_new.trac[t]) for t in range(cfg.ntrac)]
     )
     temp_c = _avg(crse_new.temp, fine_new.temp)
-    p_c = avg_down_node(crse_new.p, fine_new.p, spec)
-    gradp_c = jnp.stack(
-        [avg_down(crse_new.gradp[c], fine_new.gradp[c], spec) for c in range(dim)]
-    )
+    if union is not None:
+        from iamr_tpu.amr.sync import avg_down_node_union
+
+        node_cmask = union["nodemask"][tuple(
+            slice(None, None, spec.ratio) for _ in range(dim)
+        )]
+        p_c = avg_down_node_union(crse_new.p, fine_new.p, spec, node_cmask)
+        gradp_c = jnp.stack(
+            [_avg(crse_new.gradp[c], fine_new.gradp[c]) for c in range(dim)]
+        )
+    else:
+        p_c = avg_down_node(crse_new.p, fine_new.p, spec)
+        gradp_c = jnp.stack(
+            [
+                avg_down(crse_new.gradp[c], fine_new.gradp[c], spec)
+                for c in range(dim)
+            ]
+        )
     dxc = cfg.geom.dx
     dt_over_dx = tuple(dt_c / dxc[d] for d in range(dim))
-    rho_c = reflux_correct(
-        rho_c, crse_aux["flux_rho"], tuple(fine_avg["flux_rho"]), spec,
-        dt_over_dx,
-    )
+    if union is not None:
+        from iamr_tpu.amr.sync import reflux_correct_union
+
+        def _reflux(base, fc, ff):
+            return reflux_correct_union(base, fc, tuple(ff), spec, cmask,
+                                        dt_over_dx)
+    else:
+        def _reflux(base, fc, ff):
+            return reflux_correct(base, fc, tuple(ff), spec, dt_over_dx)
+
+    rho_c = _reflux(rho_c, crse_aux["flux_rho"], fine_avg["flux_rho"])
     crse_out = crse_new._replace(
         rho=rho_c, vel=vel_c, trac=trac_c, temp=temp_c, p=p_c, gradp=gradp_c
     )
@@ -236,7 +271,7 @@ def _couple_levels(
     zero_c = jnp.zeros_like(rho_c)
 
     def _mismatch(fc, ff):
-        return reflux_correct(zero_c, fc, tuple(ff), spec, dt_over_dx)
+        return _reflux(zero_c, fc, ff)
 
     vsync_reflux = []
     for c in range(dim):
@@ -268,16 +303,28 @@ def _couple_levels(
     )
     from iamr_tpu.ns.bcprovider import _prolong_node_patch
 
-    deltas = interface_delta_umac(
-        crse_aux["umac"], tuple(fine_avg["umac"]), spec
-    )
-    ucorr, _ = mac_sync_velocity(
-        cfg, crse_out.rho, deltas, spec, fixed_cycles=fixed_mg_cycles
-    )
-    cov = crse_region(spec)
+    if union is not None:
+        from iamr_tpu.amr.sync import interface_delta_umac_union
 
-    def uncovered(a):
-        return a.at[cov].set(0.0)
+        deltas = interface_delta_umac_union(
+            crse_aux["umac"], tuple(fine_avg["umac"]), spec, cmask
+        )
+
+        def uncovered(a):
+            return a * (1.0 - cmask)
+    else:
+        deltas = interface_delta_umac(
+            crse_aux["umac"], tuple(fine_avg["umac"]), spec
+        )
+        cov = crse_region(spec)
+
+        def uncovered(a):
+            return a.at[cov].set(0.0)
+
+    ucorr, _ = mac_sync_velocity(
+        cfg, crse_out.rho, deltas, spec, fixed_cycles=fixed_mg_cycles,
+        cmask=cmask,
+    )
 
     # Ssync: re-advect scalars with Ucorr (explicit, convective for tracers,
     # conservative for rho). The conservative rho correction stays in flux
@@ -335,12 +382,21 @@ def _couple_levels(
             sync_register_rhs,
         )
 
-        rhnd = sync_register_rhs(
-            cfg, spec, crse_new.vel, fine_avg["vel_new"], dt_c
-        )
+        if union is not None:
+            from iamr_tpu.amr.sync import sync_register_rhs_union
+
+            rhnd = sync_register_rhs_union(
+                cfg, spec, cmask, crse_new.vel, fine_avg["vel_new"], dt_c
+            )
+            u_arg = (union["fmask"], union["nodemask"])
+        else:
+            rhnd = sync_register_rhs(
+                cfg, spec, crse_new.vel, fine_avg["vel_new"], dt_c
+            )
+            u_arg = None
         vsync_p, vcorr_p, phi_sync, phi_f = sync_project_composite(
             cfg, cfg_f, spec, vsync, crse_out.rho, fine_new.rho, dt_c,
-            rhnd=rhnd, fixed_cycles=fixed_mg_cycles,
+            rhnd=rhnd, fixed_cycles=fixed_mg_cycles, union=u_arg,
         )
         from iamr_tpu.amr.sync import interp_cell_to_fine_protected
 

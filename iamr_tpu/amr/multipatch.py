@@ -188,10 +188,19 @@ def _subcycle_union(
     """Advance the WHOLE multi-box fine level as ONE bounding-box array:
     scatter box data into the bbox (holes from coarse interpolation), run r
     subcycles with UnionBCProvider (level-wide union elliptic solves,
-    reference MLMG semantics), gather per-box states and register sums back.
-    """
+    reference MLMG semantics). Returns (bbox fine state, subcycle-averaged
+    fine_avg registers for _couple_levels, (cellmask, nodemask))."""
     from iamr_tpu.amr.multilevel import init_fine_from_coarse
     from iamr_tpu.ns.bcprovider import UnionBCProvider
+
+    def _acc(sums, tree, w):
+        if tree is None:
+            return None
+        if isinstance(tree, (tuple, list)):
+            if sums is None:
+                sums = [None] * len(tree)
+            return [_acc(s0, t0, w) for s0, t0 in zip(sums, tree)]
+        return w * tree if sums is None else sums + w * tree
 
     dim = cfg.dim
     bbox = union_bbox_spec(specs)
@@ -210,8 +219,8 @@ def _subcycle_union(
             gradp=u.gradp.at[(slice(None),) + cs].set(f.gradp),
         )
     u = u._replace(time=fines[0].time, dt=dt_f)
-    flux_sum = None
-    umac_sum = None
+    fine_avg = {}
+    masks = None
     for k in range(r):
         th0, th1 = k / r, (k + 1) / r
         bcp = UnionBCProvider(
@@ -221,38 +230,34 @@ def _subcycle_union(
             crse_p=crse_new.p, crse_mac_phi=crse_aux["mac_phi"],
             crse_umac=crse_aux["umac"],
         )
+        masks = (bcp.cellmask, bcp.nodemask)
         u, aux = advance(
             u._replace(dt=dt_f), cfg_u, fixed_mg_cycles, hit=hit, bcp=bcp,
             return_aux=True,
         )
-        fr, um = aux["flux_rho"], aux["umac"]
-        if flux_sum is None:
-            flux_sum = [f / r for f in fr]
-            umac_sum = [x / r for x in um]
-        else:
-            flux_sum = [s + f / r for s, f in zip(flux_sum, fr)]
-            umac_sum = [s + x / r for s, x in zip(umac_sum, um)]
-    fines_new, flux_sums, umac_sums = [], [], []
-    for sp in specs:
-        cs = _box_slices(sp, bbox)
-        ns_ = _box_slices(sp, bbox, node=True)
-        fines_new.append(NSState(
-            vel=u.vel[(slice(None),) + cs],
-            rho=u.rho[cs],
-            trac=u.trac[(slice(None),) + cs],
-            temp=u.temp[cs],
-            p=u.p[ns_],
-            gradp=u.gradp[(slice(None),) + cs],
-            time=u.time, dt=u.dt,
-            dsdt=None if u.dsdt is None else u.dsdt[cs],
-        ))
-        flux_sums.append(
-            [flux_sum[d][_box_slices(sp, bbox, face_dim=d)] for d in range(dim)]
-        )
-        umac_sums.append(
-            [umac_sum[d][_box_slices(sp, bbox, face_dim=d)] for d in range(dim)]
-        )
-    return fines_new, flux_sums, umac_sums
+        for key in (
+            "flux_rho", "umac", "flux_trac", "flux_vel",
+            "vflux_vel", "vflux_trac",
+        ):
+            fine_avg[key] = _acc(fine_avg.get(key), aux[key], 1.0 / r)
+        fine_avg["vel_new"] = _acc(fine_avg.get("vel_new"), u.vel, 1.0 / r)
+    return u, fine_avg, masks
+
+
+def _gather_box(u, sp: LevelSpec, bbox: LevelSpec):
+    """Extract one box's NSState from the bbox union state."""
+    cs = _box_slices(sp, bbox)
+    ns_ = _box_slices(sp, bbox, node=True)
+    return NSState(
+        vel=u.vel[(slice(None),) + cs],
+        rho=u.rho[cs],
+        trac=u.trac[(slice(None),) + cs],
+        temp=u.temp[cs],
+        p=u.p[ns_],
+        gradp=u.gradp[(slice(None),) + cs],
+        time=u.time, dt=u.dt,
+        dsdt=None if u.dsdt is None else u.dsdt[cs],
+    )
 
 
 def advance_two_level_multipatch(
@@ -297,9 +302,32 @@ def advance_two_level_multipatch(
 
     dt_f = dt_c / r
     if union:
-        fines_new, flux_sums, umac_sums = _subcycle_union(
+        # level-wide union advance + the FULL sync machinery of
+        # multilevel._couple_levels in its union-masked form (Vsync/Ssync
+        # reflux, implicit sync diffusion, composite sync projection)
+        from iamr_tpu.amr.multilevel import _couple_levels
+
+        bbox = union_bbox_spec(specs)
+        cfg_u = make_fine_config(cfg, bbox)
+        u_new, fine_avg, (fmask, nodemask) = _subcycle_union(
             crse, crse_new, crse_aux, fines, cfg, cfgs_f, specs, r,
             fixed_mg_cycles, hit,
+        )
+        crse_out, fine_u = _couple_levels(
+            cfg, cfg_u, bbox, crse_new, crse_aux, u_new, fine_avg,
+            dt_c, fixed_mg_cycles,
+            union={"cmask": covered, "fmask": fmask, "nodemask": nodemask},
+        )
+        fines_out = [_gather_box(fine_u, sp, bbox) for sp in specs]
+        dt_next = est_time_step(cfg, crse_out)
+        for b in range(nb):
+            dt_next = jnp.minimum(
+                dt_next, r * est_time_step(cfgs_f[b], fines_out[b])
+            )
+        dt_next = jnp.minimum(dt_next, cfg.change_max * dt_c)
+        return (
+            crse_out._replace(dt=dt_next),
+            tuple(f._replace(dt=dt_next / r) for f in fines_out),
         )
     else:
         fines_k = [f._replace(dt=dt_f) for f in fines]

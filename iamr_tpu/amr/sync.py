@@ -25,6 +25,15 @@ Round 2: the composite machinery is genuine —
   * velocity advective + viscous reflux feed Vsync (amr.multilevel).
 Remaining deviations: EB hierarchies use the coarse-only sync projection;
 SyncInterp is the piecewise-constant variant.
+
+Union (multi-box) fine levels: the *_union primitives generalize every
+register/reflux/sync operation to an arbitrary union of boxes advanced as
+one bounding-box array (amr.multipatch). The covered mask `cmask` (1 on
+coarse cells under the union) replaces the single-patch region slices:
+interface faces/nodes are mask transitions, so seams between boxes and the
+outer C-F boundary are handled by the same arithmetic — the level-wide
+analogue of the reference's per-box register iteration
+(SyncRegister.cpp:49-287, FluxRegister semantics).
 """
 
 from __future__ import annotations
@@ -96,19 +105,24 @@ def mac_sync_velocity(
     deltas,
     spec: LevelSpec,
     fixed_cycles: Optional[int] = None,
+    cmask=None,
 ):
     """mac_sync_solve: correction velocity Ucorr with
     div(Ucorr) = div(delta) on uncovered cells (the interface defect).
 
     Solves -div(beta grad phi) = -defect with beta = 1/rho and returns
-    Ucorr = beta grad(phi) (face arrays)."""
+    Ucorr = beta grad(phi) (face arrays). cmask: level-wide covered mask of
+    a union fine level (replaces the single-patch region zeroing)."""
     from iamr_tpu.solvers.mac import beta_from_rho, mac_poisson_bc
 
     dim = rho.ndim
     dx = cfg.geom.dx
     rhs = mac_div(deltas, dx)
     # zero under the fine patch (reference zeroes the Reflux there)
-    rhs = rhs.at[crse_region(spec)].set(0.0)
+    if cmask is not None:
+        rhs = rhs * (1.0 - cmask)
+    else:
+        rhs = rhs.at[crse_region(spec)].set(0.0)
     bc = mac_poisson_bc(cfg.dom)
     beta = beta_from_rho(rho, cfg.dom)
     phi, res, it = mg.mg_solve(
@@ -321,6 +335,7 @@ def sync_project_composite(
     rhnd=None,
     fixed_cycles: Optional[int] = None,
     n_fac: int = 2,
+    union=None,
 ):
     """Genuine 2-level composite sync projection (Projection::MLsyncProject,
     Projection.cpp:457-614): solve
@@ -354,6 +369,13 @@ def sync_project_composite(
     bc_f = _fine_sync_nodal_bc(cfg_f, spec, cfg.geom)
     sigma_c = 1.0 / rho_c
     sigma_f = 1.0 / rho_f
+    fmask = nodemask_f = None
+    if union is not None:
+        # level-wide multi-box fine level: hole cells/nodes are interior
+        # Dirichlet (nodal_proj union semantics); coarse restriction only
+        # from nodes interior to the union
+        fmask, nodemask_f = union
+        sigma_f = sigma_f * fmask
 
     # SyncInterp Vsync -> fine V_corr (NavierStokesBase.cpp:1993-1994)
     vcorr = jnp.stack([interp_cell_to_fine(vsync[c], spec) for c in range(dim)])
@@ -375,7 +397,14 @@ def sync_project_composite(
         else:
             # composite residual: covered nodes carry the restricted fine
             # solution; re-solve the coarse defect equation
-            phi_c = avg_down_node(phi_c, phi_f, spec)
+            if union is None:
+                phi_c = avg_down_node(phi_c, phi_f, spec)
+            else:
+                r = spec.ratio
+                node_cmask = nodemask_f[tuple(
+                    slice(None, None, r) for _ in range(dim)
+                )]
+                phi_c = avg_down_node_union(phi_c, phi_f, spec, node_cmask)
             r_c = rhs_c - apply_nodal(phi_c, sigma_c, dxc, bc_c)
         e_c, _, _ = nodal_solve(
             r_c, sigma_c, dxc, bc_c, rtol=1e-10, atol=1e-14,
@@ -386,6 +415,7 @@ def sync_project_composite(
         phi_f, _, _ = nodal_solve(
             rhs_f, sigma_f, dxf, bc_f, rtol=1e-10, atol=1e-14,
             fixed_cycles=fixed_cycles, phi_bc=phi_b,
+            interior_mask=nodemask_f,
         )
 
     gc = grad_node_to_cell(phi_c, dxc)
@@ -397,3 +427,174 @@ def sync_project_composite(
         [vcorr[d] - dt * sigma_f * gf[d] for d in range(dim)]
     )
     return vsync_p, vcorr_p, phi_c, phi_f
+
+
+# ---------------------------------------------------------------------------
+# Union (multi-box level-wide) variants: masks instead of region slices
+# ---------------------------------------------------------------------------
+
+
+def _restrict_face_full(ff, d, r: int):
+    """Restrict a WHOLE fine face array to coarse faces: subsample along d
+    at stride r (coincident faces), mean over r fine faces per transverse
+    dim (FluxRegister face agglomeration)."""
+    dim = ff.ndim
+    f = ff[tuple(
+        slice(None, None, r) if e == d else slice(None) for e in range(dim)
+    )]
+    for e in range(dim):
+        if e == d:
+            continue
+        m = f.shape[e] // r
+        acc = None
+        for k in range(r):
+            idx = [slice(None)] * dim
+            idx[e] = slice(k, k + r * m, r)
+            t = f[tuple(idx)]
+            acc = t if acc is None else acc + t
+        f = acc / r
+    return f
+
+
+def _face_region(spec: LevelSpec, d: int):
+    """Slice tuple of the coarse faces of the covered region (d-faces)."""
+    out = []
+    for e in range(spec.dim):
+        n = spec.crse_ncell[e] + (1 if e == d else 0)
+        out.append(slice(spec.crse_lo[e], spec.crse_lo[e] + n))
+    return tuple(out)
+
+
+def _nbr_masks(cmask, d):
+    """(nbr_lo, nbr_hi): per-cell masks of whether the lo/hi neighbor along
+    d is covered; domain edges clone the boundary cell (a C-F face never
+    lies on the physical boundary: no outside cell there)."""
+    dim = cmask.ndim
+    pad = [(0, 0)] * dim
+    pad[d] = (1, 1)
+    mp = jnp.pad(cmask, pad, mode="edge")
+    return sl(mp, d, 0, -2), sl(mp, d, 2, None)
+
+
+def _embed_face_delta(crse_flux_d, fine_flux_d, bbox: LevelSpec, d: int):
+    """Level-wide coarse face array holding (restricted fine flux - coarse
+    flux) on the bbox's coarse faces, 0 elsewhere."""
+    fr = _restrict_face_full(fine_flux_d, d, bbox.ratio)
+    reg = _face_region(bbox, d)
+    z = jnp.zeros_like(crse_flux_d)
+    return z.at[reg].set(fr - crse_flux_d[reg])
+
+
+def reflux_correct_union(
+    crse, crse_flux, fine_flux, bbox: LevelSpec, cmask, dt_over_dx,
+):
+    """Masked level-wide flux-register correction: every uncovered coarse
+    cell whose lo/hi neighbor along d is covered replaces its coarse
+    interface flux with the restricted fine flux. Generalizes
+    hierarchy.reflux_correct to unions of boxes (seam faces between a hole
+    and a box are true C-F faces and corrected identically)."""
+    dim = crse.ndim
+    out = crse
+    unc = 1.0 - cmask
+    for d in range(dim):
+        dF = _embed_face_delta(crse_flux[d], fine_flux[d], bbox, d)
+        nbr_lo, nbr_hi = _nbr_masks(cmask, d)
+        lo_vals = sl(dF, d, 0, -1)   # cell i's lo face
+        hi_vals = sl(dF, d, 1, None)  # cell i's hi face
+        out = out + dt_over_dx[d] * unc * (
+            lo_vals * nbr_lo - hi_vals * nbr_hi
+        )
+    return out
+
+
+def interface_delta_umac_union(crse_umac, fine_umac_avg, bbox: LevelSpec, cmask):
+    """MAC flux-register content for a union fine level: coarse face arrays
+    nonzero ONLY on true C-F interface faces (mask transitions), holding
+    (restricted time-avg fine u_mac) - (coarse u_mac)."""
+    dim = len(crse_umac)
+    deltas = []
+    for d in range(dim):
+        dF = _embed_face_delta(crse_umac[d], fine_umac_avg[d], bbox, d)
+        # face mask: covered on exactly one side (edge-clone padding keeps
+        # domain-boundary faces out)
+        pad = [(0, 0)] * dim
+        pad[d] = (1, 1)
+        mp = jnp.pad(cmask, pad, mode="edge")
+        lo = sl(mp, d, 0, -1)
+        hi = sl(mp, d, 1, None)
+        iface = lo * (1.0 - hi) + hi * (1.0 - lo)
+        deltas.append(dF * iface)
+    return tuple(deltas)
+
+
+def avg_down_union(crse, fine, bbox: LevelSpec, cmask_box):
+    """avg_down restricted to covered cells of the bbox region (holes keep
+    the coarse solution)."""
+    from iamr_tpu.amr.hierarchy import restrict_cell
+
+    reg = crse_region(bbox)
+    return crse.at[reg].set(
+        jnp.where(cmask_box > 0.0, restrict_cell(fine, bbox.ratio), crse[reg])
+    )
+
+
+def avg_down_node_union(crse_p, fine_p, bbox: LevelSpec, node_cmask_box):
+    """avg_down_node restricted to nodes interior to the union."""
+    from iamr_tpu.amr.hierarchy import restrict_node
+
+    reg = tuple(
+        slice(bbox.crse_lo[d], bbox.crse_lo[d] + bbox.crse_ncell[d] + 1)
+        for d in range(bbox.dim)
+    )
+    return crse_p.at[reg].set(
+        jnp.where(
+            node_cmask_box > 0.0, restrict_node(fine_p, bbox.ratio), crse_p[reg]
+        )
+    )
+
+
+def _interface_node_mask_union(cmask):
+    """1 on coarse nodes adjacent to BOTH covered and uncovered cells (the
+    union SyncRegister home). Edge-clone padding excludes physical-domain
+    boundary nodes of a domain-touching union side."""
+    import itertools
+
+    dim = cmask.ndim
+    mp = jnp.pad(cmask, 1, mode="edge")
+    nshape = tuple(n + 1 for n in cmask.shape)
+    any_cov = None
+    any_unc = None
+    for t in itertools.product((0, 1), repeat=dim):
+        cell = mp[tuple(slice(t[d], t[d] + nshape[d]) for d in range(dim))]
+        c = cell
+        u = 1.0 - cell
+        any_cov = c if any_cov is None else jnp.maximum(any_cov, c)
+        any_unc = u if any_unc is None else jnp.maximum(any_unc, u)
+    return any_cov * any_unc
+
+
+def sync_register_rhs_union(cfg: NSConfig, bbox: LevelSpec, cmask, vel_c,
+                            vel_f_avg, dt_c):
+    """sync_register_rhs for a union fine level: blend the coarse velocity
+    with the restricted time-averaged fine field on covered cells, take the
+    nodal divergence, mask to the union-interface nodes."""
+    from iamr_tpu.amr.hierarchy import restrict_cell
+    from iamr_tpu.ops.mg_nodal import div_cell_to_node
+    from iamr_tpu.solvers.nodal_proj import nodal_bc
+
+    dim = cfg.dim
+    bc = nodal_bc(cfg.dom)
+    reg = crse_region(bbox)
+    cmask_box = cmask[reg]
+    ub = []
+    for c in range(dim):
+        v = vel_c[c].at[reg].set(
+            jnp.where(
+                cmask_box > 0.0,
+                restrict_cell(vel_f_avg[c], bbox.ratio),
+                vel_c[c][reg],
+            )
+        )
+        ub.append(v / dt_c)
+    rh = div_cell_to_node(tuple(ub), cfg.geom.dx, bc)
+    return rh * _interface_node_mask_union(cmask)

@@ -66,9 +66,11 @@ def test_two_separated_boxes():
 
 
 def test_adjacent_boxes_match_single_patch():
-    """Two adjacent boxes tiling the same union as one patch: the
-    multi-patch result tracks the single-patch result (differences from the
-    per-box elliptic seams stay at truncation size)."""
+    """Two adjacent boxes tiling the same union as one patch match the
+    single-patch multilevel result to solver/roundoff tolerance: the union
+    advance solves every elliptic problem level-wide (reference MLMG
+    BoxArray semantics) and the union-masked coupling reduces exactly to
+    the single-patch machinery, so box seams introduce no error at all."""
     cfg = _cfg()
     union = LevelSpec(lo=(8, 8), ncell=(48, 48), ratio=2)
     specs = (
@@ -93,18 +95,17 @@ def test_adjacent_boxes_match_single_patch():
     c_m, f_m = step_m(crse, fines)
 
     assert bool(jnp.all(jnp.isfinite(c_m.vel)))
-    # coarse solutions agree closely (coarse dynamics are identical; only
-    # the C-F feedback differs through the seam approximation)
     du = float(jnp.max(jnp.abs(c_m.vel - ml.crse.vel)))
-    scale = float(jnp.max(jnp.abs(ml.crse.vel)))
-    assert du < 0.05 * scale, (du, scale)
-    # stitched fine boxes approximate the union patch
+    assert du < 1e-12, du
+    # stitched fine boxes reproduce the union patch
     left = np.asarray(f_m[0].vel)
     right = np.asarray(f_m[1].vel)
     whole = np.asarray(ml.fine.vel)
     dl = np.max(np.abs(left - whole[:, :24, :]))
     dr = np.max(np.abs(right - whole[:, 24:, :]))
-    assert max(dl, dr) < 0.1 * scale, (dl, dr, scale)
+    assert max(dl, dr) < 1e-12, (dl, dr)
+    dp = float(jnp.max(jnp.abs(c_m.p - ml.crse.p)))
+    assert dp < 1e-12, dp
 
 
 def test_run_multipatch_with_br_regrid():
