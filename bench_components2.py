@@ -11,14 +11,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(f, *args, reps=5):
+def timeit(f, *args, reps=5, name=""):
     out = f(*args)
     _ = float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(out)[0])))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
     _ = float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(out)[0])))
-    return (time.perf_counter() - t0) / reps
+    dt = (time.perf_counter() - t0) / reps
+    if name:
+        print(f"  {name}: {dt*1e3:.2f} ms", flush=True)
+    return dt
 
 
 def main():
@@ -65,7 +68,7 @@ def main():
             vel_g, force_g, dt, dx, cfg.geom.ncell, recs, zero3, zero3
         )
 
-    t_extrap = timeit(extrap, state.vel)
+    t_extrap = timeit(extrap, state.vel, name="extrap")
     umac = extrap(state.vel)
 
     # --- one advect_field (conservative)
@@ -79,7 +82,7 @@ def main():
         )
         return a
 
-    t_adv1 = timeit(adv1, state.rho, umac)
+    t_adv1 = timeit(adv1, state.rho, umac, name="adv1")
 
     # --- MAC projection (4 cycles)
     @jax.jit
@@ -90,7 +93,7 @@ def main():
         )
         return u2
 
-    t_mac = timeit(macp, umac, state.rho)
+    t_mac = timeit(macp, umac, state.rho, name="mac4")
 
     # --- one CN diffusion solve (1 cycle)
     @jax.jit
@@ -103,7 +106,7 @@ def main():
         )
         return out
 
-    t_cn = timeit(cn, state.vel[0], state.rho)
+    t_cn = timeit(cn, state.vel[0], state.rho, name="cn1")
 
     # --- nodal projection (4 cycles)
     @jax.jit
@@ -114,7 +117,7 @@ def main():
             phi_bc=phi_bc,
         )[0]
 
-    t_nod = timeit(nodp, state.vel, state.rho, state.p, state.gradp)
+    t_nod = timeit(nodp, state.vel, state.rho, state.p, state.gradp, name="nodal4")
 
     # --- HIT forcing eval
     hit = make_hit_forcing(cfg)
@@ -132,7 +135,7 @@ def main():
 
     # --- full step
     step = jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles=4, hit=hit))
-    t_step = timeit(step, state, reps=3)
+    t_step = timeit(step, state, reps=3, name="step")
 
     cells = n**3
     print(

@@ -222,8 +222,16 @@ def advance(
     bcp=None,
     return_aux: bool = False,
     eb=None,
+    spectral: bool = False,
 ):
     """One timestep: consumes state^n, returns state^{n+1}.
+
+    spectral: all-periodic uniform-rho constant-mu fast path — every
+    implicit solve (MAC/nodal projection, CN diffusion) runs in Fourier
+    space (solvers.spectral), exactly inverting the same discrete
+    operators. Callers decide eligibility host-side before tracing
+    (solvers.spectral.spectral_eligible); forced off here for EB/RZ/union
+    advances.
 
     fixed_mg_cycles: when set, all linear solves run a fixed number of
     V-cycles (benchmark mode) instead of tolerance-driven while_loops.
@@ -250,6 +258,11 @@ def advance(
     is_union = getattr(bcp, "is_union", False)
     umask = bcp.cellmask if is_union else None
     dim = cfg.dim
+    spectral = (
+        spectral and eb is None and not is_union
+        and cfg.geom.coord_sys == 0 and not cfg.do_les
+        and all(cfg.geom.periodic)
+    )
     dx = cfg.geom.dx
     dt = state.dt
     vel, rho, trac, p, gradp = state.vel, state.rho, state.trac, state.p, state.gradp
@@ -371,6 +384,7 @@ def advance(
         bc=mac_bc, bvals=mac_bvals, eb=eb, rz=rz,
         interior_mask=umask,
         interior_vals=bcp.union_vals_mac() if is_union else None,
+        spectral_beta0=(1.0 / jnp.mean(rho)) if spectral else None,
     )
     umac_g = bcp.grow_umac(umac)
 
@@ -454,6 +468,9 @@ def advance(
                     interior_vals=(
                         bcp.union_vals_scal(1 + t) if is_union else None
                     ),
+                    spectral=(
+                        (jnp.mean(rho_new), coef) if spectral else None
+                    ),
                 )
             else:
                 # volume-weighted EB operator; no-flux at the EB wall
@@ -517,6 +534,9 @@ def advance(
                 poisson_bc=tbc, poisson_bvals=tbv,
                 interior_mask=umask,
                 interior_vals=bcp.union_vals_temp() if is_union else None,
+                spectral=(
+                    (jnp.mean(a_new), cfg.temp_cond_coef) if spectral else None
+                ),
             )
         if eb is not None:
             temp_new = eb.fluid * temp_new + eb.covered * state.temp
@@ -569,6 +589,10 @@ def advance(
                     interior_mask=umask,
                     interior_vals=(
                         bcp.union_vals_vel(c) if is_union else None
+                    ),
+                    spectral=(
+                        (jnp.mean(alpha), cfg.vel_visc_coef)
+                        if spectral else None
                     ),
                 )
                 comps.append(u_new)
@@ -643,6 +667,7 @@ def advance(
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
         bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb, rz=rz,
         union=(bcp.cellmask, bcp.nodemask) if is_union else None,
+        spectral_sigma0=(1.0 / jnp.mean(rho_half)) if spectral else None,
     )
 
     # dsdt for the next step's MAC RHS (calc_dsdt, NavierStokes.cpp:631-641)
@@ -700,13 +725,16 @@ def _scal_min_max(s_g, s_new):
     return jnp.clip(s_new, lo, hi)
 
 
-def make_step(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None, eb=None):
+def make_step(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None, eb=None,
+              spectral: bool = False):
     """jit-compiled step function closed over the static config."""
     hit = make_hit_forcing(cfg)
-    return jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles, hit=hit, eb=eb))
+    return jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles, hit=hit, eb=eb,
+                                     spectral=spectral))
 
 
-def make_step_with_particles(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None):
+def make_step_with_particles(cfg: NSConfig, fixed_mg_cycles: Optional[int] = None,
+                             spectral: bool = False):
     """Step that also advects tracer particles with the step's MAC
     velocities (AdvectWithUmac in advance, NavierStokes.cpp:672-677)."""
     from iamr_tpu.ns.particles import advect_with_umac
@@ -716,7 +744,8 @@ def make_step_with_particles(cfg: NSConfig, fixed_mg_cycles: Optional[int] = Non
     @jax.jit
     def step(state, parts):
         new_state, umac = advance(
-            state, cfg, fixed_mg_cycles, hit=hit, return_umac=True
+            state, cfg, fixed_mg_cycles, hit=hit, return_umac=True,
+            spectral=spectral,
         )
         parts = advect_with_umac(parts, umac, state.dt, cfg.geom)
         return new_state, parts

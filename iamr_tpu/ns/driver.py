@@ -296,11 +296,15 @@ def run(
     passed to particle_hooks(step, state, parts) after each step."""
     if state is None:
         state = initialize(cfg, fixed_mg_cycles, eb=eb)
+    # exact spectral solvers for all-periodic uniform-rho runs (ns.fft_solve)
+    from iamr_tpu.solvers.spectral import spectral_eligible
+
+    sp = eb is None and spectral_eligible(cfg, state.rho)
     if particles is not None:
         from iamr_tpu.ns.advance import make_step_with_particles
 
-        pstep_fn = make_step_with_particles(cfg, fixed_mg_cycles)
-    step_fn = make_step(cfg, fixed_mg_cycles, eb=eb)
+        pstep_fn = make_step_with_particles(cfg, fixed_mg_cycles, spectral=sp)
+    step_fn = make_step(cfg, fixed_mg_cycles, eb=eb, spectral=sp)
 
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9

@@ -74,6 +74,9 @@ class NSConfig:
     do_mom_diff: bool = False
     do_cons_trac: bool = False
     do_denminmax: bool = False
+    # ns.fft_solve: -1 auto (all-periodic uniform-rho runs use the exact
+    # spectral solvers, solvers/spectral.py), 0 off, 1 force on
+    fft_solve: int = -1
     do_scalminmax: bool = False
     stop_when_steady: bool = False
     steady_tol: float = 1e-10
@@ -238,6 +241,7 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         do_mom_diff=bool(int(ns.query("do_mom_diff", 0))),
         do_cons_trac=bool(int(ns.query("do_cons_trac", 0))),
         do_denminmax=bool(int(ns.query("do_denminmax", 0))),
+        fft_solve=int(ns.query("fft_solve", -1)),
         do_scalminmax=bool(int(ns.query("do_scalminmax", 0))),
         stop_when_steady=bool(int(ns.query("stop_when_steady", 0))),
         steady_tol=float(ns.query("steady_tol", 1e-10)),

@@ -90,8 +90,14 @@ def diffuse_scalar(
     alpha_op=None,
     interior_mask=None,
     interior_vals=None,
+    spectral=None,
 ):
     """CN diffusion update after advection.
+
+    spectral: optional (alpha0, beta0) SCALARS of an all-periodic
+    constant-coefficient solve — the Helmholtz solve runs in Fourier space
+    (solvers.spectral), exact for the same 7-point discrete operator.
+    Caller guarantees uniformity (spectral_eligible).
 
     interior_mask/interior_vals: level-wide multi-box solve (mg_solve
     union path) — the implicit solve runs on the box union with
@@ -133,6 +139,13 @@ def diffuse_scalar(
 
     if theta == 0.0:
         return rhs / alpha_op, None
+
+    if spectral is not None and interior_mask is None:
+        from iamr_tpu.solvers.spectral import solve_cell_helmholtz
+
+        alpha0, beta0 = spectral
+        s_new = solve_cell_helmholtz(rhs, alpha0, theta * dt * beta0, dx)
+        return s_new, (jnp.zeros((), s_star.dtype), 0)
 
     s_new, res, it = mg.mg_solve(
         rhs,

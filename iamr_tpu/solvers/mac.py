@@ -72,8 +72,14 @@ def mac_project(
     rz=None,
     interior_mask=None,
     interior_vals=None,
+    spectral_beta0=None,
 ):
     """Project the MAC velocities. Returns (umac_corrected, phi, stats).
+
+    spectral_beta0: scalar 1/rho of an all-periodic uniform-density run —
+    the Poisson solve runs in Fourier space (solvers.spectral), exact for
+    the same 7-point discrete operator. Caller guarantees eligibility
+    (spectral_eligible); ignored for EB/RZ/union solves.
 
     interior_mask/interior_vals: level-wide multi-box solve (mg_solve
     union path) — mask 1 on union cells, coarse-interpolated mac_phi on
@@ -144,6 +150,14 @@ def mac_project(
     div = mac_div(umac, dx)
     if divu_src is not None:
         div = div - divu_src
+
+    if spectral_beta0 is not None and interior_mask is None:
+        from iamr_tpu.solvers.spectral import solve_cell_helmholtz
+
+        phi = solve_cell_helmholtz(-div, 0.0, spectral_beta0, dx)
+        corr = mg.get_fluxes(phi, beta, 1.0, dx, bc, bvals=bvals)
+        umac_new = tuple(umac[d] + corr[d] for d in range(dim))
+        return umac_new, phi, (jnp.zeros((), rho.dtype), 0)
 
     # mg operator is (a*alpha - b*div beta grad); with a=0, b=1 it is
     # -div(beta grad). Solve -div(beta grad phi) = -div  <=>  L phi = div.

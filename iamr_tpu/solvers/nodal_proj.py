@@ -66,8 +66,14 @@ def level_project(
     eb=None,
     rz=None,
     union=None,
+    spectral_sigma0=None,
 ):
     """Approximate nodal projection of the provisional velocity.
+
+    spectral_sigma0: scalar 1/rho_half of an all-periodic uniform-density
+    run — the FEM nodal solve runs in Fourier space (solvers.spectral),
+    exact for the same 27-point discrete operator. Caller guarantees
+    eligibility; ignored for EB/RZ/union projections.
 
     union: optional (cellmask, nodemask) for the level-wide multi-box
     projection — the nodal solve runs on the box union with hole elements
@@ -142,10 +148,23 @@ def level_project(
         # never touched by the masked smoother, so a warm start would
         # freeze p_old's covered values into grad(phi) next to the body
         phi0 = None
-    phi, res, it = nodal_solve(
-        rhs, sigma_op, dx, bc, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
-        phi_bc=phi_bc, phi0=phi0, interior_mask=nodemask,
-    )
+    if (
+        spectral_sigma0 is not None
+        and eb is None
+        and rz is None
+        and union is None
+        and phi_bc is None
+    ):
+        from iamr_tpu.solvers.spectral import solve_nodal_poisson
+
+        phi = solve_nodal_poisson(rhs, spectral_sigma0, dx)
+        res, it = jnp.zeros((), rho_half.dtype), 0
+    else:
+        phi, res, it = nodal_solve(
+            rhs, sigma_op, dx, bc, rtol=rtol, atol=atol,
+            fixed_cycles=fixed_cycles,
+            phi_bc=phi_bc, phi0=phi0, interior_mask=nodemask,
+        )
     gphi = grad_node_to_cell(phi, dx)
     if eb is not None:
         vel_new = jnp.stack(
