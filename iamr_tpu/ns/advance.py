@@ -258,11 +258,19 @@ def advance(
     is_union = getattr(bcp, "is_union", False)
     umask = bcp.cellmask if is_union else None
     dim = cfg.dim
-    spectral = (
-        spectral and eb is None and not is_union
-        and cfg.geom.coord_sys == 0 and not cfg.do_les
-        and all(cfg.geom.periodic)
-    )
+    if spectral:
+        # gated off under an active multi-chip mesh: an FFT of a
+        # spatially-sharded array would all-gather; sharded runs keep the
+        # halo-exchange MG path (pencil-decomposed distributed FFT is the
+        # planned upgrade)
+        from iamr_tpu.parallel.context import active as _mesh_active
+
+        spectral = (
+            eb is None and not is_union
+            and cfg.geom.coord_sys == 0 and not cfg.do_les
+            and all(cfg.geom.periodic)
+            and _mesh_active() is None
+        )
     dx = cfg.geom.dx
     dt = state.dt
     vel, rho, trac, p, gradp = state.vel, state.rho, state.trac, state.p, state.gradp
@@ -576,6 +584,21 @@ def advance(
                 cfg, bcp, vel_star, vel, rho_half, mf, dt, theta,
                 rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
             )
+        elif eb is None and spectral:
+            # all-periodic constant-mu: batch the 3 component Helmholtz
+            # solves into ONE vmapped spectral solve (batched rfftn is
+            # ~1.5x cheaper than 3 separate transforms on TPU)
+            vbc, vbv = bcp.vel_diff_bc(0)
+            sp_args = (jnp.mean(alpha), cfg.vel_visc_coef)
+
+            def _cn_one(ss, so):
+                return diff.diffuse_scalar(
+                    ss, so, alpha, alpha, mf, 1.0, dx, recs[0], theta=theta,
+                    rtol=cfg.visc_tol, fixed_cycles=diff_cycles,
+                    poisson_bc=vbc, poisson_bvals=vbv, spectral=sp_args,
+                )[0]
+
+            vel_star = jax.vmap(_cn_one)(vel_star, vel)
         elif eb is None:
             comps = []
             for c in range(dim):
@@ -589,10 +612,6 @@ def advance(
                     interior_mask=umask,
                     interior_vals=(
                         bcp.union_vals_vel(c) if is_union else None
-                    ),
-                    spectral=(
-                        (jnp.mean(alpha), cfg.vel_visc_coef)
-                        if spectral else None
                     ),
                 )
                 comps.append(u_new)

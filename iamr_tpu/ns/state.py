@@ -12,6 +12,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -216,6 +217,22 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
     probtype = int(prob.query("probtype", 1))
     forcing = "hit" if (probtype == 100 or turb.contains("nmodes")) else "default"
 
+    # ns.dtype: float32|float64 (or 32|64). Default f64 on CPU (reference
+    # semantics), f32 on TPU — emulated f64 there is so slow that even a
+    # 32^3 program takes tens of minutes to COMPILE; production TPU runs
+    # are f32 with f64-critical pieces handled by mixed-precision MG.
+    dt_raw = str(ns.query("dtype", "")).strip()
+    if dt_raw in ("32", "float32", "single"):
+        dtype = "float32"
+    elif dt_raw in ("64", "float64", "double"):
+        dtype = "float64"
+    else:
+        try:
+            on_cpu = jax.default_backend() == "cpu"
+        except Exception:
+            on_cpu = True
+        dtype = "float64" if on_cpu else "float32"
+
     return NSConfig(
         geom=geom,
         dom=dom,
@@ -259,4 +276,5 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         fine_patch=tuple(
             int(x) for x in amr.queryarr("fixed_fine_patch", [])
         ),
+        dtype=dtype,
     )

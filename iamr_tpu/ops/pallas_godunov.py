@@ -52,6 +52,9 @@ def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
         return False
     if len(shape) != 3 or jnp.dtype(dtype) != jnp.float32:
         return False
+    if jax.config.jax_enable_x64:
+        # x64 in-process breaks Mosaic lowering of pure-f32 kernels
+        return False
     if int(np.prod(shape)) < (1 << 21):
         return False
     if min(shape) < 8 or shape[0] % 8 != 0:

@@ -61,6 +61,11 @@ def pallas_ok(shape, dtype, force: bool = False) -> bool:
         return False
     if jnp.dtype(dtype) != jnp.float32:
         return False
+    if jax.config.jax_enable_x64:
+        # x64 enabled anywhere in the process breaks Mosaic lowering of even
+        # pure-f32 kernels (convert_element_type recursion); f64 CLI runs
+        # (python -m iamr_tpu) use the XLA smoothers on TPU
+        return False
     if int(np.prod(shape)) < 16384 or shape[0] < 8:
         return False
     if len(shape) == 2 and int(np.prod(shape)) > (1 << 19):

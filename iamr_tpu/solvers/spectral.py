@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -136,6 +137,15 @@ def spectral_eligible(cfg, rho0_array=None) -> bool:
     mode = getattr(cfg, "fft_solve", -1)
     if mode == 0:
         return False
+    if jnp.dtype(cfg.jdtype) == jnp.float64:
+        try:
+            on_tpu = jax.default_backend() not in ("cpu",)
+        except Exception:
+            on_tpu = True
+        if on_tpu:
+            # f64 FFT on TPU is emulated so poorly it does not even finish
+            # compiling a 32^3 rfftn in minutes; f64 TPU runs use MG
+            return False
     dim = cfg.dim
     if not all(cfg.dom.is_periodic(d) for d in range(dim)):
         return False

@@ -60,3 +60,20 @@ def test_reference_inputs_parse():
         "/root/reference/Tutorials/TaylorGreen/inputs.2d.taylorgreen"
     )
     assert pp2.scoped("geometry").getarr("is_periodic") == [1, 1, 1]
+
+
+def test_ns_dtype_wiring():
+    # ns.dtype selects the run precision; default is backend-dependent
+    # (f64 on CPU for reference semantics, f32 on TPU where emulated f64
+    # programs take tens of minutes to compile)
+    from iamr_tpu.ns.state import config_from_inputs
+
+    base = "/root/repo/examples/inputs.3d.taylor_green"
+    assert config_from_inputs(
+        ParmParse.from_file(base, ["ns.dtype=float32"])
+    ).dtype == "float32"
+    assert config_from_inputs(
+        ParmParse.from_file(base, ["ns.dtype=64"])
+    ).dtype == "float64"
+    # tests force the cpu backend (conftest), so the default is f64
+    assert config_from_inputs(ParmParse.from_file(base)).dtype == "float64"
