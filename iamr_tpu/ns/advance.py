@@ -259,17 +259,19 @@ def advance(
     umask = bcp.cellmask if is_union else None
     dim = cfg.dim
     if spectral:
-        # gated off under an active multi-chip mesh: an FFT of a
-        # spatially-sharded array would all-gather; sharded runs keep the
-        # halo-exchange MG path (pencil-decomposed distributed FFT is the
-        # planned upgrade)
+        # under an active multi-chip mesh the FFT solves stay distributed
+        # (pencil all_to_all transforms, parallel/pfft.py) when the shapes
+        # divide the mesh; otherwise fall back to halo-exchange MG rather
+        # than let GSPMD all-gather whole levels around a dense FFT
         from iamr_tpu.parallel.context import active as _mesh_active
+        from iamr_tpu.parallel.pfft import pencil_eligible as _pe
 
+        _pm = _mesh_active()
         spectral = (
             eb is None and not is_union
             and cfg.geom.coord_sys == 0 and not cfg.do_les
             and all(cfg.geom.periodic)
-            and _mesh_active() is None
+            and (_pm is None or _pe(cfg.geom.ncell, _pm))
         )
     dx = cfg.geom.dx
     dt = state.dt

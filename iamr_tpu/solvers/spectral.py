@@ -92,6 +92,17 @@ def solve_cell_helmholtz(rhs, a_alpha0, b_beta0, dx: Sequence[float]):
     and phi returned mean-free (the MG solve has the same nullspace)."""
     shape = rhs.shape
     dtype = rhs.dtype
+    from iamr_tpu.parallel.context import active as _active
+
+    pm = _active()
+    if pm is not None:
+        from iamr_tpu.parallel.pfft import (
+            pencil_eligible,
+            solve_cell_helmholtz_pencil,
+        )
+
+        if pencil_eligible(shape, pm):
+            return solve_cell_helmholtz_pencil(rhs, a_alpha0, b_beta0, dx, pm)
     sym = _cell_minus_lap_symbol(shape, dx, dtype)
     rh = jnp.fft.rfftn(rhs)
     denom = a_alpha0 + b_beta0 * sym
@@ -114,12 +125,26 @@ def solve_nodal_poisson(rhs_nodes, sigma0, dx: Sequence[float]):
     dtype = rhs_nodes.dtype
     inner = rhs_nodes[(slice(0, -1),) * dim]
     shape = inner.shape
-    sym = _nodal_minus_lap_symbol(shape, dx, dtype)
-    rh = jnp.fft.rfftn(-inner)  # apply_nodal = -(assembled) -> minus symbol
-    zero = (0,) * dim
-    denom = sym.at[zero].set(1.0) * sigma0
-    ph = (rh / denom).at[zero].set(0.0)
-    phi = jnp.fft.irfftn(ph, s=shape).astype(dtype)
+    from iamr_tpu.parallel.context import active as _active
+
+    pm = _active()
+    phi = None
+    if pm is not None:
+        from iamr_tpu.parallel.pfft import (
+            pencil_eligible,
+            solve_nodal_poisson_pencil,
+        )
+
+        if pencil_eligible(shape, pm):
+            phi = solve_nodal_poisson_pencil(inner, sigma0, dx, pm)
+    if phi is None:
+        sym = _nodal_minus_lap_symbol(shape, dx, dtype)
+        # apply_nodal = -(assembled) -> minus symbol
+        rh = jnp.fft.rfftn(-inner)
+        zero = (0,) * dim
+        denom = sym.at[zero].set(1.0) * sigma0
+        ph = (rh / denom).at[zero].set(0.0)
+        phi = jnp.fft.irfftn(ph, s=shape).astype(dtype)
     # wrap back to the (n+1)^d node array
     for d in range(dim):
         first = phi[tuple(

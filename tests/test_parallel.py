@@ -206,3 +206,110 @@ def test_collectives_present_in_hlo():
     # halo exchange should dominate re-layout: point-to-point permutes must
     # appear (pure all-gather would mean GSPMD replicated the stencils)
     assert n_cp > 0
+
+
+def test_pencil_fft_solvers_match_dense():
+    """parallel/pfft.py pencil solves == solvers/spectral.py dense solves
+    to machine epsilon on an 8-device mesh (all_to_all pencil rotations +
+    locally assembled symbols)."""
+    from iamr_tpu.parallel.pfft import (
+        pencil_eligible,
+        solve_cell_helmholtz_pencil,
+        solve_nodal_poisson_pencil,
+    )
+    from iamr_tpu.solvers.spectral import (
+        solve_cell_helmholtz,
+        solve_nodal_poisson,
+    )
+
+    pmesh = SpatialMesh.create(8, dim=3)
+    rng = np.random.default_rng(1)
+    n = 32
+    rhs = jnp.asarray(rng.standard_normal((n, n, n)))
+    dx = (1.0 / n, 1.2 / n, 0.9 / n)
+    assert pencil_eligible(rhs.shape, pmesh)
+    # mesh axes must not divide 31/33: ineligible shapes fall back to MG
+    assert not pencil_eligible((31, 31, 31), pmesh)
+
+    sh = jax.device_put(
+        rhs,
+        jax.sharding.NamedSharding(
+            pmesh.mesh, jax.sharding.PartitionSpec("x", "y", None)
+        ),
+    )
+    for aa, bb in ((2.5, 0.7), (0.0, 1.0)):  # Helmholtz + singular Poisson
+        ref = solve_cell_helmholtz(rhs, aa, bb, dx)
+        out = jax.jit(
+            lambda r, a=aa, b=bb: solve_cell_helmholtz_pencil(
+                r, a, b, dx, pmesh
+            )
+        )(sh)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-12
+        )
+
+    inner = rng.standard_normal((n, n, n))
+    inner -= inner.mean()
+    wrapped = np.pad(inner, [(0, 1)] * 3, mode="wrap")
+    ref = solve_nodal_poisson(jnp.asarray(wrapped), 1.7, dx)
+    out = jax.jit(
+        lambda r: solve_nodal_poisson_pencil(r, 1.7, dx, pmesh)
+    )(jnp.asarray(inner))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref[:-1, :-1, :-1]), atol=1e-12
+    )
+
+
+def test_sharded_spectral_step_matches():
+    """The all-periodic FFT fast path stays DISTRIBUTED under a mesh
+    (pencil all_to_all transforms) and matches the unsharded spectral step
+    to f64 roundoff."""
+
+    def _run_sp(cfg, state, nsteps, pmesh=None):
+        if pmesh is None:
+            step = jax.jit(
+                lambda s: advance(s, cfg, fixed_mg_cycles=4, spectral=True)
+            )
+            for _ in range(nsteps):
+                state = step(state)
+            return state
+        with use_mesh(pmesh):
+            state = shard_state(state, pmesh)
+            step = jax.jit(
+                lambda s: advance(s, cfg, fixed_mg_cycles=4, spectral=True)
+            )
+            for _ in range(nsteps):
+                state = step(state)
+            state.vel.block_until_ready()
+        return state
+
+    cfg, state = _cfg_state(32, dim=3)
+    ref = _run_sp(cfg, state, 3)
+    pmesh = SpatialMesh.create(8, dim=3)
+    out = _run_sp(cfg, state, 3, pmesh=pmesh)
+    # the pencil transforms themselves match the dense rfftn solves to
+    # 1e-12 (test_pencil_fft_solvers_match_dense, and the sharded step is
+    # BIT-exact vs an unsharded run of the same pencil program); against
+    # the rfftn-based dense step the 1e-15 transform-order roundoff flips
+    # slope-limiter ties of the symmetric TG field, which caps agreement
+    # at truncation-size spots (same mechanism as
+    # test_sharded_two_level_matches), and the global projection then
+    # spreads the flipped cell's correction everywhere (so no roundoff
+    # median bound survives either). Bound: well under the ~1e-2
+    # truncation error of this 32^3 discretization (same bar as
+    # test_sharded_two_level_matches).
+    for f in ("vel", "rho", "p", "gradp", "trac"):
+        d = np.abs(np.asarray(getattr(out, f)) - np.asarray(getattr(ref, f)))
+        assert d.max() < 1e-3, (f, d.max())
+    # and the sharded program really used the pencil path: its HLO carries
+    # all-to-alls (the rotation collectives), not level-wide all-gathers
+    with use_mesh(pmesh):
+        sh = shard_state(state, pmesh)
+        txt = (
+            jax.jit(lambda s: advance(s, cfg, fixed_mg_cycles=4,
+                                      spectral=True))
+            .lower(sh)
+            .compile()
+            .as_text()
+        )
+    assert txt.count("all-to-all") > 0
