@@ -160,6 +160,64 @@ def advance_two_level(
     return MLState(crse=crse_out, fine=fine_out)
 
 
+def post_init_press_two_level(
+    cfg: NSConfig,
+    spec: LevelSpec,
+    crse: NSState,
+    fine: NSState,
+    fixed_mg_cycles: Optional[int] = None,
+    hit=None,
+):
+    """Initial composite pressure iterations for a 2-level start
+    (NavierStokes::post_init_press + Projection::initialSyncProject,
+    NavierStokes.cpp:1305-1432 / Projection.cpp:970-1191): iterate the
+    non-subcycled composite first step; after each trial step, a 2-level
+    composite nodal projection of the per-level accelerations
+    dU/dt = (U_new - U_old)/dt (sigma = rho_half) produces the composite
+    pressure increment phi, which is kept (P += phi, Gp += G(phi)) while
+    every other field resets to its initial value."""
+    if cfg.init_iter <= 0:
+        return crse, fine
+    from iamr_tpu.amr.sync import sync_project_composite
+    from iamr_tpu.ops.mg_nodal import grad_node_to_cell
+
+    cfg_f = make_fine_config(cfg, spec)
+    dim = cfg.dim
+
+    @jax.jit
+    def _one(crse, fine):
+        ml = advance_two_level(
+            MLState(crse=crse, fine=fine), cfg, spec, fixed_mg_cycles,
+            hit=hit,
+        )
+        dt = jnp.minimum(crse.dt, fine.dt)
+        rho_h_c = 0.5 * (crse.rho + ml.crse.rho)
+        rho_h_f = 0.5 * (fine.rho + ml.fine.rho)
+        # ml.crse.vel is already avgDown'd, so dv_c/dv_f agree on covered
+        # cells (the reference average_downs vel[lev-1] the same way)
+        dv_c = ml.crse.vel - crse.vel
+        dv_f = ml.fine.vel - fine.vel
+        _, _, phi_c, phi_f = sync_project_composite(
+            cfg, cfg_f, spec, dv_c, rho_h_c, rho_h_f, dt,
+            fixed_cycles=fixed_mg_cycles, vcorr=dv_f,
+        )
+        gpc = grad_node_to_cell(phi_c, cfg.geom.dx)
+        gpf = grad_node_to_cell(phi_f, cfg_f.geom.dx)
+        crse2 = crse._replace(
+            p=ml.crse.p + phi_c,
+            gradp=ml.crse.gradp + jnp.stack([gpc[d] for d in range(dim)]),
+        )
+        fine2 = fine._replace(
+            p=ml.fine.p + phi_f,
+            gradp=ml.fine.gradp + jnp.stack([gpf[d] for d in range(dim)]),
+        )
+        return crse2, fine2
+
+    for _ in range(max(0, cfg.init_iter)):
+        crse, fine = _one(crse, fine)
+    return crse, fine
+
+
 def _interp_states(crse_old, crse_new, theta):
     return {
         "vel": (1 - theta) * crse_old.vel + theta * crse_new.vel,

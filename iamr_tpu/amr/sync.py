@@ -336,6 +336,7 @@ def sync_project_composite(
     fixed_cycles: Optional[int] = None,
     n_fac: int = 2,
     union=None,
+    vcorr=None,
 ):
     """Genuine 2-level composite sync projection (Projection::MLsyncProject,
     Projection.cpp:457-614): solve
@@ -377,8 +378,13 @@ def sync_project_composite(
         fmask, nodemask_f = union
         sigma_f = sigma_f * fmask
 
-    # SyncInterp Vsync -> fine V_corr (NavierStokesBase.cpp:1993-1994)
-    vcorr = jnp.stack([interp_cell_to_fine(vsync[c], spec) for c in range(dim)])
+    if vcorr is None:
+        # SyncInterp Vsync -> fine V_corr (NavierStokesBase.cpp:1993-1994)
+        vcorr = jnp.stack(
+            [interp_cell_to_fine(vsync[c], spec) for c in range(dim)]
+        )
+    # else: the fine correction is its own field (initialSyncProject
+    # projects each level's OWN acceleration dU/dt, Projection.cpp:970-1191)
 
     rhs_c = div_cell_to_node(
         tuple(vsync[d] / dt for d in range(dim)), dxc, bc_c

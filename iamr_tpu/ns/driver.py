@@ -26,9 +26,15 @@ from iamr_tpu.ns.state import NSConfig, NSState, config_from_inputs
 from iamr_tpu.solvers.nodal_proj import initial_velocity_project
 
 
-def initialize(cfg: NSConfig, fixed_mg_cycles=None, eb=None) -> NSState:
+def initialize(
+    cfg: NSConfig, fixed_mg_cycles=None, eb=None, init_iters=None
+) -> NSState:
     """Build the initial state: ICs, initial projection, dt estimate,
-    and the initial pressure iterations — one jitted program."""
+    and the initial pressure iterations — one jitted program.
+
+    init_iters overrides cfg.init_iter (multilevel runs pass 0 here and do
+    the COMPOSITE initial iterations instead, post_init_press_two_level)."""
+    n_init_iter = cfg.init_iter if init_iters is None else init_iters
     state = init_state(cfg)
     rz = None
     if cfg.geom.coord_sys == 1:
@@ -79,7 +85,7 @@ def initialize(cfg: NSConfig, fixed_mg_cycles=None, eb=None) -> NSState:
 
         # initial pressure iterations: advance from the same IC, keep p/Gp
         # (post_init_press, NavierStokes.cpp:1305-1432)
-        for _ in range(max(0, cfg.init_iter)):
+        for _ in range(max(0, n_init_iter)):
             trial = advance(state, cfg, fixed_mg_cycles, hit=hit, eb=eb)
             state = state._replace(p=trial.p, gradp=trial.gradp)
         return state
@@ -456,10 +462,13 @@ def run_multilevel(
         MLState,
         init_fine_from_coarse,
         make_two_level_step,
+        post_init_press_two_level,
     )
     from iamr_tpu.amr.tagging import cluster_to_patch, regrid_fine_state, tag_cells
 
-    crse = initialize(cfg, fixed_mg_cycles)
+    # composite initial pressure iterations happen below across BOTH
+    # levels (post_init_press + initialSyncProject), not single-level here
+    crse = initialize(cfg, fixed_mg_cycles, init_iters=0)
 
     def spec_from_tags(crse_state, default_ok=True):
         if error_tags:
@@ -471,6 +480,9 @@ def run_multilevel(
 
     spec = spec_from_tags(crse)
     fine = init_fine_from_coarse(cfg, spec, crse)
+    crse, fine = post_init_press_two_level(
+        cfg, spec, crse, fine, fixed_mg_cycles
+    )
     ml = MLState(crse=crse, fine=fine)
     step_cache = {}
 

@@ -141,3 +141,66 @@ def test_subcycled_mass_conservation():
         ml = step(ml)
     m1 = float(jnp.sum(ml.crse.rho)) * vol_c
     np.testing.assert_allclose(m1, m0, rtol=1e-11)
+
+
+@pytest.mark.slow
+def test_post_init_press_two_level():
+    """Composite initial pressure iterations (post_init_press +
+    initialSyncProject, NavierStokes.cpp:1305-1432): the 2-level start
+    builds a CONSISTENT composite pressure — covered coarse nodes carry
+    the restricted fine pressure, and the coarse field agrees with the
+    single-level initial-iteration pressure to truncation size."""
+    from iamr_tpu.amr.hierarchy import avg_down_node
+    from iamr_tpu.amr.multilevel import (
+        init_fine_from_coarse,
+        post_init_press_two_level,
+    )
+    from iamr_tpu.ns.driver import default_fine_spec, initialize
+
+    pp = ParmParse.from_string(
+        """
+        max_step = 1
+        amr.n_cell = 32 32
+        amr.max_level = 1
+        ns.cfl = 0.5
+        ns.init_iter = 2
+        ns.vel_visc_coef = 1e-3
+        geometry.prob_lo = 0. 0.
+        geometry.prob_hi = 1. 1.
+        geometry.is_periodic = 1 1
+        ns.lo_bc = 0 0
+        ns.hi_bc = 0 0
+        prob.probtype = 11
+        prob.velocity_factor = 1.0
+        """
+    )
+    cfg = config_from_inputs(pp)
+    crse0 = initialize(cfg, fixed_mg_cycles=None, init_iters=0)
+    spec = default_fine_spec(cfg)
+    fine0 = init_fine_from_coarse(cfg, spec, crse0)
+    crse, fine = post_init_press_two_level(cfg, spec, crse0, fine0)
+
+    # velocities / scalars untouched (only pressure carries, resetState)
+    np.testing.assert_allclose(
+        np.asarray(crse.vel), np.asarray(crse0.vel), atol=1e-14
+    )
+    np.testing.assert_allclose(
+        np.asarray(fine.rho), np.asarray(fine0.rho), atol=1e-14
+    )
+
+    # composite consistency: covered coarse nodes == restricted fine p
+    pc = np.asarray(crse.p)
+    pr = np.asarray(avg_down_node(crse.p, fine.p, spec))
+    r = spec.ratio
+    cov = tuple(
+        slice(spec.crse_lo[d] + 1, spec.crse_lo[d] + spec.ncell[d] // r)
+        for d in range(2)
+    )
+    scale = max(1.0, np.abs(pc).max())
+    assert np.max(np.abs((pc - pr)[cov])) / scale < 5e-2
+
+    # coarse pressure ~ single-level initial-iteration pressure (the fine
+    # level only refines truncation error on this smooth field)
+    ref = initialize(cfg, fixed_mg_cycles=None, init_iters=2)
+    dp = np.abs(np.asarray(crse.p) - np.asarray(ref.p))
+    assert dp.max() / scale < 5e-2, dp.max()
