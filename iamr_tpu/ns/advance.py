@@ -27,6 +27,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from iamr_tpu.parallel.reduce import invariant_mean
 from iamr_tpu.core.bc import (
     BCRec,
     DomainBC,
@@ -394,7 +395,7 @@ def advance(
         bc=mac_bc, bvals=mac_bvals, eb=eb, rz=rz,
         interior_mask=umask,
         interior_vals=bcp.union_vals_mac() if is_union else None,
-        spectral_beta0=(1.0 / jnp.mean(rho)) if spectral else None,
+        spectral_beta0=(1.0 / invariant_mean(rho)) if spectral else None,
     )
     umac_g = bcp.grow_umac(umac)
 
@@ -479,7 +480,7 @@ def advance(
                         bcp.union_vals_scal(1 + t) if is_union else None
                     ),
                     spectral=(
-                        (jnp.mean(rho_new), coef) if spectral else None
+                        (invariant_mean(rho_new), coef) if spectral else None
                     ),
                 )
             else:
@@ -545,7 +546,7 @@ def advance(
                 interior_mask=umask,
                 interior_vals=bcp.union_vals_temp() if is_union else None,
                 spectral=(
-                    (jnp.mean(a_new), cfg.temp_cond_coef) if spectral else None
+                    (invariant_mean(a_new), cfg.temp_cond_coef) if spectral else None
                 ),
             )
         if eb is not None:
@@ -591,7 +592,7 @@ def advance(
             # solves into ONE vmapped spectral solve (batched rfftn is
             # ~1.5x cheaper than 3 separate transforms on TPU)
             vbc, vbv = bcp.vel_diff_bc(0)
-            sp_args = (jnp.mean(alpha), cfg.vel_visc_coef)
+            sp_args = (invariant_mean(alpha), cfg.vel_visc_coef)
 
             def _cn_one(ss, so):
                 return diff.diffuse_scalar(
@@ -688,7 +689,7 @@ def advance(
         rtol=cfg.proj_tol, atol=cfg.proj_abs_tol, fixed_cycles=fixed_mg_cycles,
         bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb, rz=rz,
         union=(bcp.cellmask, bcp.nodemask) if is_union else None,
-        spectral_sigma0=(1.0 / jnp.mean(rho_half)) if spectral else None,
+        spectral_sigma0=(1.0 / invariant_mean(rho_half)) if spectral else None,
     )
 
     # dsdt for the next step's MAC RHS (calc_dsdt, NavierStokes.cpp:631-641)

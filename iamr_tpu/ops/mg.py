@@ -34,6 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from iamr_tpu.ops.stencil import checkerboard, sl
+from iamr_tpu.parallel.reduce import invariant_matvec, invariant_mean, invariant_sum
 
 # BC kinds (static ints)
 PERIODIC = 0
@@ -383,13 +384,15 @@ def _bottom_cg(rhs, lev: MGLevelData, a, b, bc, iters: int = 32):
     )
 
     def demean(x):
-        return x - jnp.mean(x) if singular else x
+        # layout-invariant reductions: last-bit layout differences here
+        # seed thresholded-branch flips downstream (parallel/reduce.py)
+        return x - invariant_mean(x) if singular else x
 
     rhs = demean(rhs)
     x = jnp.zeros_like(rhs)
     r = rhs
     p = r
-    rs = jnp.sum(r * r)
+    rs = invariant_sum(r * r)
     eps = jnp.asarray(1e-30, rhs.dtype)
 
     def body(_, carry):
@@ -399,12 +402,12 @@ def _bottom_cg(rhs, lev: MGLevelData, a, b, bc, iters: int = 32):
         # sharded and unsharded runs diverge at 1e-4 level
         active = rs > jnp.maximum(1e-28 * rs0, eps)
         ap = matvec(p)
-        pap = jnp.sum(p * ap)
+        pap = invariant_sum(p * ap)
         alpha_k = jnp.where(active & (pap > eps), rs / jnp.maximum(pap, eps),
                             0.0)
         x = x + alpha_k * p
         r = demean(r - alpha_k * ap)
-        rs_new = jnp.sum(r * r)
+        rs_new = invariant_sum(r * r)
         beta_k = jnp.where(active, rs_new / jnp.maximum(rs, eps), 0.0)
         p = r + beta_k * p
         return x, r, p, rs_new
@@ -449,7 +452,7 @@ def _bottom_dense_inv(lev: MGLevelData, a, b, bc):
     # coefficient zero too, so its row AND column vanish — the matrix would
     # be singular and inv() garbage. Decouple them with identity rows; their
     # solution is pinned to 0 in _bottom_solve.
-    scale = jnp.mean(jnp.abs(lev.diag))
+    scale = invariant_mean(jnp.abs(lev.diag))
     alive = (jnp.abs(lev.diag) > 1e-10 * scale).astype(dtype).ravel()
     A = A + jnp.diag(1.0 - alive)
     singular = a == 0.0 and all(
@@ -471,13 +474,13 @@ def _bottom_solve(rhs, lev: MGLevelData, a, b, bc, binv):
         bc.lo[d] != DIRICHLET and bc.hi[d] != DIRICHLET
         for d in range(len(lev.shape))
     )
-    nalive = jnp.sum(alive)
+    nalive = invariant_sum(alive)
     r = alive * rhs.ravel()
     if singular:
-        r = alive * (r - jnp.sum(r) / nalive)
-    x = alive * (inv @ r)
+        r = alive * (r - invariant_sum(r) / nalive)
+    x = alive * invariant_matvec(inv, r)
     if singular:
-        x = alive * (x - jnp.sum(x) / nalive)
+        x = alive * (x - invariant_sum(x) / nalive)
     return x.reshape(lev.shape)
 
 
@@ -647,7 +650,7 @@ def mg_solve(
         phi = m * phi
 
     if singular:
-        rhs = rhs - jnp.mean(rhs)
+        rhs = rhs - invariant_mean(rhs)
 
     from iamr_tpu.parallel.context import constrain
 
@@ -688,7 +691,7 @@ def mg_solve(
             e = _vcycle(r, levels, a, b, bc, 0, nu1, nu2, nu_bottom, binv)
         phi = phi + e
         if singular:
-            phi = phi - jnp.mean(phi)
+            phi = phi - invariant_mean(phi)
         return phi
 
     def finalize(phi):

@@ -30,6 +30,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from iamr_tpu.parallel.reduce import invariant_matvec, invariant_mean, invariant_sum
 from iamr_tpu.ops.stencil import sl
 
 # node BC kinds per (dim, side)
@@ -500,10 +501,12 @@ def _bottom_cg(rhs, lev: NodalLevel, bc: NodalBC, iters: int = 32):
                 idx = [slice(None)] * dim
                 idx[d] = slice(-1, None)
                 own = own.at[tuple(idx)].set(0.0)
-        wsum = jnp.sum(own)
+        wsum = invariant_sum(own)
 
         def demean(x):
-            return x - jnp.sum(x * own) / wsum
+            # layout-invariant reductions: last-bit layout differences
+            # seed thresholded-branch flips downstream (parallel/reduce.py)
+            return x - invariant_sum(x * own) / wsum
     else:
         def demean(x):
             return x
@@ -512,7 +515,7 @@ def _bottom_cg(rhs, lev: NodalLevel, bc: NodalBC, iters: int = 32):
     x = jnp.zeros_like(rhs)
     r = rhs
     p = r
-    rs = jnp.sum(r * r)
+    rs = invariant_sum(r * r)
     eps = jnp.asarray(1e-30, rhs.dtype)
 
     def body(_, carry):
@@ -522,12 +525,12 @@ def _bottom_cg(rhs, lev: NodalLevel, bc: NodalBC, iters: int = 32):
         # sharded and unsharded runs diverge at 1e-4 level
         active = rs > jnp.maximum(1e-28 * rs0, eps)
         ap = matvec(p)
-        pap = jnp.sum(p * ap)
+        pap = invariant_sum(p * ap)
         alpha_k = jnp.where(active & (pap > eps), rs / jnp.maximum(pap, eps),
                             0.0)
         x = x + alpha_k * p
         r = demean(r - alpha_k * ap)
-        rs_new = jnp.sum(r * r)
+        rs_new = invariant_sum(r * r)
         beta_k = jnp.where(active, rs_new / jnp.maximum(rs, eps), 0.0)
         p = r + beta_k * p
         return x, r, p, rs_new
@@ -580,7 +583,7 @@ def _bottom_dense_inv_nodal(lev: NodalLevel, bc: NodalBC):
     # identity on masked-out DOFs — both Dirichlet-masked nodes and
     # EB-covered nodes (sigma = 0 in every adjacent cell -> zero diag AND
     # zero row/column; inv() of that is garbage, mg_nodal.py:256)
-    scale = jnp.mean(jnp.abs(lev.diag))
+    scale = invariant_mean(jnp.abs(lev.diag))
     # covered test: nodal_diag PINS zero-diag (fully covered) nodes to -kap,
     # so test the adjacent sigma sum, not the diag
     adj = _adjacent_cell_sum(lev.sigma, bc)
@@ -609,12 +612,12 @@ def _bottom_solve_nodal(rhs, lev: NodalLevel, bc: NodalBC, binv):
     r = -alive * rhs.ravel()  # CG solves -L x = -rhs (neg. semidefinite L)
     if singular:
         own = _nodal_own(lev, bc).ravel() * alive
-        wsum = jnp.sum(own)
-        r = r - jnp.sum(r * own) / wsum  # own-weighted mean out (as CG)
-        x = alive * (inv @ r)
-        x = alive * (x - jnp.sum(x * own) / wsum)
+        wsum = invariant_sum(own)
+        r = r - invariant_sum(r * own) / wsum  # own-weighted mean out
+        x = alive * invariant_matvec(inv, r)
+        x = alive * (x - invariant_sum(x * own) / wsum)
     else:
-        x = alive * (inv @ r)
+        x = alive * invariant_matvec(inv, r)
     return x.reshape(lev.nshape)
 
 
@@ -709,7 +712,7 @@ def nodal_solve(
             own = own.at[tuple(idx)].set(0.0)
 
     def demean(x):
-        return x - jnp.sum(x * own) / jnp.sum(own)
+        return x - invariant_sum(x * own) / invariant_sum(own)
 
     from iamr_tpu.parallel.context import constrain
 

@@ -169,15 +169,18 @@ def test_sharded_two_level_matches():
         out = step_sh(ml_sh)
         out.crse.vel.block_until_ready()
 
-    # tolerance rationale: the MC slope limiters and upwind selectors are
-    # THRESHOLDED (dl*dr > 0, u > 0), so on nearly-flat fields layouts can
-    # legitimately pick different branches; most fields agree to ~1e-8, but
-    # a handful of coarse rho cells on the C-F interface land at ~2e-4
-    # (localized reflux-band cells; every individual coupling stage —
-    # deltas, ucorr, ssync, rho_new — reproduces to 1e-16 when bisected in
-    # isolation, so this is branch selection inside the fused composite
-    # program, not a communication bug). Bound it at truncation size and
-    # require the BULK of the field to match tightly.
+    # tolerance rationale (root cause closed in round 2): upwind selectors
+    # are THRESHOLDED (u > 0 picks states differing by O(slope)), and the
+    # two compilations seed ulp-level differences that flip ties near the
+    # C-F interface -> a handful of coarse rho reflux-band cells at ~2e-4.
+    # The systematic seeds (layout-dependent reduction order in demeans /
+    # CG dots / dense-bottom matvecs) were eliminated with the
+    # fixed-pairing invariant reductions (parallel/reduce.py) — the cell
+    # MG solve is now bitwise layout-invariant — but a ~1e-17 XLA
+    # codegen-level rounding difference remains in the nodal residual
+    # (fusion boundaries shift with program structure; not removable at
+    # the JAX level), which suffices to flip the same ties. Bound at
+    # truncation size; require the BULK of the field to match tightly.
     _assert_state_close(out.crse, ref.crse, 1e-3)
     _assert_state_close(out.fine, ref.fine, 1e-3)
     for a, b in ((out.crse.rho, ref.crse.rho), (out.fine.vel, ref.fine.vel)):
