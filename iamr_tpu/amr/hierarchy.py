@@ -275,3 +275,55 @@ def reflux_correct(
                 cur + sign * dt_over_dx[d] * jnp.expand_dims(delta, axis=d)
             )
     return out
+
+
+def read_fixed_grids(path: str, dim: int):
+    """Parse an AMReX fixed-grids file (amr.regrid_file; reference
+    Docs/RunningProblems.rst and Tutorials/Particles/fixed_grids_ml):
+
+        <n refined levels>
+        <ngrids at level 1>
+        ((lo...) (hi...) (type...))   # one per grid, hi INCLUSIVE,
+        <ngrids at level 2>           # indices in that level's own space
+        ...
+
+    Returns [level][grid] -> (lo tuple, hi_exclusive tuple)."""
+    import re
+
+    with open(path) as f:
+        txt = f.read()
+    toks = txt.split("\n")
+    nums = []
+    boxes = []
+    # stream-parse: bare integers are counts, "((..)..)" lines are boxes
+    items = []
+    for line in txt.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("(("):
+            groups = re.findall(r"\(([-\d,\s]+)\)", line)
+            vals = [
+                tuple(int(x) for x in g.replace(" ", ",").split(",") if x)
+                for g in groups
+            ]
+            items.append(("box", vals))
+        else:
+            items.append(("count", int(line.split()[0])))
+    assert items and items[0][0] == "count"
+    nlev = items[0][1]
+    out = []
+    i = 1
+    for _ in range(nlev):
+        assert items[i][0] == "count"
+        ng = items[i][1]
+        i += 1
+        grids = []
+        for _ in range(ng):
+            kind, vals = items[i]
+            assert kind == "box"
+            lo, hi = vals[0][:dim], vals[1][:dim]
+            grids.append((tuple(lo), tuple(h + 1 for h in hi)))
+            i += 1
+        out.append(grids)
+    return out

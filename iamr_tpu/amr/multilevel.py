@@ -78,6 +78,7 @@ def advance_two_level(
     spec: LevelSpec,
     fixed_mg_cycles: Optional[int] = None,
     hit=None,
+    return_umacs: bool = False,
 ):
     """One composite (non-subcycled) step. Returns the new MLState."""
     cfg_f = make_fine_config(cfg, spec)
@@ -157,7 +158,10 @@ def advance_two_level(
     dt_next = jnp.minimum(jnp.minimum(dt_c, dt_f), cfg.change_max * dt)
     crse_out = crse_out._replace(dt=dt_next)
     fine_out = fine_new._replace(dt=dt_next)
-    return MLState(crse=crse_out, fine=fine_out)
+    out = MLState(crse=crse_out, fine=fine_out)
+    if return_umacs:
+        return out, [crse_aux["umac"], fine_aux["umac"]]
+    return out
 
 
 def post_init_press_two_level(
@@ -501,7 +505,9 @@ def advance_subtree(
     couple (avgDown + reflux + sync). states: list of per-level NSState;
     specs[k]: the LevelSpec of level k+1 inside level k; cfgs[k]: per-level
     config (make_fine_config cumulatively). Returns (new states, aux of
-    this level's advance)."""
+    this level's advance, per-level subcycle-time-averaged umacs for
+    levels lev.. — the composite MAC velocity field tracer particles
+    advect with)."""
     crse_old = states[lev]
     eb_l = ebs[lev] if ebs else None
     crse_new, aux = advance(
@@ -510,6 +516,7 @@ def advance_subtree(
     )
     out = list(states)
     out[lev] = crse_new
+    umacs = [aux["umac"]]
     if lev + 1 < len(states):
         spec = specs[lev]
         r = spec.ratio
@@ -536,10 +543,18 @@ def advance_subtree(
                 crse_p=crse_new.p, crse_mac_phi=aux["mac_phi"],
                 crse_umac=aux["umac"],
             )
-            out, aux_f = advance_subtree(
+            out, aux_f, sub_umacs = advance_subtree(
                 cfgs, specs, out, lev + 1, dt / r, fixed_mg_cycles, hit,
                 bcp=bcp_f, ebs=ebs,
             )
+            # subcycle time-average of every deeper level's umac
+            for j, um in enumerate(sub_umacs):
+                if len(umacs) <= 1 + j:
+                    umacs.append(tuple(u / r for u in um))
+                else:
+                    umacs[1 + j] = tuple(
+                        acc + u / r for acc, u in zip(umacs[1 + j], um)
+                    )
             # time-averaged fine fluxes / fields over the subcycles (the
             # FineAdd * 1/crse_dt_ratio accumulation; Projection.cpp:413-426)
             for key in (
@@ -557,7 +572,7 @@ def advance_subtree(
         )
         out[lev] = crse_out
         out[lev + 1] = fine_out
-    return out, aux
+    return out, aux, umacs
 
 
 def hierarchy_configs(cfg: NSConfig, specs):
@@ -569,13 +584,16 @@ def hierarchy_configs(cfg: NSConfig, specs):
 
 
 def advance_hierarchy_subcycled(
-    states, cfg: NSConfig, specs, fixed_mg_cycles=None, hit=None, ebs=None
+    states, cfg: NSConfig, specs, fixed_mg_cycles=None, hit=None, ebs=None,
+    return_umacs: bool = False,
 ):
     """One coarse step of an arbitrary-depth subcycled hierarchy (levels
-    0..len(specs)); computeNewDt-style min over levels with n_factor."""
+    0..len(specs)); computeNewDt-style min over levels with n_factor.
+    return_umacs: also return the per-level (subcycle-time-averaged) MAC
+    velocities, the field tracer particles advect with."""
     cfgs = hierarchy_configs(cfg, specs)
     dt_c = states[0].dt
-    out, _ = advance_subtree(
+    out, _, umacs = advance_subtree(
         cfgs, specs, list(states), 0, dt_c, fixed_mg_cycles, hit, ebs=ebs
     )
     # next dt: min over levels of (prod of ratios up to lev) * est(lev)
@@ -591,6 +609,8 @@ def advance_hierarchy_subcycled(
         if lev > 0:
             nfac *= specs[lev - 1].ratio
         result.append(out[lev]._replace(dt=dt_next / nfac))
+    if return_umacs:
+        return tuple(result), umacs
     return tuple(result)
 
 
@@ -622,3 +642,35 @@ def make_two_level_step(
     return jax.jit(
         lambda ml: fn(ml, cfg, spec, fixed_mg_cycles, hit=hit)
     )
+
+
+def make_two_level_step_with_particles(
+    cfg: NSConfig, spec: LevelSpec, fixed_mg_cycles=None,
+    subcycle: bool = False,
+):
+    """Two-level step that also advects tracer particles with the
+    composite (finest-containing-level) MAC velocities; fine umacs are the
+    subcycle time-averages (AmrTracerParticleContainer semantics)."""
+    from iamr_tpu.ns.particles import advect_with_umac_levels
+
+    hit = make_hit_forcing(cfg)
+    cfg_f = make_fine_config(cfg, spec)
+
+    @jax.jit
+    def step(ml, parts):
+        dt = ml.crse.dt
+        if subcycle:
+            out, umacs = advance_hierarchy_subcycled(
+                (ml.crse, ml.fine), cfg, [spec], fixed_mg_cycles, hit,
+                return_umacs=True,
+            )
+            new = MLState(crse=out[0], fine=out[1])
+        else:
+            new, umacs = advance_two_level(
+                ml, cfg, spec, fixed_mg_cycles, hit=hit, return_umacs=True
+            )
+        levels = [(umacs[0], cfg.geom), (umacs[1], cfg_f.geom)]
+        parts = advect_with_umac_levels(parts, levels, dt)
+        return new, parts
+
+    return step

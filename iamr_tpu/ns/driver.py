@@ -451,17 +451,23 @@ def run_multilevel(
     regrid_int: int = 0,
     plot_int: int = -1,
     plot_file: str = "plt",
+    fixed_spec=None,
+    particles=None,
+    particle_hooks=None,
 ):
     """Two-level run (max_level = 1), optionally subcycled + dynamically
     regridded. Regrids happen out-of-band between jitted step segments:
     tag -> cluster to a patch -> transfer state -> recompile for the new
-    shapes (SURVEY.md regrid-as-recompile)."""
+    shapes (SURVEY.md regrid-as-recompile). fixed_spec pins the fine patch
+    (amr.regrid_file); tracer particles advect with the composite
+    finest-containing-level MAC velocities."""
     import numpy as np
 
     from iamr_tpu.amr.multilevel import (
         MLState,
         init_fine_from_coarse,
         make_two_level_step,
+        make_two_level_step_with_particles,
         post_init_press_two_level,
     )
     from iamr_tpu.amr.tagging import cluster_to_patch, regrid_fine_state, tag_cells
@@ -471,6 +477,8 @@ def run_multilevel(
     crse = initialize(cfg, fixed_mg_cycles, init_iters=0)
 
     def spec_from_tags(crse_state, default_ok=True):
+        if fixed_spec is not None:
+            return fixed_spec
         if error_tags:
             tags = np.asarray(tag_cells(cfg, crse_state, error_tags))
             s = cluster_to_patch(tags, cfg.ref_ratio)
@@ -488,9 +496,14 @@ def run_multilevel(
 
     def get_step(s):
         if s not in step_cache:
-            step_cache[s] = make_two_level_step(
-                cfg, s, fixed_mg_cycles, subcycle=subcycle
-            )
+            if particles is not None:
+                step_cache[s] = make_two_level_step_with_particles(
+                    cfg, s, fixed_mg_cycles, subcycle=subcycle
+                )
+            else:
+                step_cache[s] = make_two_level_step(
+                    cfg, s, fixed_mg_cycles, subcycle=subcycle
+                )
         return step_cache[s]
 
     nmax = max_steps if max_steps is not None else (
@@ -508,7 +521,12 @@ def run_multilevel(
                 ml = MLState(crse=ml.crse, fine=fine)
                 if verbose:
                     print(f"REGRID at step {step}: patch lo={spec.lo} n={spec.ncell}")
-        ml = get_step(spec)(ml)
+        if particles is not None:
+            ml, particles = get_step(spec)(ml, particles)
+            if particle_hooks is not None:
+                particle_hooks(step + 1, ml.crse, particles)
+        else:
+            ml = get_step(spec)(ml)
         step += 1
         if plot_int > 0 and step % plot_int == 0:
             write_plotfile_for_hierarchy(
@@ -529,10 +547,15 @@ def run_hierarchy(
     max_steps: Optional[int] = None,
     verbose: bool = False,
     fixed_mg_cycles=None,
+    specs=None,
+    particles=None,
+    particle_hooks=None,
 ):
     """Arbitrary-depth subcycled hierarchy run (amr.max_level >= 2) with
-    default nested centered patches (the fixed-grids workflow; dynamic
-    regridding of deep hierarchies is 2-level for now)."""
+    nested patches — from amr.regrid_file (`specs`) or default centered
+    ones (dynamic regridding of deep hierarchies is 2-level for now).
+    Tracer particles advect with the composite finest-containing-level MAC
+    velocities (subcycle time-averaged)."""
     from iamr_tpu.amr.hierarchy import LevelSpec
     from iamr_tpu.amr.multilevel import (
         advance_hierarchy_subcycled,
@@ -542,28 +565,43 @@ def run_hierarchy(
     )
 
     r = cfg.ref_ratio
-    specs = []
-    base = cfg.geom.ncell
-    for lev in range(cfg.max_level):
-        n = base if lev == 0 else specs[-1].ncell
-        specs.append(
-            LevelSpec(
-                lo=tuple(r * (x // 4) for x in n),
-                ncell=tuple(r * (x // 2) for x in n),
-                ratio=r,
+    if specs is None:
+        specs = []
+        base = cfg.geom.ncell
+        for lev in range(cfg.max_level):
+            n = base if lev == 0 else specs[-1].ncell
+            specs.append(
+                LevelSpec(
+                    lo=tuple(r * (x // 4) for x in n),
+                    ncell=tuple(r * (x // 2) for x in n),
+                    ratio=r,
+                )
             )
-        )
     cfgs = hierarchy_configs(cfg, specs)
     states = [initialize(cfg, fixed_mg_cycles)]
     for lev, spec in enumerate(specs):
         states.append(init_fine_from_coarse(cfgs[lev], spec, states[-1]))
     states = tuple(states)
     hit = make_hit_forcing(cfg)
-    step_fn = jax.jit(
-        lambda sts: advance_hierarchy_subcycled(
-            sts, cfg, specs, fixed_mg_cycles, hit=hit
+
+    if particles is not None:
+        from iamr_tpu.ns.particles import advect_with_umac_levels
+
+        @jax.jit
+        def step_fn(sts, parts):
+            dt = sts[0].dt
+            out, umacs = advance_hierarchy_subcycled(
+                sts, cfg, specs, fixed_mg_cycles, hit=hit, return_umacs=True
+            )
+            levels = [(um, c.geom) for um, c in zip(umacs, cfgs)]
+            parts = advect_with_umac_levels(parts, levels, dt)
+            return out, parts
+    else:
+        step_fn = jax.jit(
+            lambda sts: advance_hierarchy_subcycled(
+                sts, cfg, specs, fixed_mg_cycles, hit=hit
+            )
         )
-    )
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
     )
@@ -571,7 +609,12 @@ def run_hierarchy(
     while step < nmax:
         if cfg.stop_time >= 0.0 and float(states[0].time) >= cfg.stop_time:
             break
-        states = step_fn(states)
+        if particles is not None:
+            states, particles = step_fn(states, particles)
+            if particle_hooks is not None:
+                particle_hooks(step + 1, states[0], particles)
+        else:
+            states = step_fn(states)
         step += 1
         if verbose:
             print(
@@ -637,10 +680,50 @@ def run_from_inputs(path: str, overrides=(), **kw):
                 )
 
             kw["particle_hooks"] = _phooks
+    # amr.regrid_file: fixed grids per level (boxes in the COARSER level's
+    # index space, Box::refine semantics). Multi-box levels collapse to
+    # their bounding box outside the 2-level multipatch path (a superset
+    # refinement — documented approximation).
+    fixed_grids = None
+    rgf = pp.scoped("amr").query("regrid_file")
+    if rgf:
+        import os as _os
+
+        from iamr_tpu.amr.hierarchy import read_fixed_grids
+
+        base = _os.path.dirname(_os.path.abspath(path))
+        fpath = str(rgf) if _os.path.isabs(str(rgf)) else _os.path.join(
+            base, str(rgf)
+        )
+        fixed_grids = read_fixed_grids(fpath, cfg.dim)
+
+    def _specs_from_grids(grids):
+        """LevelSpecs (bbox per level) from the raw per-level box lists;
+        deeper-level lo is relative to the parent patch."""
+        from iamr_tpu.amr.hierarchy import LevelSpec
+
+        r = cfg.ref_ratio
+        out = []
+        parent_lo = (0,) * cfg.dim  # parent-patch origin in its level's space
+        for lev_boxes in grids:
+            lo = tuple(min(b[0][d] for b in lev_boxes) for d in range(cfg.dim))
+            hi = tuple(max(b[1][d] for b in lev_boxes) for d in range(cfg.dim))
+            rel_lo = tuple(lo[d] - parent_lo[d] for d in range(cfg.dim))
+            out.append(LevelSpec(
+                lo=tuple(r * x for x in rel_lo),
+                ncell=tuple(r * (hi[d] - lo[d]) for d in range(cfg.dim)),
+                ratio=r,
+            ))
+            parent_lo = tuple(r * x for x in lo)
+        return out
+
     if cfg.max_level >= 2:
         return run_hierarchy(
             cfg,
             verbose=kw.get("verbose", False),
+            specs=_specs_from_grids(fixed_grids) if fixed_grids else None,
+            particles=kw.get("particles"),
+            particle_hooks=kw.get("particle_hooks"),
         )
     if cfg.max_level >= 1:
         from iamr_tpu.amr.tagging import parse_refinement_indicators
@@ -656,5 +739,10 @@ def run_from_inputs(path: str, overrides=(), **kw):
             regrid_int=regrid_int,
             plot_int=hooks.plot_int,
             plot_file=hooks.plot_file,
+            fixed_spec=(
+                _specs_from_grids(fixed_grids)[0] if fixed_grids else None
+            ),
+            particles=kw.get("particles"),
+            particle_hooks=kw.get("particle_hooks"),
         )
     return run(cfg, **kw)

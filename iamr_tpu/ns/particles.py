@@ -178,3 +178,39 @@ def timestamp(parts: Particles, path: str, time: float):
                 f.write(
                     f"{i} {time:.12e} " + " ".join(f"{x:.12e}" for x in pos[i]) + "\n"
                 )
+
+
+def _composite_mac_velocity(levels, pos):
+    """Velocity at particle positions from the FINEST level containing
+    each particle (AmrTracerParticleContainer semantics: particles live on
+    the finest level whose grids contain them and advect with that level's
+    umac; NavierStokesBase.cpp:3754-3954).
+
+    levels: sequence of (umac_tuple, Geometry) coarse -> fine; finer
+    geometries are patch boxes in absolute coordinates. A particle counts
+    as "on" a finer level while it sits at least one cell inside the patch
+    (the interpolation stencil then never needs patch ghosts)."""
+    u = _interp_mac(levels[0][0], pos, levels[0][1])
+    for umac_l, geom_l in levels[1:]:
+        inside = None
+        for e in range(geom_l.dim):
+            lo = geom_l.prob_lo[e] + geom_l.dx[e]
+            hi = geom_l.prob_hi[e] - geom_l.dx[e]
+            m = (pos[:, e] >= lo) & (pos[:, e] <= hi)
+            inside = m if inside is None else inside & m
+        u_l = _interp_mac(umac_l, pos, geom_l)
+        u = jnp.where(inside[:, None], u_l, u)
+    return u
+
+
+def advect_with_umac_levels(parts: Particles, levels, dt) -> Particles:
+    """RK2 midpoint advection against a level hierarchy's MAC velocities
+    (composite finest-containing-level selection per particle); fine
+    umacs should be the subcycle time-averages. Redistributes against the
+    level-0 (domain) geometry."""
+    geom0 = levels[0][1]
+    u1 = _composite_mac_velocity(levels, parts.pos)
+    mid = _wrap(parts.pos + 0.5 * dt * u1, geom0)
+    u2 = _composite_mac_velocity(levels, mid)
+    new = parts.pos + dt * u2
+    return redistribute(parts._replace(pos=new), geom0)
