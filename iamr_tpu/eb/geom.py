@@ -451,11 +451,20 @@ def psi_from_inputs(pp, dim: int):
         leny = phi_[1] - plo[1]
         psi = translate_if(lathe_if(poly2d), (0.5 * lenx, 0.5 * leny, 0.0))
     else:
-        raise NotImplementedError(
-            f"eb2.geom_type = {gt} not implemented (supported: all_regular, "
-            "sphere, cylinder, box, plane, Inflow-Pipe, Square-Grid, "
-            "combustor)"
-        )
+        from iamr_tpu.plugins import EB_GEOMETRIES
+
+        if gt in EB_GEOMETRIES:
+            # user seam (EB2 "UserDefined" / NS_init_eb2 extension,
+            # NS_init_eb2.cpp:381-399; iamr_tpu.plugins.eb_geometry)
+            psi = EB_GEOMETRIES[gt](pp, dim)
+        else:
+            raise NotImplementedError(
+                f"eb2.geom_type = {gt} not implemented (supported: "
+                "all_regular, sphere, cylinder, box, plane, Inflow-Pipe, "
+                "Mixing-Pipe, Square-Grid, combustor, or a name registered "
+                "via iamr_tpu.plugins.eb_geometry — the reference's "
+                "UserDefined seam)"
+            )
     return psi
 
 

@@ -132,7 +132,13 @@ def get_force(cfg: NSConfig, rho, time=None, hit=None):
 
 
 def make_hit_forcing(cfg: NSConfig):
-    """Build the HIT forcing mode tables when configured (turb.* namespace)."""
+    """Build the HIT forcing mode tables when configured (turb.* namespace),
+    or a user-registered forcing (prob.forcing = name;
+    iamr_tpu.plugins.forcing — the NS_getForce override seam)."""
+    from iamr_tpu.plugins import FORCINGS
+
+    if cfg.forcing in FORCINGS:
+        return FORCINGS[cfg.forcing](cfg)
     if cfg.forcing != "hit":
         return None
     from iamr_tpu.ns.forcing_hit import HITForcing

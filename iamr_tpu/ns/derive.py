@@ -93,6 +93,11 @@ def derive(cfg: NSConfig, state: NSState, name: str):
         return avg_pressure(state)
     if name == "diveru":
         return diveru(cfg, state)
+    from iamr_tpu.plugins import DERIVES
+
+    if name in DERIVES:
+        # user seam (NS_derive override; iamr_tpu.plugins.derive_field)
+        return DERIVES[name](cfg, state)
     raise KeyError(f"unknown derived field {name!r}")
 
 

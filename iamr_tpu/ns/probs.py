@@ -185,7 +185,19 @@ def init_state(cfg: NSConfig) -> NSState:
             )
         rho[...] = P("density", 1.0)
     else:
-        raise ValueError(f"unknown probtype {pt}")
+        from iamr_tpu.plugins import PROBLEM_ICS
+
+        if pt not in PROBLEM_ICS:
+            raise ValueError(f"unknown probtype {pt}")
+        # user-problem seam (the prob_init.cpp override pattern,
+        # SURVEY.md 2.2b; register via iamr_tpu.plugins.problem_ic)
+        fields = {"vel": vel, "rho": rho, "trac": trac, "temp": temp}
+        out = PROBLEM_ICS[pt](cfg, X, fields)
+        if out:
+            fields.update(out)
+        vel, rho, trac, temp = (
+            fields["vel"], fields["rho"], fields["trac"], fields["temp"]
+        )
 
     zero = jnp.zeros((), dtype=dtype)
     return NSState(

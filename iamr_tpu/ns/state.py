@@ -215,7 +215,9 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         if isinstance(turb.query(k), (int, float))
     )
     probtype = int(prob.query("probtype", 1))
-    forcing = "hit" if (probtype == 100 or turb.contains("nmodes")) else "default"
+    forcing = str(prob.query("forcing", "")) or (
+        "hit" if (probtype == 100 or turb.contains("nmodes")) else "default"
+    )
 
     # ns.dtype: float32|float64 (or 32|64). Default f64 on CPU (reference
     # semantics), f32 on TPU — emulated f64 there is so slow that even a

@@ -78,6 +78,11 @@ TESTS = [
       "amr.regrid_int=0"), 1e-8),
     ("hotspot_2d_2lev", f"{REF}/Exec/run2d/regtest.2d.hotspot",
      ("max_step=2", "amr.max_level=1", "amr.regrid_int=0"), 1e-8),
+    # 2-level vorticity-tagged AMR with 30 tracer particles (the reference
+    # particle regression, Exec/run_2d_particles/regtest.inputs)
+    ("particles_2d_2lev", f"{REF}/Exec/run_2d_particles/regtest.inputs",
+     ("max_step=3", "particles.timestamp_dir=/tmp/iamr_regr_particles"),
+     1e-8),
 ]
 
 BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")
