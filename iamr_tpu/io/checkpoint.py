@@ -130,3 +130,81 @@ def refine_checkpoint(in_path: str, out_path: str, ratio: int = 2):
     np.savez(os.path.join(out_path, "state.npz"), **fields)
     with open(os.path.join(out_path, "meta.json"), "w") as f:
         json.dump(meta, f)
+
+
+def _state_arrays(state: NSState):
+    out = {
+        "vel": np.asarray(state.vel),
+        "rho": np.asarray(state.rho),
+        "trac": np.asarray(state.trac),
+        "temp": np.asarray(state.temp),
+        "p": np.asarray(state.p),
+        "gradp": np.asarray(state.gradp),
+    }
+    if state.dsdt is not None:
+        out["dsdt"] = np.asarray(state.dsdt)
+    return out
+
+
+def save_checkpoint_ml(path: str, states, specs, step: int = 0):
+    """Multilevel checkpoint: every level's NSState plus the LevelSpec
+    nesting metadata in one npz (the reference writes one Level_N dir per
+    level + the grids in the Header, Amr::checkPoint; same content,
+    single-writer form). states: [lev0..levN]; specs[k] nests level k+1
+    inside level k."""
+    os.makedirs(path, exist_ok=True)
+    arrays = {}
+    for lev, s in enumerate(states):
+        for k, v in _state_arrays(s).items():
+            arrays[f"lev{lev}_{k}"] = v
+    np.savez(os.path.join(path, "state.npz"), **arrays)
+    meta = {
+        "version": FORMAT_VERSION,
+        "nlevels": len(states),
+        "time": float(states[0].time),
+        "dt": float(states[0].dt),
+        "dts": [float(s.dt) for s in states],
+        "step": step,
+        "specs": [
+            {"lo": list(sp.lo), "ncell": list(sp.ncell), "ratio": sp.ratio}
+            for sp in specs
+        ],
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint_ml(path: str, cfg: NSConfig):
+    """Load a multilevel checkpoint -> (states list, specs list, step)."""
+    from iamr_tpu.amr.hierarchy import LevelSpec
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["version"] != FORMAT_VERSION:
+        raise ValueError(
+            f"checkpoint version {meta['version']} != {FORMAT_VERSION}"
+        )
+    if "nlevels" not in meta:
+        # single-level checkpoint: loadable as a 1-level hierarchy
+        state, step = load_checkpoint(path, cfg)
+        return [state], [], step
+    z = np.load(os.path.join(path, "state.npz"))
+    dtype = cfg.jdtype
+    states = []
+    for lev in range(int(meta["nlevels"])):
+        g = lambda k: jnp.asarray(z[f"lev{lev}_{k}"], dtype=dtype)
+        states.append(NSState(
+            vel=g("vel"), rho=g("rho"), trac=g("trac"), temp=g("temp"),
+            p=g("p"), gradp=g("gradp"),
+            time=jnp.asarray(meta["time"], dtype=dtype),
+            dt=jnp.asarray(meta["dts"][lev], dtype=dtype),
+            dsdt=(
+                g("dsdt") if f"lev{lev}_dsdt" in z.files else None
+            ),
+        ))
+    specs = [
+        LevelSpec(lo=tuple(s["lo"]), ncell=tuple(s["ncell"]),
+                  ratio=int(s["ratio"]))
+        for s in meta["specs"]
+    ]
+    return states, specs, int(meta["step"])

@@ -454,6 +454,9 @@ def run_multilevel(
     fixed_spec=None,
     particles=None,
     particle_hooks=None,
+    check_int: int = -1,
+    check_file: str = "chk",
+    restart=None,
 ):
     """Two-level run (max_level = 1), optionally subcycled + dynamically
     regridded. Regrids happen out-of-band between jitted step segments:
@@ -472,9 +475,19 @@ def run_multilevel(
     )
     from iamr_tpu.amr.tagging import cluster_to_patch, regrid_fine_state, tag_cells
 
-    # composite initial pressure iterations happen below across BOTH
-    # levels (post_init_press + initialSyncProject), not single-level here
-    crse = initialize(cfg, fixed_mg_cycles, init_iters=0)
+    step0 = 0
+    if restart is not None:
+        # restart from a multilevel checkpoint (Amr::restart)
+        from iamr_tpu.io.checkpoint import load_checkpoint_ml
+
+        states_r, specs_r, step0 = load_checkpoint_ml(str(restart), cfg)
+        crse = states_r[0]
+        if specs_r:
+            fixed_spec = specs_r[0]
+    else:
+        # composite initial pressure iterations happen below across BOTH
+        # levels (post_init_press + initialSyncProject), not here
+        crse = initialize(cfg, fixed_mg_cycles, init_iters=0)
 
     def spec_from_tags(crse_state, default_ok=True):
         if fixed_spec is not None:
@@ -487,10 +500,13 @@ def run_multilevel(
         return default_fine_spec(cfg) if default_ok else None
 
     spec = spec_from_tags(crse)
-    fine = init_fine_from_coarse(cfg, spec, crse)
-    crse, fine = post_init_press_two_level(
-        cfg, spec, crse, fine, fixed_mg_cycles
-    )
+    if restart is not None and len(states_r) > 1:
+        fine = states_r[1]
+    else:
+        fine = init_fine_from_coarse(cfg, spec, crse)
+        crse, fine = post_init_press_two_level(
+            cfg, spec, crse, fine, fixed_mg_cycles
+        )
     ml = MLState(crse=crse, fine=fine)
     step_cache = {}
 
@@ -509,7 +525,7 @@ def run_multilevel(
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
     )
-    step = 0
+    step = step0
     while step < nmax:
         if cfg.stop_time >= 0.0 and float(ml.crse.time) >= cfg.stop_time:
             break
@@ -532,6 +548,12 @@ def run_multilevel(
             write_plotfile_for_hierarchy(
                 cfg, spec, ml, f"{plot_file}{step:05d}", step
             )
+        if check_int > 0 and step % check_int == 0:
+            from iamr_tpu.io.checkpoint import save_checkpoint_ml
+
+            save_checkpoint_ml(
+                f"{check_file}{step:05d}", [ml.crse, ml.fine], [spec], step
+            )
         if verbose:
             print(
                 f"STEP {step} time {float(ml.crse.time):.6g} "
@@ -550,6 +572,9 @@ def run_hierarchy(
     specs=None,
     particles=None,
     particle_hooks=None,
+    check_int: int = -1,
+    check_file: str = "chk",
+    restart=None,
 ):
     """Arbitrary-depth subcycled hierarchy run (amr.max_level >= 2) with
     nested patches — from amr.regrid_file (`specs`) or default centered
@@ -565,23 +590,32 @@ def run_hierarchy(
     )
 
     r = cfg.ref_ratio
-    if specs is None:
-        specs = []
-        base = cfg.geom.ncell
-        for lev in range(cfg.max_level):
-            n = base if lev == 0 else specs[-1].ncell
-            specs.append(
-                LevelSpec(
-                    lo=tuple(r * (x // 4) for x in n),
-                    ncell=tuple(r * (x // 2) for x in n),
-                    ratio=r,
+    step0 = 0
+    if restart is not None:
+        from iamr_tpu.io.checkpoint import load_checkpoint_ml
+
+        states_r, specs_r, step0 = load_checkpoint_ml(str(restart), cfg)
+        specs = specs_r
+        cfgs = hierarchy_configs(cfg, specs)
+        states = tuple(states_r)
+    else:
+        if specs is None:
+            specs = []
+            base = cfg.geom.ncell
+            for lev in range(cfg.max_level):
+                n = base if lev == 0 else specs[-1].ncell
+                specs.append(
+                    LevelSpec(
+                        lo=tuple(r * (x // 4) for x in n),
+                        ncell=tuple(r * (x // 2) for x in n),
+                        ratio=r,
+                    )
                 )
-            )
-    cfgs = hierarchy_configs(cfg, specs)
-    states = [initialize(cfg, fixed_mg_cycles)]
-    for lev, spec in enumerate(specs):
-        states.append(init_fine_from_coarse(cfgs[lev], spec, states[-1]))
-    states = tuple(states)
+        cfgs = hierarchy_configs(cfg, specs)
+        states = [initialize(cfg, fixed_mg_cycles)]
+        for lev, spec in enumerate(specs):
+            states.append(init_fine_from_coarse(cfgs[lev], spec, states[-1]))
+        states = tuple(states)
     hit = make_hit_forcing(cfg)
 
     if particles is not None:
@@ -605,7 +639,7 @@ def run_hierarchy(
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
     )
-    step = 0
+    step = step0
     while step < nmax:
         if cfg.stop_time >= 0.0 and float(states[0].time) >= cfg.stop_time:
             break
@@ -616,6 +650,12 @@ def run_hierarchy(
         else:
             states = step_fn(states)
         step += 1
+        if check_int > 0 and step % check_int == 0:
+            from iamr_tpu.io.checkpoint import save_checkpoint_ml
+
+            save_checkpoint_ml(
+                f"{check_file}{step:05d}", list(states), list(specs), step
+            )
         if verbose:
             print(
                 f"STEP {step} time {float(states[0].time):.6g} "
@@ -636,10 +676,11 @@ def run_from_inputs(path: str, overrides=(), **kw):
     # restart (amr.restart = chkNNNNN; section 3.5 restart path)
     restart = pp.scoped("amr").query("restart")
     state0 = None
-    if restart:
+    if restart and cfg.max_level == 0:
         from iamr_tpu.io.checkpoint import load_checkpoint
 
         state0, _ = load_checkpoint(str(restart), cfg)
+    # multilevel restarts load inside the runners (load_checkpoint_ml)
     hooks = IOHooks(cfg, pp)
     if kw.get("callback") is None and (
         hooks.plot_int > 0 or hooks.check_int > 0 or hooks.sum_interval > 0
@@ -724,6 +765,9 @@ def run_from_inputs(path: str, overrides=(), **kw):
             specs=_specs_from_grids(fixed_grids) if fixed_grids else None,
             particles=kw.get("particles"),
             particle_hooks=kw.get("particle_hooks"),
+            check_int=hooks.check_int,
+            check_file=hooks.check_file,
+            restart=restart or None,
         )
     if cfg.max_level >= 1:
         from iamr_tpu.amr.tagging import parse_refinement_indicators
@@ -744,5 +788,8 @@ def run_from_inputs(path: str, overrides=(), **kw):
             ),
             particles=kw.get("particles"),
             particle_hooks=kw.get("particle_hooks"),
+            check_int=hooks.check_int,
+            check_file=hooks.check_file,
+            restart=restart or None,
         )
     return run(cfg, **kw)

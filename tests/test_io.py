@@ -5,6 +5,7 @@ derived-field sanity."""
 import os
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from iamr_tpu.config.parmparse import ParmParse
@@ -202,3 +203,39 @@ def test_multilevel_plotfile(tmp_path):
     assert os.path.exists(p + "/Level_1/Cell_D_00000")
     back, t = read_plotfile(p)  # reads level 0
     np.testing.assert_allclose(back["density"], f0["density"])
+
+
+@pytest.mark.slow
+def test_multilevel_restart_determinism(tmp_path):
+    """2-level checkpoint mid-run + restart == uninterrupted run
+    (Amr::checkPoint/restart; the Euler_restart regression analogue at
+    AMR depth). Bitwise: the restart resumes the same jitted program on
+    identical state."""
+    from iamr_tpu.ns.driver import run_from_inputs
+
+    inputs = "/root/reference/Exec/run3d/regtest.3d.euler"
+    common = (
+        "amr.max_level=1", "amr.n_cell=16 16 16", "amr.regrid_int=0",
+        "amr.plot_int=-1",
+    )
+    ref = run_from_inputs(
+        inputs, overrides=common + ("max_step=4", "amr.check_int=-1")
+    )
+    chk = run_from_inputs(
+        inputs,
+        overrides=common + (
+            "max_step=2", f"amr.check_file={tmp_path}/chk", "amr.check_int=2",
+        ),
+    )
+    out = run_from_inputs(
+        inputs,
+        overrides=common + (
+            "max_step=4", f"amr.restart={tmp_path}/chk00002",
+            "amr.check_int=-1",
+        ),
+    )
+    for lvl in ("crse", "fine"):
+        for f in ("vel", "rho", "p", "gradp", "trac"):
+            a = np.asarray(getattr(getattr(out, lvl), f))
+            b = np.asarray(getattr(getattr(ref, lvl), f))
+            np.testing.assert_allclose(a, b, atol=1e-13, err_msg=f"{lvl}.{f}")
