@@ -373,3 +373,76 @@ def coalesce_specs(specs):
             if merged:
                 break
     return out
+
+
+def regrid_hierarchy(cfg, cfgs, specs, states, error_tags):
+    """Re-tag and re-nest an arbitrary-depth hierarchy (Amr::regrid for
+    lbase=0: every level above the base is rebuilt from its parent's error
+    tags, finest-first data transfer with overlap copy).
+
+    specs[k] nests level k+1 inside level k, lo/ncell in level-(k+1)
+    coordinates relative to the PARENT PATCH. Old child data transfers by
+    expressing old and new child boxes in one absolute frame and copying
+    the intersection (regrid_fine_state with the old spec rebased into the
+    new parent's frame). Returns (new_specs, new_states)."""
+    import numpy as _np
+
+    from iamr_tpu.amr.hierarchy import LevelSpec
+    from iamr_tpu.amr.multilevel import make_fine_config
+
+    dim = cfg.dim
+    r = cfg.ref_ratio
+    # absolute patch origins, per level, in that level's own index space
+    abs_old = [(0,) * dim]
+    for sp in specs:
+        abs_old.append(tuple(
+            r * a + l for a, l in zip(abs_old[-1], sp.lo)
+        ))
+
+    new_specs = []
+    new_states = [states[0]]
+    new_cfgs = [cfg]
+    abs_new = [(0,) * dim]
+    for k in range(len(specs)):
+        parent_cfg = new_cfgs[k]
+        tags = _np.asarray(
+            tag_cells(cfgs[k], states[k], error_tags, level=k)
+        )
+        s = cluster_to_patch(tags, r)
+        if s is None:
+            s = specs[k]  # nothing tagged: keep the old patch shape
+            child_abs = abs_old[k + 1]
+        else:
+            # cluster_to_patch's lo is relative to the OLD level-k patch
+            child_abs = tuple(
+                r * a + l for a, l in zip(abs_old[k], s.lo)
+            )
+        # rebase into the NEW parent's frame and clip inside it
+        parent_n = parent_cfg.geom.ncell
+        ncell = tuple(
+            min(s.ncell[d], r * parent_n[d]) for d in range(dim)
+        )
+        lo_rel = []
+        for d in range(dim):
+            v = child_abs[d] - r * abs_new[k][d]
+            v = max(0, min(v, r * parent_n[d] - ncell[d]))
+            lo_rel.append((v // r) * r)  # keep coarse-cell alignment
+        new_spec = LevelSpec(lo=tuple(lo_rel), ncell=ncell, ratio=r)
+        # old child box in the new parent's frame (same child-level space)
+        old_in_new = LevelSpec(
+            lo=tuple(
+                abs_old[k + 1][d] - r * abs_new[k][d] for d in range(dim)
+            ),
+            ncell=specs[k].ncell,
+            ratio=r,
+        )
+        new_child = regrid_fine_state(
+            parent_cfg, old_in_new, new_spec, new_states[k], states[k + 1]
+        )
+        new_specs.append(new_spec)
+        new_states.append(new_child)
+        new_cfgs.append(make_fine_config(parent_cfg, new_spec))
+        abs_new.append(tuple(
+            r * a + l for a, l in zip(abs_new[k], new_spec.lo)
+        ))
+    return new_specs, tuple(new_states)

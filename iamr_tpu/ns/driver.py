@@ -575,10 +575,13 @@ def run_hierarchy(
     check_int: int = -1,
     check_file: str = "chk",
     restart=None,
+    error_tags=None,
+    regrid_int: int = 0,
 ):
     """Arbitrary-depth subcycled hierarchy run (amr.max_level >= 2) with
-    nested patches — from amr.regrid_file (`specs`) or default centered
-    ones (dynamic regridding of deep hierarchies is 2-level for now).
+    nested patches — from amr.regrid_file (`specs`), dynamic regridding
+    (error_tags + regrid_int: every level re-tagged and re-nested out of
+    band, Amr::regrid for lbase=0), or default centered ones.
     Tracer particles advect with the composite finest-containing-level MAC
     velocities (subcycle time-averaged)."""
     from iamr_tpu.amr.hierarchy import LevelSpec
@@ -617,25 +620,34 @@ def run_hierarchy(
             states.append(init_fine_from_coarse(cfgs[lev], spec, states[-1]))
         states = tuple(states)
     hit = make_hit_forcing(cfg)
+    step_cache = {}
 
-    if particles is not None:
-        from iamr_tpu.ns.particles import advect_with_umac_levels
+    def get_step(ss, cc):
+        key = tuple(ss)
+        if key in step_cache:
+            return step_cache[key]
+        if particles is not None:
+            from iamr_tpu.ns.particles import advect_with_umac_levels
 
-        @jax.jit
-        def step_fn(sts, parts):
-            dt = sts[0].dt
-            out, umacs = advance_hierarchy_subcycled(
-                sts, cfg, specs, fixed_mg_cycles, hit=hit, return_umacs=True
+            @jax.jit
+            def step_fn(sts, parts):
+                dt = sts[0].dt
+                out, umacs = advance_hierarchy_subcycled(
+                    sts, cfg, list(ss), fixed_mg_cycles, hit=hit,
+                    return_umacs=True,
+                )
+                levels = [(um, c.geom) for um, c in zip(umacs, cc)]
+                parts = advect_with_umac_levels(parts, levels, dt)
+                return out, parts
+        else:
+            step_fn = jax.jit(
+                lambda sts: advance_hierarchy_subcycled(
+                    sts, cfg, list(ss), fixed_mg_cycles, hit=hit
+                )
             )
-            levels = [(um, c.geom) for um, c in zip(umacs, cfgs)]
-            parts = advect_with_umac_levels(parts, levels, dt)
-            return out, parts
-    else:
-        step_fn = jax.jit(
-            lambda sts: advance_hierarchy_subcycled(
-                sts, cfg, specs, fixed_mg_cycles, hit=hit
-            )
-        )
+        step_cache[key] = step_fn
+        return step_fn
+
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
     )
@@ -643,6 +655,23 @@ def run_hierarchy(
     while step < nmax:
         if cfg.stop_time >= 0.0 and float(states[0].time) >= cfg.stop_time:
             break
+        if (error_tags and regrid_int > 0 and step > 0
+                and step % regrid_int == 0):
+            from iamr_tpu.amr.tagging import regrid_hierarchy
+
+            new_specs, new_states = regrid_hierarchy(
+                cfg, cfgs, specs, states, error_tags
+            )
+            if new_specs != specs:
+                specs = new_specs
+                states = new_states
+                cfgs = hierarchy_configs(cfg, specs)
+                if verbose:
+                    print(
+                        f"REGRID at step {step}: "
+                        f"{[(s.lo, s.ncell) for s in specs]}"
+                    )
+        step_fn = get_step(specs, cfgs)
         if particles is not None:
             states, particles = step_fn(states, particles)
             if particle_hooks is not None:
@@ -758,6 +787,8 @@ def run_from_inputs(path: str, overrides=(), **kw):
             parent_lo = tuple(r * x for x in lo)
         return out
 
+    from iamr_tpu.amr.tagging import parse_refinement_indicators
+
     if cfg.max_level >= 2:
         return run_hierarchy(
             cfg,
@@ -768,10 +799,15 @@ def run_from_inputs(path: str, overrides=(), **kw):
             check_int=hooks.check_int,
             check_file=hooks.check_file,
             restart=restart or None,
+            error_tags=(
+                None if fixed_grids else
+                (parse_refinement_indicators(pp) or None)
+            ),
+            regrid_int=int(
+                pp.scoped("amr").queryarr("regrid_int", [0])[0]
+            ),
         )
     if cfg.max_level >= 1:
-        from iamr_tpu.amr.tagging import parse_refinement_indicators
-
         tags = parse_refinement_indicators(pp)
         regrid_int = int(pp.scoped("amr").queryarr("regrid_int", [0])[0])
         subcycling = str(pp.scoped("amr").query("subcycling_mode", "Auto"))

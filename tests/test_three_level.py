@@ -106,3 +106,89 @@ def test_run_hierarchy_from_inputs():
     assert len(out) == 3
     for st in out:
         assert bool(jnp.all(jnp.isfinite(st.vel)))
+
+
+@pytest.mark.slow
+def test_hierarchy_dynamic_regrid_tracks_vortex():
+    """3-level dynamic regridding (Amr::regrid, lbase=0): when the tagged
+    feature moves, every level's patch moves with it, nesting stays valid,
+    and the overlap data carries over; a short subcycled run with
+    regrid_int=1 stays finite through recompiles."""
+    from iamr_tpu.amr.multilevel import hierarchy_configs
+    from iamr_tpu.amr.tagging import ErrorTag, regrid_hierarchy
+    from iamr_tpu.ns.driver import run_hierarchy
+    from iamr_tpu.ns.probs import init_state
+
+    INP = """
+        max_step = 3
+        amr.n_cell = 32 32
+        amr.max_level = 2
+        ns.cfl = 0.5
+        ns.init_iter = 0
+        ns.vel_visc_coef = 0.0
+        geometry.is_periodic = 1 1
+        ns.lo_bc = 0 0
+        ns.hi_bc = 0 0
+        prob.probtype = 8
+        prob.xvort = {x}
+        prob.yvort = 0.5
+        prob.rvort = 0.07
+        prob.forcevort = 6.0
+        prob.meanFlowDir = 1
+        prob.meanFlowMag = 1.0
+    """
+    tags = [ErrorTag(field="mag_vort", test="vorticity_greater",
+                     values=(8.0, 16.0))]
+
+    def states_for(x, specs):
+        cfg = config_from_inputs(ParmParse.from_string(INP.format(x=x)))
+        cfgs = hierarchy_configs(cfg, specs)
+        sts = [init_state(cfg)]
+        for lev, sp in enumerate(specs):
+            sts.append(init_fine_from_coarse(cfgs[lev], sp, sts[-1]))
+        return cfg, cfgs, tuple(sts)
+
+    # default centered specs; vortex at x=0.3 -> regrid pulls patches left
+    r = 2
+    specs0 = [
+        LevelSpec(lo=(16, 16), ncell=(32, 32), ratio=r),
+        LevelSpec(lo=(16, 16), ncell=(32, 32), ratio=r),
+    ]
+    cfg, cfgs, states = states_for(0.30, specs0)
+    specs1, states1 = regrid_hierarchy(cfg, cfgs, specs0, states, tags)
+    # then the vortex "moves" to x=0.60: patches must follow
+    cfg2, cfgs1, _ = states_for(0.60, specs1)
+    st2 = list(states1)
+    st2[0] = init_state(cfg2)  # coarse field now tags around x=0.6
+    specs2, states2 = regrid_hierarchy(cfg2, cfgs1, specs1, tuple(st2), tags)
+
+    def abs_center_x(specs):
+        # absolute center of the FINEST patch, in physical coords
+        A = (0, 0)
+        h = 1.0 / 32.0
+        for sp in specs:
+            A = tuple(r * a + l for a, l in zip(A, sp.lo))
+            h /= r
+        return (A[0] + specs[-1].ncell[0] / 2.0) * h
+
+    c1 = abs_center_x(specs1)
+    c2 = abs_center_x(specs2)
+    assert abs(c1 - 0.30) < 0.15, c1
+    assert abs(c2 - 0.60) < 0.15, c2
+    assert c2 > c1 + 0.15
+    # nesting valid: each child patch inside its parent
+    parent_n = (32, 32)
+    for sp in specs2:
+        for d in range(2):
+            assert sp.lo[d] >= 0
+            assert sp.lo[d] + sp.ncell[d] <= r * parent_n[d]
+        parent_n = sp.ncell
+    for s in states2:
+        assert bool(jnp.all(jnp.isfinite(s.vel)))
+
+    # short integration with regrid_int=1 (recompile-on-regrid path)
+    out = run_hierarchy(cfg, max_steps=3, error_tags=tags, regrid_int=1)
+    assert len(out) == 3
+    for s in out:
+        assert bool(jnp.all(jnp.isfinite(s.vel)))
+        assert bool(jnp.all(jnp.isfinite(s.p)))
