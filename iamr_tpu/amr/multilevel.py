@@ -635,9 +635,21 @@ def advance_two_level_subcycled(
 
 
 def make_two_level_step(
-    cfg: NSConfig, spec: LevelSpec, fixed_mg_cycles=None, subcycle: bool = False
+    cfg: NSConfig, spec: LevelSpec, fixed_mg_cycles=None,
+    subcycle: bool = False, ebs=None,
 ):
     hit = make_hit_forcing(cfg)
+    if ebs is not None:
+        # EB multilevel runs subcycle (the reference default; the
+        # non-subcycled composite path has no EB coupling)
+        def fn(ml):
+            out = advance_hierarchy_subcycled(
+                (ml.crse, ml.fine), cfg, [spec], fixed_mg_cycles, hit,
+                ebs=list(ebs),
+            )
+            return MLState(crse=out[0], fine=out[1])
+
+        return jax.jit(fn)
     fn = advance_two_level_subcycled if subcycle else advance_two_level
     return jax.jit(
         lambda ml: fn(ml, cfg, spec, fixed_mg_cycles, hit=hit)

@@ -457,13 +457,16 @@ def run_multilevel(
     check_int: int = -1,
     check_file: str = "chk",
     restart=None,
+    eb_psi=None,
 ):
     """Two-level run (max_level = 1), optionally subcycled + dynamically
     regridded. Regrids happen out-of-band between jitted step segments:
     tag -> cluster to a patch -> transfer state -> recompile for the new
     shapes (SURVEY.md regrid-as-recompile). fixed_spec pins the fine patch
     (amr.regrid_file); tracer particles advect with the composite
-    finest-containing-level MAC velocities."""
+    finest-containing-level MAC velocities. eb_psi: fluid-positive
+    implicit function — each level builds its own cut-cell geometry from
+    it (per-level EB2 build, NS_init_eb2), rebuilt on regrid."""
     import numpy as np
 
     from iamr_tpu.amr.multilevel import (
@@ -474,6 +477,22 @@ def run_multilevel(
         post_init_press_two_level,
     )
     from iamr_tpu.amr.tagging import cluster_to_patch, regrid_fine_state, tag_cells
+
+    eb0 = None
+    if eb_psi is not None:
+        from iamr_tpu.eb.geom import build_eb_geometry
+
+        eb0 = build_eb_geometry(eb_psi, cfg.geom, dtype=cfg.dtype)
+
+    def fine_eb(s):
+        if eb_psi is None:
+            return None
+        from iamr_tpu.amr.multilevel import make_fine_config
+        from iamr_tpu.eb.geom import build_eb_geometry
+
+        return build_eb_geometry(
+            eb_psi, make_fine_config(cfg, s).geom, dtype=cfg.dtype
+        )
 
     step0 = 0
     if restart is not None:
@@ -486,8 +505,13 @@ def run_multilevel(
             fixed_spec = specs_r[0]
     else:
         # composite initial pressure iterations happen below across BOTH
-        # levels (post_init_press + initialSyncProject), not here
-        crse = initialize(cfg, fixed_mg_cycles, init_iters=0)
+        # levels (post_init_press + initialSyncProject), not here (EB runs
+        # keep single-level initial iterations: the composite trial step
+        # has no EB coupling in its non-subcycled form)
+        crse = initialize(
+            cfg, fixed_mg_cycles,
+            init_iters=(None if eb0 is not None else 0), eb=eb0,
+        )
 
     def spec_from_tags(crse_state, default_ok=True):
         if fixed_spec is not None:
@@ -504,21 +528,26 @@ def run_multilevel(
         fine = states_r[1]
     else:
         fine = init_fine_from_coarse(cfg, spec, crse)
-        crse, fine = post_init_press_two_level(
-            cfg, spec, crse, fine, fixed_mg_cycles
-        )
+        if eb0 is not None:
+            fine = fine._replace(vel=fine.vel * fine_eb(spec).fluid)
+        else:
+            crse, fine = post_init_press_two_level(
+                cfg, spec, crse, fine, fixed_mg_cycles
+            )
     ml = MLState(crse=crse, fine=fine)
     step_cache = {}
 
     def get_step(s):
         if s not in step_cache:
+            ebs = [eb0, fine_eb(s)] if eb0 is not None else None
             if particles is not None:
+                assert ebs is None, "EB + particles multilevel not wired"
                 step_cache[s] = make_two_level_step_with_particles(
                     cfg, s, fixed_mg_cycles, subcycle=subcycle
                 )
             else:
                 step_cache[s] = make_two_level_step(
-                    cfg, s, fixed_mg_cycles, subcycle=subcycle
+                    cfg, s, fixed_mg_cycles, subcycle=subcycle, ebs=ebs
                 )
         return step_cache[s]
 
@@ -717,7 +746,7 @@ def run_from_inputs(path: str, overrides=(), **kw):
         kw["callback"] = hooks
     if state0 is not None:
         kw["state"] = state0
-    from iamr_tpu.eb.geom import eb_from_inputs
+    from iamr_tpu.eb.geom import eb_from_inputs, psi_from_inputs
 
     eb = eb_from_inputs(pp, cfg.geom, dtype=cfg.dtype)
     if eb is not None:
@@ -827,5 +856,8 @@ def run_from_inputs(path: str, overrides=(), **kw):
             check_int=hooks.check_int,
             check_file=hooks.check_file,
             restart=restart or None,
+            eb_psi=(
+                psi_from_inputs(pp, cfg.dim) if eb is not None else None
+            ),
         )
     return run(cfg, **kw)

@@ -83,6 +83,11 @@ TESTS = [
     ("particles_2d_2lev", f"{REF}/Exec/run_2d_particles/regtest.inputs",
      ("max_step=3", "particles.timestamp_dir=/tmp/iamr_regr_particles"),
      1e-8),
+    # EB + AMR: cut-cell cylinder with a refined level over it
+    # (Exec/eb_run2d regtests run 2-level with EB natively)
+    ("eb_flow_past_cylinder_2lev",
+     f"{REF}/Exec/eb_run2d/regtest.2d.flow_past_cylinder-x",
+     ("max_step=2", "ns.init_iter=1"), 1e-8),
 ]
 
 BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")
