@@ -266,7 +266,20 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         steady_tol=float(ns.query("steady_tol", 1e-10)),
         advection_scheme=str(ns.query("advection_scheme", "Godunov_PLM")),
         redist_type=str(ns.query("redistribution_type", "StateRedist")),
-        visc_tol=float(ns.query("visc_tol", 1e-10)),
+        # f32 floors: an f32 run can never reach the f64-calibrated
+        # defaults, and tolerance-mode solves would spin max_vcycles
+        visc_tol=max(
+            float(ns.query("visc_tol", 1e-10)),
+            3e-6 if dtype == "float32" else 0.0,
+        ),
+        proj_tol=max(
+            float(pp.scoped("proj").query("proj_tol", 1e-12)),
+            3e-6 if dtype == "float32" else 0.0,
+        ),
+        proj_abs_tol=max(
+            float(pp.scoped("proj").query("proj_abs_tol", 1e-16)),
+            1e-9 if dtype == "float32" else 0.0,
+        ),
         max_step=int(pp.query("max_step", -1)),
         stop_time=float(pp.query("stop_time", -1.0)),
         probtype=probtype,

@@ -77,3 +77,18 @@ def test_ns_dtype_wiring():
     ).dtype == "float64"
     # tests force the cpu backend (conftest), so the default is f64
     assert config_from_inputs(ParmParse.from_file(base)).dtype == "float64"
+
+
+def test_f32_tolerance_floors():
+    """f32 runs floor the f64-calibrated solver tolerances (otherwise
+    tolerance-mode solves spin max_vcycles chasing 1e-12 in f32)."""
+    from iamr_tpu.ns.state import config_from_inputs
+
+    base = "/root/repo/examples/inputs.3d.taylor_green"
+    c32 = config_from_inputs(ParmParse.from_file(base, ["ns.dtype=float32"]))
+    assert c32.proj_tol >= 3e-6 and c32.visc_tol >= 3e-6
+    c64 = config_from_inputs(ParmParse.from_file(base, ["ns.dtype=float64"]))
+    assert c64.proj_tol == 1e-12 and c64.visc_tol == 1e-10
+    # explicit proj.proj_tol parses (Projection.cpp proj_tol intake)
+    c = config_from_inputs(ParmParse.from_file(base, ["proj.proj_tol=1e-9"]))
+    assert c.proj_tol == 1e-9
