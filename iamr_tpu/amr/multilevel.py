@@ -310,7 +310,11 @@ def _couple_levels(
         )
     dxc = cfg.geom.dx
     dt_over_dx = tuple(dt_c / dxc[d] for d in range(dim))
-    if union is not None:
+    if not getattr(cfg, "do_reflux", True):
+        # ns.do_reflux=0 debugging toggle: avgDown only
+        def _reflux(base, fc, ff):
+            return base
+    elif union is not None:
         from iamr_tpu.amr.sync import reflux_correct_union
 
         def _reflux(base, fc, ff):
@@ -436,7 +440,12 @@ def _couple_levels(
             cfg, bcp_c, vsync, rho_half_c, mu_faces(cfg), dt_c,
             cfg.be_cn_theta, fixed_cycles=fixed_mg_cycles,
         )
-    if eb_c is None and eb_f is None:
+    if not getattr(cfg, "do_sync_proj", True):
+        # ns.do_sync_proj=0 debugging toggle: apply the unprojected Vsync
+        vel_sync = crse_out.vel + vsync
+        p_sync = crse_out.p
+        fine_out = fine_new
+    elif eb_c is None and eb_f is None:
         # genuine 2-level composite sync projection with the nodal
         # sync-register RHS (MLsyncProject + SyncRegister::InitRHS)
         from iamr_tpu.amr.sync import (

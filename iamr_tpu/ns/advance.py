@@ -395,14 +395,20 @@ def advance(
         mac_divu = divu_src + 0.5 * dt * state.dsdt
 
     mac_bc, mac_bvals = bcp.mac_bc()
-    umac, mac_phi, _ = mac_project(
-        umac, rho, cfg.dom, dx, divu_src=mac_divu,
-        rtol=cfg.mac_tol, atol=cfg.mac_abs_tol, fixed_cycles=fixed_mg_cycles,
-        bc=mac_bc, bvals=mac_bvals, eb=eb, rz=rz,
-        interior_mask=umask,
-        interior_vals=bcp.union_vals_mac() if is_union else None,
-        spectral_beta0=(1.0 / invariant_mean(rho)) if spectral else None,
-    )
+    if cfg.do_mac_proj:
+        umac, mac_phi, _ = mac_project(
+            umac, rho, cfg.dom, dx, divu_src=mac_divu,
+            rtol=cfg.mac_tol, atol=cfg.mac_abs_tol,
+            fixed_cycles=fixed_mg_cycles,
+            bc=mac_bc, bvals=mac_bvals, eb=eb, rz=rz,
+            interior_mask=umask,
+            interior_vals=bcp.union_vals_mac() if is_union else None,
+            spectral_beta0=(1.0 / invariant_mean(rho)) if spectral else None,
+        )
+    else:
+        # ns.do_mac_proj=0 debugging toggle: advect with the predicted
+        # (unprojected) MAC velocities (NavierStokes.cpp do_mac_proj)
+        mac_phi = jnp.zeros(tuple(cfg.geom.ncell), cfg.jdtype)
     umac_g = bcp.grow_umac(umac)
 
     # --- 3. velocity advection -------------------------------------------

@@ -516,8 +516,16 @@ def run_multilevel(
     def spec_from_tags(crse_state, default_ok=True):
         if fixed_spec is not None:
             return fixed_spec
+        tags = None
         if error_tags:
             tags = np.asarray(tag_cells(cfg, crse_state, error_tags))
+        if eb0 is not None and cfg.refine_cutcells:
+            # tag every cut cell (reference default refine_cutcells=true,
+            # NavierStokesBase::errorEst EB branch)
+            vf = np.asarray(eb0.vfrac)
+            cut = (vf > 0.0) & (vf < 1.0)
+            tags = cut if tags is None else (tags | cut)
+        if tags is not None:
             s = cluster_to_patch(tags, cfg.ref_ratio)
             if s is not None:
                 return s

@@ -90,8 +90,16 @@ class NSConfig:
     visc_abs_tol: float = 1e-14
     mac_tol: float = 1e-12
     mac_abs_tol: float = 1e-16
+    mac_sync_tol: float = 1e-10
     proj_tol: float = 1e-12
     proj_abs_tol: float = 1e-16
+    # debugging toggles (NavierStokesBase::read_params defaults)
+    do_reflux: bool = True
+    do_sync_proj: bool = True
+    do_mac_proj: bool = True
+    # EB: tag every cut cell for refinement (reference default true,
+    # NavierStokesBase.cpp refine_cutcells intake)
+    refine_cutcells: bool = True
     max_step: int = -1
     stop_time: float = -1.0
     probtype: int = 1
@@ -280,6 +288,22 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
             float(pp.scoped("proj").query("proj_abs_tol", 1e-16)),
             1e-9 if dtype == "float32" else 0.0,
         ),
+        mac_tol=max(
+            float(pp.scoped("mac").query("mac_tol", 1e-12)),
+            3e-6 if dtype == "float32" else 0.0,
+        ),
+        mac_abs_tol=max(
+            float(pp.scoped("mac").query("mac_abs_tol", 1e-16)),
+            1e-9 if dtype == "float32" else 0.0,
+        ),
+        mac_sync_tol=max(
+            float(pp.scoped("mac").query("mac_sync_tol", 1e-10)),
+            3e-6 if dtype == "float32" else 0.0,
+        ),
+        do_reflux=bool(int(ns.query("do_reflux", 1))),
+        do_sync_proj=bool(int(ns.query("do_sync_proj", 1))),
+        do_mac_proj=bool(int(ns.query("do_mac_proj", 1))),
+        refine_cutcells=bool(int(ns.query("refine_cutcells", 1))),
         max_step=int(pp.query("max_step", -1)),
         stop_time=float(pp.query("stop_time", -1.0)),
         probtype=probtype,

@@ -204,3 +204,36 @@ def test_post_init_press_two_level():
     ref = initialize(cfg, fixed_mg_cycles=None, init_iters=2)
     dp = np.abs(np.asarray(crse.p) - np.asarray(ref.p))
     assert dp.max() / scale < 5e-2, dp.max()
+
+
+@pytest.mark.slow
+def test_debug_toggles_do_reflux_sync_proj():
+    """ns.do_reflux / ns.do_sync_proj / ns.do_mac_proj debugging toggles
+    (NavierStokesBase::read_params): turning each off changes the answer
+    (they gate real machinery) and keeps the step finite."""
+    import dataclasses
+
+    from iamr_tpu.amr.multilevel import advance_two_level_subcycled
+    from iamr_tpu.ns.driver import default_fine_spec, initialize
+
+    pp = ParmParse.from_string(TG.format(n=16, nu=1e-3))
+    cfg = config_from_inputs(pp)
+    crse = initialize(cfg, fixed_mg_cycles=4, init_iters=0)
+    spec = default_fine_spec(cfg)
+    fine = init_fine_from_coarse(cfg, spec, crse)
+    ml = MLState(crse=crse, fine=fine)
+
+    def run1(c):
+        import jax
+
+        return jax.jit(
+            lambda m: advance_two_level_subcycled(m, c, spec,
+                                                  fixed_mg_cycles=4)
+        )(ml)
+
+    base = run1(cfg)
+    for flag in ("do_reflux", "do_sync_proj"):
+        out = run1(dataclasses.replace(cfg, **{flag: False}))
+        d = float(jnp.max(jnp.abs(out.crse.vel - base.crse.vel)))
+        assert np.isfinite(d) and d > 0.0, (flag, d)
+        assert bool(jnp.all(jnp.isfinite(out.crse.vel)))
