@@ -446,3 +446,35 @@ def regrid_hierarchy(cfg, cfgs, specs, states, error_tags):
             r * a + l for a, l in zip(abs_new[k], new_spec.lo)
         ))
     return new_specs, tuple(new_states)
+
+
+def apply_outflow_tag_policy(
+    cfg, tags_np: np.ndarray, do_refine: bool = False,
+    do_derefine: bool = True, nbuf: int = 1,
+):
+    """manual_tags_placement (NavierStokesBase.cpp:2112-2211): at every
+    OUTFLOW face either (do_refine_outflow) tag the whole boundary strip
+    when any tags sit within one cell of it, or (do_derefine_outflow, the
+    default) CLEAR tags within nbuf cells of the face so the fine level
+    stays off the outflow boundary. Host-side on the coarse tag array."""
+    from iamr_tpu.core.bc import PhysBC
+
+    out = np.array(tags_np)
+    dim = out.ndim
+    for d in range(dim):
+        for side in (0, 1):
+            kind = cfg.dom.phys_lo[d] if side == 0 else cfg.dom.phys_hi[d]
+            if kind != PhysBC.Outflow:
+                continue
+            strip = [slice(None)] * dim
+            strip[d] = slice(0, nbuf) if side == 0 else slice(-nbuf, None)
+            if do_refine and not do_derefine:
+                near = [slice(None)] * dim
+                near[d] = slice(0, nbuf + 1) if side == 0 else slice(
+                    -(nbuf + 1), None
+                )
+                if out[tuple(near)].any():
+                    out[tuple(strip)] = True
+            elif do_derefine:
+                out[tuple(strip)] = False
+    return out

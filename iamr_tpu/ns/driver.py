@@ -526,6 +526,12 @@ def run_multilevel(
             cut = (vf > 0.0) & (vf < 1.0)
             tags = cut if tags is None else (tags | cut)
         if tags is not None:
+            from iamr_tpu.amr.tagging import apply_outflow_tag_policy
+
+            tags = apply_outflow_tag_policy(
+                cfg, tags, do_refine=cfg.do_refine_outflow,
+                do_derefine=cfg.do_derefine_outflow, nbuf=cfg.nbuf_outflow,
+            )
             s = cluster_to_patch(tags, cfg.ref_ratio)
             if s is not None:
                 return s

@@ -100,6 +100,10 @@ class NSConfig:
     # EB: tag every cut cell for refinement (reference default true,
     # NavierStokesBase.cpp refine_cutcells intake)
     refine_cutcells: bool = True
+    # manual_tags_placement outflow policy (NavierStokesBase.cpp:136-138)
+    do_refine_outflow: bool = False
+    do_derefine_outflow: bool = True
+    nbuf_outflow: int = 1
     max_step: int = -1
     stop_time: float = -1.0
     probtype: int = 1
@@ -304,6 +308,9 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         do_sync_proj=bool(int(ns.query("do_sync_proj", 1))),
         do_mac_proj=bool(int(ns.query("do_mac_proj", 1))),
         refine_cutcells=bool(int(ns.query("refine_cutcells", 1))),
+        do_refine_outflow=bool(int(ns.query("do_refine_outflow", 0))),
+        do_derefine_outflow=bool(int(ns.query("do_derefine_outflow", 1))),
+        nbuf_outflow=int(ns.query("Nbuf_outflow", 1)),
         max_step=int(pp.query("max_step", -1)),
         stop_time=float(pp.query("stop_time", -1.0)),
         probtype=probtype,

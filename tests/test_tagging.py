@@ -129,3 +129,39 @@ def test_in_box_indicator_and_realbox_gate():
     m1 = np.asarray(tag_cells(cfg, state, [tags[1]], level=0))
     assert m1[:8].all() and not m1[8:].any()
     assert not np.asarray(tag_cells(cfg, state, [tags[1]], level=1)).any()
+
+
+def test_outflow_tag_policy():
+    """manual_tags_placement (NavierStokesBase.cpp:2112-2211): derefine
+    clears tags at the outflow strip; refine tags the whole strip when
+    tags sit near it."""
+    from iamr_tpu.amr.tagging import apply_outflow_tag_policy
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.ns.state import config_from_inputs
+
+    pp = ParmParse.from_string(
+        """
+        amr.n_cell = 16 16
+        geometry.is_periodic = 0 0
+        ns.lo_bc = 5 5
+        ns.hi_bc = 5 2
+        prob.probtype = 1
+        max_step = 1
+        """
+    )
+    cfg = config_from_inputs(pp)  # outflow at hi-y only
+    tags = np.zeros((16, 16), dtype=bool)
+    tags[8, 15] = True   # tag ON the outflow strip
+    tags[8, 8] = True
+    out = apply_outflow_tag_policy(cfg, tags, do_refine=False,
+                                   do_derefine=True, nbuf=1)
+    assert not out[8, 15] and out[8, 8]      # strip cleared, interior kept
+    out2 = apply_outflow_tag_policy(cfg, tags, do_refine=True,
+                                    do_derefine=False, nbuf=1)
+    assert out2[:, 15].all()                 # whole strip tagged
+    # no tags near the outflow -> refine leaves it alone
+    tags2 = np.zeros((16, 16), dtype=bool)
+    tags2[8, 3] = True
+    out3 = apply_outflow_tag_policy(cfg, tags2, do_refine=True,
+                                    do_derefine=False, nbuf=1)
+    assert not out3[:, 15].any()
