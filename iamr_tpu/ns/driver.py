@@ -56,12 +56,21 @@ def initialize(
         # first step starts producing it
         if cfg.do_temp and cfg.temp_cond_coef > 0.0 and state.dsdt is None:
             state = state._replace(dsdt=jnp.zeros_like(state.rho))
-        if cfg.do_init_proj:
-            vel_proj, _ = initial_velocity_project(
-                state.vel, state.rho, cfg.dom, cfg.geom.dx,
-                rtol=cfg.proj_tol, atol=cfg.proj_abs_tol,
-                fixed_cycles=fixed_mg_cycles, eb=eb, rz=rz,
+        if cfg.do_init_proj and cfg.init_vel_iter > 0:
+            # reference default: UNITY sigma unless proj.rho_wgt_vel_proj
+            # (Projection.cpp:24,639); iterated init_vel_iter times — each
+            # pass of the approximate projection shrinks the residual
+            # divergence (Projection.cpp:639-700)
+            sig = state.rho if cfg.rho_wgt_vel_proj else jnp.ones_like(
+                state.rho
             )
+            vel_proj = state.vel
+            for _ in range(cfg.init_vel_iter):
+                vel_proj, _ = initial_velocity_project(
+                    vel_proj, sig, cfg.dom, cfg.geom.dx,
+                    rtol=cfg.proj_tol, atol=cfg.proj_abs_tol,
+                    fixed_cycles=fixed_mg_cycles, eb=eb, rz=rz,
+                )
             state = state._replace(vel=vel_proj)
 
         # hydrostatic initial pressure for gravity runs
@@ -294,6 +303,7 @@ def run(
     eb=None,
     particles=None,
     particle_hooks=None,
+    particle_out=None,
 ) -> NSState:
     """Advance until max_step / stop_time / steady state.
 
@@ -350,6 +360,10 @@ def run(
                 f"dt {float(state.dt):.3e} fell below ns.dt_cutoff "
                 f"{cfg.dt_cutoff:.3e} at step {step}"
             )
+    if particles is not None and particle_out:
+        from iamr_tpu.ns.particles import write_ascii_particles
+
+        write_ascii_particles(str(particle_out), particles)
     return state
 
 
@@ -458,6 +472,7 @@ def run_multilevel(
     check_file: str = "chk",
     restart=None,
     eb_psi=None,
+    particle_out=None,
 ):
     """Two-level run (max_level = 1), optionally subcycled + dynamically
     regridded. Regrids happen out-of-band between jitted step segments:
@@ -604,6 +619,10 @@ def run_multilevel(
                 f"max|u| L0 {float(jnp.max(jnp.abs(ml.crse.vel))):.6g} "
                 f"L1 {float(jnp.max(jnp.abs(ml.fine.vel))):.6g}"
             )
+    if particles is not None and particle_out:
+        from iamr_tpu.ns.particles import write_ascii_particles
+
+        write_ascii_particles(str(particle_out), particles)
     return ml
 
 
@@ -620,6 +639,7 @@ def run_hierarchy(
     restart=None,
     error_tags=None,
     regrid_int: int = 0,
+    particle_out=None,
 ):
     """Arbitrary-depth subcycled hierarchy run (amr.max_level >= 2) with
     nested patches — from amr.regrid_file (`specs`), dynamic regridding
@@ -733,6 +753,10 @@ def run_hierarchy(
                 f"STEP {step} time {float(states[0].time):.6g} "
                 f"dt {float(states[0].dt):.6g} levels {len(states)}"
             )
+    if particles is not None and particle_out:
+        from iamr_tpu.ns.particles import write_ascii_particles
+
+        write_ascii_particles(str(particle_out), particles)
     return states
 
 
@@ -793,6 +817,9 @@ def run_from_inputs(path: str, overrides=(), **kw):
                 )
 
             kw["particle_hooks"] = _phooks
+        pout = ppart.query("particle_output_file")
+        if pout:
+            kw["particle_out"] = str(pout)
     # amr.regrid_file: fixed grids per level (boxes in the COARSER level's
     # index space, Box::refine semantics). Multi-box levels collapse to
     # their bounding box outside the 2-level multipatch path (a superset
@@ -839,6 +866,7 @@ def run_from_inputs(path: str, overrides=(), **kw):
             specs=_specs_from_grids(fixed_grids) if fixed_grids else None,
             particles=kw.get("particles"),
             particle_hooks=kw.get("particle_hooks"),
+            particle_out=kw.get("particle_out"),
             check_int=hooks.check_int,
             check_file=hooks.check_file,
             restart=restart or None,
@@ -867,6 +895,7 @@ def run_from_inputs(path: str, overrides=(), **kw):
             ),
             particles=kw.get("particles"),
             particle_hooks=kw.get("particle_hooks"),
+            particle_out=kw.get("particle_out"),
             check_int=hooks.check_int,
             check_file=hooks.check_file,
             restart=restart or None,

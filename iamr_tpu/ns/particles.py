@@ -214,3 +214,18 @@ def advect_with_umac_levels(parts: Particles, levels, dt) -> Particles:
     u2 = _composite_mac_velocity(levels, mid)
     new = parts.pos + dt * u2
     return redistribute(parts._replace(pos=new), geom0)
+
+
+def write_ascii_particles(path: str, parts: Particles):
+    """particles.particle_output_file: final particle positions in the
+    ascii init-file format (count, then one position per line;
+    NavierStokesBase particle_output_file intake)."""
+    import numpy as _np
+
+    pos = _np.asarray(parts.pos)
+    alive = _np.asarray(parts.alive)
+    pos = pos[alive]
+    with open(path, "w") as f:
+        f.write(f"{pos.shape[0]}\n")
+        for row in pos:
+            f.write(" ".join(f"{x:.16e}" for x in row) + "\n")

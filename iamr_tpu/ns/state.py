@@ -104,6 +104,10 @@ class NSConfig:
     do_refine_outflow: bool = False
     do_derefine_outflow: bool = True
     nbuf_outflow: int = 1
+    # initial velocity projection: iteration count and sigma weighting
+    # (NavierStokesBase.cpp:99, Projection.cpp:24 — default UNITY sigma)
+    init_vel_iter: int = 1
+    rho_wgt_vel_proj: bool = False
     max_step: int = -1
     stop_time: float = -1.0
     probtype: int = 1
@@ -311,6 +315,10 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         do_refine_outflow=bool(int(ns.query("do_refine_outflow", 0))),
         do_derefine_outflow=bool(int(ns.query("do_derefine_outflow", 1))),
         nbuf_outflow=int(ns.query("Nbuf_outflow", 1)),
+        init_vel_iter=int(ns.query("init_vel_iter", 1)),
+        rho_wgt_vel_proj=bool(
+            int(pp.scoped("proj").query("rho_wgt_vel_proj", 0))
+        ),
         max_step=int(pp.query("max_step", -1)),
         stop_time=float(pp.query("stop_time", -1.0)),
         probtype=probtype,
