@@ -220,6 +220,10 @@ class IOHooks:
         self.dump_plane_name = (
             str(ns.query("dump_plane_name", "SLABS/vel-")) if ns else "SLABS/vel-"
         )
+        # set by the run loop each step when tracer particles are active;
+        # plotfiles then carry the particle_count derive
+        # (particles_in_plotfile analogue, NavierStokesBase.cpp:3956-4055)
+        self.particles = None
 
     def time_average(self):
         """(velocity_average, velocity_RMS, averaging time) or None."""
@@ -252,6 +256,12 @@ class IOHooks:
         if self.plot_int > 0 and step % self.plot_int == 0:
             path = f"{self.plot_file}{step:05d}"
             extra = {}
+            if self.particles is not None:
+                from iamr_tpu.ns.particles import particle_count
+
+                extra["particle_count"] = np.asarray(
+                    particle_count(self.particles, self.cfg.geom)
+                )
             avg = self.time_average()
             if avg is not None:
                 for d in range(self.cfg.dim):
@@ -341,6 +351,10 @@ def run(
         step += 1
         if particles is not None and particle_hooks is not None:
             particle_hooks(step, state, particles)
+        if particles is not None and callback is not None and hasattr(
+            callback, "particles"
+        ):
+            callback.particles = particles
         if verbose:
             print(
                 f"STEP {step} time {float(state.time):.6g} dt {float(state.dt):.6g} "
