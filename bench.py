@@ -105,7 +105,46 @@ print("MLMG_JSON " + json.dumps([secs, int(it), resf / bnorm]))
     return -1.0, -1, -1.0
 
 
+def _arm_watchdog(minutes: float = 20.0):
+    """The axon compile tunnel can wedge for hours (observed: an abandoned
+    f64 FFT compile blocked every subsequent device op). If the bench makes
+    no progress for `minutes`, print an explained JSON line and exit
+    non-zero instead of hanging the driver. Returns a `pet()` to reset the
+    deadline and a `disarm()`."""
+    import threading
+
+    state = {"deadline": time.monotonic() + minutes * 60.0, "armed": True}
+
+    def watch():
+        while state["armed"]:
+            if time.monotonic() > state["deadline"]:
+                print(json.dumps({
+                    "metric": "cell-updates/sec/chip (3D HIT 256^3 forced)",
+                    "value": None,
+                    "unit": "cells/s",
+                    "vs_baseline": None,
+                    "error": (
+                        "TPU backend unresponsive: no progress for "
+                        f"{minutes:.0f} min (axon compile tunnel wedged)"
+                    ),
+                }), flush=True)
+                os._exit(2)
+            time.sleep(10.0)
+
+    threading.Thread(target=watch, daemon=True).start()
+
+    def pet():
+        state["deadline"] = time.monotonic() + minutes * 60.0
+
+    def disarm():
+        state["armed"] = False
+        state["deadline"] = float("inf")
+
+    return pet, disarm
+
+
 def main():
+    pet_watchdog, disarm_watchdog = _arm_watchdog()
     import jax
 
     # persistent compilation cache: the fused Mosaic kernels are expensive
@@ -178,6 +217,7 @@ def main():
     # TPU backend's block_until_ready can return before remote work lands)
     s, p = step(state, parts)
     _ = float(jnp.max(jnp.abs(s.vel)))
+    pet_watchdog()  # compile completed: reset the hang deadline
 
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -197,6 +237,7 @@ def main():
     max_div = float(jnp.max(jnp.abs(div)))
     umax = max(checksum, 1e-30)
 
+    disarm_watchdog()  # main metric measured; MLMG runs in a subprocess
     mlmg_secs, mlmg_cycles, mlmg_resid = _mlmg_to_tolerance(n)
 
     cells = n**3
