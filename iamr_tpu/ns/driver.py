@@ -115,7 +115,7 @@ def steady_norm(prev: NSState, new: NSState):
     return out
 
 
-def _plot_fields(cfg: NSConfig, state: NSState, extra=None):
+def _plot_fields(cfg: NSConfig, state: NSState, extra=None, derives=None):
     import numpy as np
 
     from iamr_tpu.ns.derive import avg_pressure, kinetic_energy, mag_vort
@@ -133,11 +133,20 @@ def _plot_fields(cfg: NSConfig, state: NSState, extra=None):
     fields["avg_pressure"] = np.asarray(avg_pressure(state))
     fields["mag_vort"] = np.asarray(mag_vort(cfg, state))
     fields["energy"] = np.asarray(kinetic_energy(state))
+    # amr.derive_plot_vars: extra derives by name, incl. plugin-registered
+    # ones (RunningProblems.rst:114; derive_lst in NS_setup.cpp)
+    if derives:
+        from iamr_tpu.ns.derive import derive as _derive
+
+        for name in derives:
+            if name not in fields:
+                fields[name] = np.asarray(_derive(cfg, state, name))
     return fields
 
 
 def write_plotfile_for_state(
-    cfg: NSConfig, state: NSState, path: str, step: int, extra=None
+    cfg: NSConfig, state: NSState, path: str, step: int, extra=None,
+    derives=None,
 ):
     """State + derived fields in AMReX plotfile format (writePlotFile
     equivalent; amr.derive_plot_vars). extra: additional name->array fields
@@ -145,7 +154,7 @@ def write_plotfile_for_state(
     from iamr_tpu.io.plotfile import write_plotfile
 
     write_plotfile(
-        path, cfg.geom, _plot_fields(cfg, state, extra),
+        path, cfg.geom, _plot_fields(cfg, state, extra, derives=derives),
         time=float(state.time), level_steps=step,
     )
 
@@ -202,6 +211,11 @@ class IOHooks:
         ns = pp.scoped("ns") if pp is not None else None
         self.plot_int = int(amr.query("plot_int", -1)) if amr else -1
         self.plot_file = str(amr.query("plot_file", "plt")) if amr else "plt"
+        self.derive_plot_vars = tuple(
+            str(v) for v in (amr.queryarr("derive_plot_vars", []) if amr
+                             else [])
+            if str(v).upper() != "NONE"
+        )
         self.check_int = int(amr.query("check_int", -1)) if amr else -1
         self.check_file = str(amr.query("check_file", "chk")) if amr else "chk"
         self.sum_interval = int(ns.query("sum_interval", -1)) if ns else -1
@@ -267,7 +281,10 @@ class IOHooks:
                 for d in range(self.cfg.dim):
                     extra[f"{'xyz'[d]}_vel_average"] = avg[0][d]
                     extra[f"{'xyz'[d]}_vel_rms"] = avg[1][d]
-            write_plotfile_for_state(self.cfg, state, path, step, extra=extra)
+            write_plotfile_for_state(
+                self.cfg, state, path, step, extra=extra,
+                derives=self.derive_plot_vars,
+            )
             write_job_info(self.cfg, path, self.pp)
         if self.check_int > 0 and step % self.check_int == 0:
             save_checkpoint(f"{self.check_file}{step:05d}", state, step)
