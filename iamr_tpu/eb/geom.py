@@ -161,6 +161,87 @@ def lathe_if(psi2d):
     return psi
 
 
+def polygon_if(points, fluid_inside: bool):
+    """2D closed-polygon implicit function by winding test (vectorized
+    crossing-number point-in-polygon). Only the SIGN drives the
+    supersampled fraction build, so the magnitude is the (cheap) distance
+    to the nearest vertex. points: (N, 2) closed implicitly (last->first
+    edge added)."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = pts.shape[0]
+
+    def psi(x, y):
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        inside = np.zeros(np.broadcast(x, y).shape, dtype=bool)
+        for i in range(n):
+            x1, y1 = pts[i]
+            x2, y2 = pts[(i + 1) % n]
+            cond = (y1 > y) != (y2 > y)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                xin = x1 + (y - y1) * (x2 - x1) / (y2 - y1)
+            inside ^= cond & (x < np.where(cond, xin, np.inf))
+        d2 = None
+        for i in range(n):
+            t = (x - pts[i, 0]) ** 2 + (y - pts[i, 1]) ** 2
+            d2 = t if d2 is None else np.minimum(d2, t)
+        mag = np.sqrt(d2) + 1e-300
+        s = np.where(inside, mag, -mag)
+        return s if fluid_inside else -s
+
+    return psi
+
+
+def lathe_if_z(psi2d):
+    """Revolve a 2D fluid-positive IF around the Z axis:
+    psi3d(x, y, z) = psi2d(sqrt(x^2 + y^2), z)."""
+
+    def psi(*x):
+        r = np.sqrt(x[0] ** 2 + x[1] ** 2)
+        return psi2d(r, x[2])
+
+    return psi
+
+
+# the reentrant piston-bowl profile, (radius, axial) control points
+# (NS_init_eb2.cpp:27-66 reentrant_profile; the quadratic-spline elements
+# are represented by their control polygon — a polyline through the same
+# points, within the supersampling resolution of the fraction build)
+_REENTRANT_PROFILE = [
+    (3.6193, 0.78583), (3.5924, 0.77881), (3.5713, 0.75773),
+    (3.5643, 0.73083), (3.53, 0.70281), (3.5421, 0.6241),
+    (3.482, 0.5686), (3.0539, 0.35043), (2.9677, 0.26577),
+    (2.9457, 0.147), (2.8364, -0.57632), (2.7151, -0.68407),
+    (2.5694, -0.75555), (2.4035, -0.78586), (2.2358, -0.76902),
+    (0.19934, 0.3464), (0.0, 0.3464),
+]
+
+# the simplified all-line profile (NS_init_eb2.cpp:171-223)
+_LINE_PISTON_PROFILE = [
+    (3.6193, 0.78583), (2.4035, -0.78586), (2.0, -0.78586),
+    (0.19934, 0.3464), (0.009061, 0.3464), (0.0, 0.3464),
+]
+
+
+def _piston_cylinder_if(profile, scale: float):
+    """Common construction of the Piston-Cylinder bodies
+    (NS_init_eb2.cpp:131-224): the piston = the solid of revolution below
+    the (radius, axial) profile polyline, closed down the axis; unioned
+    (as bodies) with everything outside the CylinderIF(4.8, 7.0, dir=2,
+    center (0,0,-1)). All lengths scale by `scale`."""
+    top_r, top_z = 4.9, 0.78583
+    pts = [(top_r, top_z)] + list(profile) + [
+        (0.0, -20.0), (top_r, -20.0),
+    ]
+    pts = [(scale * a, scale * b) for a, b in pts]
+    piston_fluid = polygon_if(pts, fluid_inside=False)
+    cyl_fluid = cylinder_if(
+        (0.0, 0.0, -1.0 * scale), 4.8 * scale, 7.0 * scale, 2,
+        fluid_inside=True,
+    )
+    return union_bodies(lathe_if_z(piston_fluid), cyl_fluid)
+
+
 def translate_if(psi0, shift):
     """EB2::translate: evaluate psi0 at x - shift."""
     s = np.asarray(shift, dtype=np.float64)
@@ -421,6 +502,15 @@ def psi_from_inputs(pp, dim: int):
                        (sl, pos_small, pos_small), fluid_inside=False)
         # frame body = big minus small -> fluid = outside big OR inside small
         psi = _fluid_union_with_body_complement(big, small)
+    elif gt in ("Piston-Cylinder", "Line-Piston-Cylinder"):
+        # reentrant piston bowl revolved around z, inside a cylinder body
+        # (NS_init_eb2.cpp:131-224); 3D-only like the reference
+        if dim != 3:
+            raise ValueError(f"geom_type '{gt}' only available in 3D")
+        if gt == "Piston-Cylinder":
+            psi = _piston_cylinder_if(_REENTRANT_PROFILE, scale=1.0)
+        else:
+            psi = _piston_cylinder_if(_LINE_PISTON_PROFILE, scale=0.0025)
     elif gt == "combustor":
         # axisymmetric combustor (NS_init_eb2.cpp:79-130): 2D poly section
         # (far wall + ramp + pipe + flat corner, body-positive) revolved
@@ -461,7 +551,8 @@ def psi_from_inputs(pp, dim: int):
             raise NotImplementedError(
                 f"eb2.geom_type = {gt} not implemented (supported: "
                 "all_regular, sphere, cylinder, box, plane, Inflow-Pipe, "
-                "Mixing-Pipe, Square-Grid, combustor, or a name registered "
+                "Mixing-Pipe, Square-Grid, combustor, Piston-Cylinder, "
+                "Line-Piston-Cylinder, or a name registered "
                 "via iamr_tpu.plugins.eb_geometry — the reference's "
                 "UserDefined seam)"
             )

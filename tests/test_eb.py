@@ -318,3 +318,36 @@ def test_eb_centroids():
     # the fluid is OUTSIDE the circle: centroid offsets align with +r
     assert (dot[cut] > 0.0).mean() > 0.95
     assert float(np.abs(c).max()) <= 0.5
+
+
+def test_piston_cylinder_geometries():
+    """Piston-Cylinder / Line-Piston-Cylinder catalog entries
+    (NS_init_eb2.cpp:131-224): reentrant bowl revolved around z inside a
+    cylinder body; fluid above the crown, body in the piston and outside
+    the cylinder wall, rotationally symmetric."""
+    from iamr_tpu.config.parmparse import ParmParse
+    from iamr_tpu.core.geometry import Geometry
+    from iamr_tpu.eb.geom import build_eb_geometry, psi_from_inputs
+
+    for gt, L in (("Piston-Cylinder", 5.0), ("Line-Piston-Cylinder", 0.0125)):
+        pp = ParmParse.from_string(f"eb2.geom_type = {gt}\n")
+        psi = psi_from_inputs(pp, 3)
+        # fluid well above the piston crown, inside the cylinder
+        assert psi(0.0, 0.0, 0.4 * L) > 0.0
+        # body inside the piston bulk (below the bowl)
+        assert psi(0.5 * L, 0.0, -0.3 * L) < 0.0
+        # body outside the cylinder radius (4.8/4.9 of L)
+        assert psi(1.05 * L, 0.0, 0.3 * L) < 0.0
+        # rotational symmetry about z
+        assert abs(psi(0.3 * L, 0.4 * L, 0.1 * L)
+                   - psi(0.5 * L, 0.0, 0.1 * L)) < 1e-12
+        geom = Geometry(
+            ncell=(16, 16, 16),
+            prob_lo=(-1.2 * L, -1.2 * L, -0.5 * L),
+            prob_hi=(1.2 * L, 1.2 * L, 0.7 * L),
+            periodic=(False, False, False),
+        )
+        eb = build_eb_geometry(psi, geom, ss=4)
+        vf = np.asarray(eb.vfrac)
+        assert 0.05 < vf.mean() < 0.95   # a real mixed geometry
+        assert ((vf > 0) & (vf < 1)).any()  # cut cells exist
