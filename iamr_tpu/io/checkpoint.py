@@ -85,6 +85,32 @@ def load_checkpoint(path: str, cfg: NSConfig) -> Tuple[NSState, int]:
     return state, int(meta["step"])
 
 
+def save_particles(path: str, parts):
+    """Particles sidecar inside a checkpoint dir (the reference stores the
+    particle container under chk*/Particles; NavierStokesBase checkPoint
+    particle branch)."""
+    np.savez(
+        os.path.join(path, "particles.npz"),
+        pos=np.asarray(parts.pos),
+        alive=np.asarray(parts.alive),
+    )
+
+
+def load_particles(path: str, dtype="float64"):
+    """Load the particles sidecar; None when the checkpoint has none
+    (restart_from_nonparticle_chkfile semantics)."""
+    from iamr_tpu.ns.particles import Particles
+
+    f = os.path.join(path, "particles.npz")
+    if not os.path.exists(f):
+        return None
+    z = np.load(f)
+    return Particles(
+        pos=jnp.asarray(z["pos"], dtype=dtype),
+        alive=jnp.asarray(z["alive"], dtype=bool),
+    )
+
+
 def refine_checkpoint(in_path: str, out_path: str, ratio: int = 2):
     """Refine a checkpoint onto a ratio-times-finer grid (the
     Util/ConvertCheckpoint/ConvertCheckpointGrids.cpp offline tool):

@@ -288,6 +288,10 @@ class IOHooks:
             write_job_info(self.cfg, path, self.pp)
         if self.check_int > 0 and step % self.check_int == 0:
             save_checkpoint(f"{self.check_file}{step:05d}", state, step)
+            if self.particles is not None:
+                from iamr_tpu.io.checkpoint import save_particles
+
+                save_particles(f"{self.check_file}{step:05d}", self.particles)
             if self._avg is not None:
                 np.savez(
                     f"{self.check_file}{step:05d}/TimeAverage.npz",
@@ -331,6 +335,7 @@ def run(
     particles=None,
     particle_hooks=None,
     particle_out=None,
+    step0: int = 0,
 ) -> NSState:
     """Advance until max_step / stop_time / steady state.
 
@@ -352,7 +357,7 @@ def run(
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
     )
-    step = 0
+    step = step0  # restarts resume the checkpoint's step count
     while step < nmax:
         if cfg.stop_time >= 0.0 and float(state.time) >= cfg.stop_time:
             break
@@ -549,6 +554,12 @@ def run_multilevel(
         crse = states_r[0]
         if specs_r:
             fixed_spec = specs_r[0]
+        if particles is not None:
+            from iamr_tpu.io.checkpoint import load_particles
+
+            p_r = load_particles(str(restart), dtype=cfg.dtype)
+            if p_r is not None:
+                particles = p_r
     else:
         # composite initial pressure iterations happen below across BOTH
         # levels (post_init_press + initialSyncProject), not here (EB runs
@@ -638,11 +649,13 @@ def run_multilevel(
                 cfg, spec, ml, f"{plot_file}{step:05d}", step
             )
         if check_int > 0 and step % check_int == 0:
-            from iamr_tpu.io.checkpoint import save_checkpoint_ml
+            from iamr_tpu.io.checkpoint import save_checkpoint_ml, save_particles
 
             save_checkpoint_ml(
                 f"{check_file}{step:05d}", [ml.crse, ml.fine], [spec], step
             )
+            if particles is not None:
+                save_particles(f"{check_file}{step:05d}", particles)
         if verbose:
             print(
                 f"STEP {step} time {float(ml.crse.time):.6g} "
@@ -695,6 +708,12 @@ def run_hierarchy(
         specs = specs_r
         cfgs = hierarchy_configs(cfg, specs)
         states = tuple(states_r)
+        if particles is not None:
+            from iamr_tpu.io.checkpoint import load_particles
+
+            p_r = load_particles(str(restart), dtype=cfg.dtype)
+            if p_r is not None:
+                particles = p_r
     else:
         if specs is None:
             specs = []
@@ -774,11 +793,13 @@ def run_hierarchy(
             states = step_fn(states)
         step += 1
         if check_int > 0 and step % check_int == 0:
-            from iamr_tpu.io.checkpoint import save_checkpoint_ml
+            from iamr_tpu.io.checkpoint import save_checkpoint_ml, save_particles
 
             save_checkpoint_ml(
                 f"{check_file}{step:05d}", list(states), list(specs), step
             )
+            if particles is not None:
+                save_particles(f"{check_file}{step:05d}", particles)
         if verbose:
             print(
                 f"STEP {step} time {float(states[0].time):.6g} "
@@ -803,10 +824,13 @@ def run_from_inputs(path: str, overrides=(), **kw):
     # restart (amr.restart = chkNNNNN; section 3.5 restart path)
     restart = pp.scoped("amr").query("restart")
     state0 = None
+    restart_particles = None
     if restart and cfg.max_level == 0:
-        from iamr_tpu.io.checkpoint import load_checkpoint
+        from iamr_tpu.io.checkpoint import load_checkpoint, load_particles
 
-        state0, _ = load_checkpoint(str(restart), cfg)
+        state0, rstep = load_checkpoint(str(restart), cfg)
+        restart_particles = load_particles(str(restart), dtype=cfg.dtype)
+        kw["step0"] = rstep
     # multilevel restarts load inside the runners (load_checkpoint_ml)
     hooks = IOHooks(cfg, pp)
     if kw.get("callback") is None and (
@@ -837,7 +861,11 @@ def run_from_inputs(path: str, overrides=(), **kw):
             base, str(init_file)
         )
         pos = read_ascii_init_file(fpath, cfg.dim)
-        kw["particles"] = from_positions(jnp.asarray(pos, cfg.jdtype))
+        kw["particles"] = (
+            restart_particles
+            if restart_particles is not None
+            else from_positions(jnp.asarray(pos, cfg.jdtype))
+        )
         ts = ppart.query("timestamp_dir")
         if ts:
             os.makedirs(str(ts), exist_ok=True)

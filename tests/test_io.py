@@ -239,3 +239,42 @@ def test_multilevel_restart_determinism(tmp_path):
             a = np.asarray(getattr(getattr(out, lvl), f))
             b = np.asarray(getattr(getattr(ref, lvl), f))
             np.testing.assert_allclose(a, b, atol=1e-13, err_msg=f"{lvl}.{f}")
+
+
+@pytest.mark.slow
+def test_particle_restart_determinism(tmp_path):
+    """Checkpoints carry the tracer particles (the reference stores the
+    particle container in chk*/; restart_from_nonparticle_chkfile covers
+    missing sidecars): checkpoint mid-run + restart reproduces the
+    uninterrupted particle trajectories exactly."""
+    from iamr_tpu.ns.driver import run_from_inputs
+
+    inputs = "/root/reference/Exec/run_2d_particles/regtest.inputs"
+    common = (
+        "amr.max_level=0", "amr.plot_int=-1",
+        f"particles.timestamp_dir={tmp_path}/ts",
+    )
+    run_from_inputs(
+        inputs,
+        overrides=common + (
+            "max_step=4", "amr.check_int=-1",
+            f"particles.particle_output_file={tmp_path}/ref_particles",
+        ),
+    )
+    run_from_inputs(
+        inputs,
+        overrides=common + (
+            "max_step=2", f"amr.check_file={tmp_path}/chk", "amr.check_int=2",
+        ),
+    )
+    run_from_inputs(
+        inputs,
+        overrides=common + (
+            "max_step=4", f"amr.restart={tmp_path}/chk00002",
+            "amr.check_int=-1",
+            f"particles.particle_output_file={tmp_path}/out_particles",
+        ),
+    )
+    a = np.loadtxt(f"{tmp_path}/ref_particles", skiprows=1)
+    b = np.loadtxt(f"{tmp_path}/out_particles", skiprows=1)
+    np.testing.assert_allclose(b, a, atol=1e-14)
