@@ -198,9 +198,14 @@ def cluster_to_patch(
         b = -((-b) // bf) * bf
         b = min(b, tags_np.shape[d])
         a = min(a, b - 1)
-        # enforce min patch size
+        # enforce min patch size (grow by whole blocking units so the
+        # alignment established above survives the expansion)
         while (b - a) * ratio < min_size:
-            if a > 0:
+            if a >= bf:
+                a -= bf
+            elif b <= tags_np.shape[d] - bf:
+                b += bf
+            elif a > 0:
                 a -= 1
             elif b < tags_np.shape[d]:
                 b += 1
@@ -284,12 +289,27 @@ def cluster_to_patches(
         )
         return [s] if s is not None else []
 
-    # buffer the tags first (n_error_buf), then cluster
+    # buffer the tags first (n_error_buf), then cluster; the dilation must
+    # NOT wrap across the domain (a tag at index 0 would seed a spurious
+    # patch at the opposite face)
     t = tags_np.astype(bool)
+
+    def _shift(arr, d, off):
+        out = np.zeros_like(arr)
+        src = [slice(None)] * arr.ndim
+        dst = [slice(None)] * arr.ndim
+        if off > 0:
+            src[d] = slice(None, -off)
+            dst[d] = slice(off, None)
+        else:
+            src[d] = slice(-off, None)
+            dst[d] = slice(None, off)
+        out[tuple(dst)] = arr[tuple(src)]
+        return out
+
     for d in range(t.ndim):
         for _ in range(n_error_buf):
-            t = t | np.roll(t, 1, axis=d) | np.roll(t, -1, axis=d)
-    # roll wraps; clear the wrapped fringe for non-periodic safety (cheap)
+            t = t | _shift(t, d, 1) | _shift(t, d, -1)
     boxes = native.berger_rigoutsos(
         t, min_width=max(2, min_size // (2 * ratio)), min_eff=min_eff,
         max_boxes=max_boxes,
@@ -305,7 +325,11 @@ def cluster_to_patches(
             hi_d = min(hi_d, tags_np.shape[d])
             lo_d = min(lo_d, hi_d - 1)
             while (hi_d - lo_d) * ratio < min_size:
-                if lo_d > 0:
+                if lo_d >= bf:
+                    lo_d -= bf
+                elif hi_d <= tags_np.shape[d] - bf:
+                    hi_d += bf
+                elif lo_d > 0:
                     lo_d -= 1
                 elif hi_d < tags_np.shape[d]:
                     hi_d += 1

@@ -22,9 +22,24 @@ from iamr_tpu.ns.state import NSConfig, NSState
 FORMAT_VERSION = 1
 
 
+def _atomic_savez(path: str, **arrays):
+    """Write-then-rename so a crash mid-save never leaves a truncated
+    state file behind (restart determinism is a regression requirement)."""
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _atomic_write_text(path: str, text: str):
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(text)
+    os.replace(tmp, path)
+
+
 def save_checkpoint(path: str, state: NSState, step: int = 0):
     os.makedirs(path, exist_ok=True)
-    np.savez(
+    _atomic_savez(
         os.path.join(path, "state.npz"),
         vel=np.asarray(state.vel),
         rho=np.asarray(state.rho),
@@ -44,8 +59,7 @@ def save_checkpoint(path: str, state: NSState, step: int = 0):
         "dt": float(state.dt),
         "step": step,
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_write_text(os.path.join(path, "meta.json"), json.dumps(meta))
 
 
 def load_checkpoint(path: str, cfg: NSConfig) -> Tuple[NSState, int]:
@@ -89,7 +103,7 @@ def save_particles(path: str, parts):
     """Particles sidecar inside a checkpoint dir (the reference stores the
     particle container under chk*/Particles; NavierStokesBase checkPoint
     particle branch)."""
-    np.savez(
+    _atomic_savez(
         os.path.join(path, "particles.npz"),
         pos=np.asarray(parts.pos),
         alive=np.asarray(parts.alive),
@@ -153,9 +167,16 @@ def refine_checkpoint(in_path: str, out_path: str, ratio: int = 2):
         fields["temp"] = pc(z["temp"])
     if "gradp" in z.files:
         fields["gradp"] = pc(z["gradp"], 1)
-    np.savez(os.path.join(out_path, "state.npz"), **fields)
-    with open(os.path.join(out_path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    if "dsdt" in z.files:
+        fields["dsdt"] = pc(z["dsdt"])
+    _atomic_savez(os.path.join(out_path, "state.npz"), **fields)
+    _atomic_write_text(os.path.join(out_path, "meta.json"), json.dumps(meta))
+    # particles refine trivially (positions are grid-independent)
+    psrc = os.path.join(in_path, "particles.npz")
+    if os.path.exists(psrc):
+        import shutil
+
+        shutil.copy(psrc, os.path.join(out_path, "particles.npz"))
 
 
 def _state_arrays(state: NSState):
@@ -183,7 +204,7 @@ def save_checkpoint_ml(path: str, states, specs, step: int = 0):
     for lev, s in enumerate(states):
         for k, v in _state_arrays(s).items():
             arrays[f"lev{lev}_{k}"] = v
-    np.savez(os.path.join(path, "state.npz"), **arrays)
+    _atomic_savez(os.path.join(path, "state.npz"), **arrays)
     meta = {
         "version": FORMAT_VERSION,
         "nlevels": len(states),
@@ -196,8 +217,7 @@ def save_checkpoint_ml(path: str, states, specs, step: int = 0):
             for sp in specs
         ],
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f)
+    _atomic_write_text(os.path.join(path, "meta.json"), json.dumps(meta))
 
 
 def load_checkpoint_ml(path: str, cfg: NSConfig):

@@ -47,6 +47,9 @@ def _plan(dim: int, owner0: Sequence[Optional[str]]):
     for d in reversed(range(dim)):
         if owner[d] is not None:
             full = [e for e in range(dim) if owner[e] is None and e != d]
+            if not full:
+                # every dim device-sharded: no pencil rotation possible
+                raise ValueError("pencil plan needs at least one full dim")
             f = max(full)
             ops.append(("a2a", owner[d], f, d))
             owner[f] = owner[d]
@@ -80,6 +83,10 @@ def pencil_eligible(shape, pmesh: Optional[SpatialMesh]) -> bool:
     if all(o is None for o in owner0):
         # nothing shardable: the dense single-device path is strictly
         # simpler (and GSPMD replicates either way)
+        return False
+    if all(o is not None for o in owner0):
+        # every dim sharded (a fully-decomposed mesh): no full dim to
+        # rotate pencils through -> fall back to MG
         return False
     sizes = {a: pmesh.mesh.shape[a] for a in pmesh.mesh.axis_names}
     local = [

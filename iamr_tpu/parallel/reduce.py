@@ -23,21 +23,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def invariant_sum(x):
-    """Bitwise layout-invariant sum via fixed-pairing binary-tree
-    reduction. Returns a 0-d array of x.dtype."""
-    v = x.reshape(-1)
-    n = v.shape[0]
-    # pad to the next power of two with exact zeros (x + 0 is exact)
+def _tree_reduce_axis(v, axis: int):
+    """Fixed-pairing binary-tree sum along `axis` (pad to a power of two
+    with exact zeros; x + 0 is exact). ONE implementation backs every
+    invariant reduction so the pairing order can never diverge between
+    call sites."""
+    n = v.shape[axis]
     p = 1
     while p < n:
         p *= 2
     if p != n:
-        v = jnp.concatenate([v, jnp.zeros((p - n,), v.dtype)])
-    while v.shape[0] > 1:
-        h = v.shape[0] // 2
-        v = v[:h] + v[h:]
-    return v[0]
+        pad = [(0, 0)] * v.ndim
+        pad[axis] = (0, p - n)
+        v = jnp.pad(v, pad)
+    while v.shape[axis] > 1:
+        h = v.shape[axis] // 2
+        lo = [slice(None)] * v.ndim
+        hi = [slice(None)] * v.ndim
+        lo[axis] = slice(None, h)
+        hi[axis] = slice(h, None)
+        v = v[tuple(lo)] + v[tuple(hi)]
+    return jnp.squeeze(v, axis=axis)
+
+
+def invariant_sum(x):
+    """Bitwise layout-invariant sum via fixed-pairing binary-tree
+    reduction. Returns a 0-d array of x.dtype."""
+    return _tree_reduce_axis(x.reshape(-1), 0)
 
 
 def invariant_mean(x):
@@ -55,16 +67,4 @@ def invariant_matvec(A, v):
     codegen-chosen order, which differs between compilations (sharded vs
     not); fixed-pairing tree-reduce the contraction axis instead. Meant
     for the SMALL dense bottom-solve matrices (N <= ~1000)."""
-    m = A * v[None, :]
-    n = m.shape[1]
-    p = 1
-    while p < n:
-        p *= 2
-    if p != n:
-        m = jnp.concatenate(
-            [m, jnp.zeros((m.shape[0], p - n), m.dtype)], axis=1
-        )
-    while m.shape[1] > 1:
-        h = m.shape[1] // 2
-        m = m[:, :h] + m[:, h:]
-    return m[:, 0]
+    return _tree_reduce_axis(A * v[None, :], 1)

@@ -165,3 +165,36 @@ def test_outflow_tag_policy():
     out3 = apply_outflow_tag_policy(cfg, tags2, do_refine=True,
                                     do_derefine=False, nbuf=1)
     assert not out3[:, 15].any()
+
+
+def test_tag_buffer_does_not_wrap():
+    """Berger-Rigoutsos tag buffering must not wrap across the domain: a
+    tag at index 0 must not seed a patch at the opposite face."""
+    from iamr_tpu.amr.tagging import cluster_to_patches
+    from iamr_tpu.native import available
+
+    if not available():
+        import pytest as _pytest
+
+        _pytest.skip("native clustering lib unavailable")
+    tags = np.zeros((32, 32), dtype=bool)
+    tags[0, 5] = True
+    specs = cluster_to_patches(tags, 2)
+    for sp in specs:
+        # no box may touch the hi-x face (the wrap artifact landed there)
+        assert sp.lo[0] + sp.ncell[0] <= 2 * 24, (sp.lo, sp.ncell)
+
+
+def test_cluster_min_size_keeps_blocking_alignment():
+    """min-size expansion grows by whole blocking units (the alignment
+    must survive; a misaligned patch breaks MG coarsening downstream)."""
+    from iamr_tpu.amr.tagging import cluster_to_patch
+
+    tags = np.zeros((32,), dtype=bool).reshape(32, 1)
+    tags2 = np.zeros((32, 32), dtype=bool)
+    tags2[15, 15] = True
+    s = cluster_to_patch(tags2, 2, blocking_factor=8, min_size=22)
+    bf = 4  # blocking_factor // ratio
+    for d in range(2):
+        assert (s.lo[d] // 2) % bf == 0 or s.lo[d] == 0, s.lo
+        assert s.ncell[d] >= 22
