@@ -262,6 +262,21 @@ def test_pencil_fft_solvers_match_dense():
         np.asarray(out), np.asarray(ref[:-1, :-1, :-1]), atol=1e-12
     )
 
+    # 2D (mesh (8,1): single-axis sharding) and the fully-decomposed
+    # fallback (no full dim to rotate pencils through -> ineligible)
+    pm2 = SpatialMesh.create(8, dim=2)
+    rhs2 = jnp.asarray(rng.standard_normal((64, 64)))
+    dx2 = (1.0 / 64, 1.0 / 64)
+    assert pencil_eligible(rhs2.shape, pm2)
+    ref2 = solve_cell_helmholtz(rhs2, 1.5, 0.5, dx2)
+    out2 = jax.jit(
+        lambda r: solve_cell_helmholtz_pencil(r, 1.5, 0.5, dx2, pm2)
+    )(rhs2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-12)
+    pm_full = SpatialMesh.create(8, dim=3, shape=(2, 2, 2))
+    assert not pencil_eligible((32, 32, 32), pm_full)
+
 
 def test_sharded_spectral_step_matches():
     """The all-periodic FFT fast path stays DISTRIBUTED under a mesh
