@@ -43,43 +43,64 @@ def _box_str(lo, hi, typ=None):
 
 def _write_level(path: str, lev: int, fields: Dict[str, np.ndarray], names,
                  lo, hi):
-    """One Level_k directory: FAB data (native C++ writer when built) +
-    MultiFab header. Returns nothing; lo/hi are the level's box indices."""
+    """One Level_k directory with a single grid (see _write_level_multi)."""
+    _write_level_multi(path, lev, [(fields, lo, hi)], names)
+
+
+def _write_level_multi(path: str, lev: int, boxes, names):
+    """One Level_k directory holding a BoxArray of grids (one FAB file per
+    grid, VisMF OneFilePerFab). boxes: list of (fields, lo, hi)."""
     ncomp = len(names)
     os.makedirs(os.path.join(path, f"Level_{lev}"), exist_ok=True)
-    data = np.stack(
-        [np.asarray(fields[k], dtype=np.float64) for k in names], axis=0
-    )
-    fab_path = os.path.join(path, f"Level_{lev}", "Cell_D_00000")
     from iamr_tpu import native
 
-    if native.available():
-        offset = native.write_fab(fab_path, data, lo, hi)
-    else:
-        with open(fab_path, "wb") as f:
-            hdr = f"{_FAB_HEADER}{_box_str(lo, hi)} {ncomp}\n"
-            f.write(hdr.encode())
-            offset = f.tell()
-            # AMReX fab layout: component-major, fortran (x fastest)
-            for c in range(ncomp):
-                f.write(np.asfortranarray(data[c]).tobytes(order="F"))
+    offsets = []
+    mins = [[] for _ in range(ncomp)]
+    maxs = [[] for _ in range(ncomp)]
+    for i, (fields, lo, hi) in enumerate(boxes):
+        data = np.stack(
+            [np.asarray(fields[k], dtype=np.float64) for k in names], axis=0
+        )
+        fab_path = os.path.join(path, f"Level_{lev}", f"Cell_D_{i:05d}")
+        if native.available():
+            offsets.append(native.write_fab(fab_path, data, lo, hi))
+        else:
+            with open(fab_path, "wb") as f:
+                hdr = f"{_FAB_HEADER}{_box_str(lo, hi)} {ncomp}\n"
+                f.write(hdr.encode())
+                offsets.append(f.tell())
+                # AMReX fab layout: component-major, fortran (x fastest)
+                for c in range(ncomp):
+                    f.write(np.asfortranarray(data[c]).tobytes(order="F"))
+        for c in range(ncomp):
+            mins[c].append(float(data[c].min()))
+            maxs[c].append(float(data[c].max()))
 
-    mins = [float(data[c].min()) for c in range(ncomp)]
-    maxs = [float(data[c].max()) for c in range(ncomp)]
+    nb = len(boxes)
     with open(os.path.join(path, f"Level_{lev}", "Cell_H"), "w") as f:
         f.write("1\n")  # version
         f.write("1\n")  # how (one file per fab)
         f.write(f"{ncomp}\n")
         f.write("0\n")  # ngrow
-        f.write(f"(1 0\n{_box_str(lo, hi)}\n)\n")
-        f.write("1\n")
-        f.write(f"FabOnDisk: Cell_D_00000 {offset}\n")
+        f.write(f"({nb} 0\n")
+        for _, lo, hi in boxes:
+            f.write(_box_str(lo, hi) + "\n")
+        f.write(")\n")
+        f.write(f"{nb}\n")
+        for i in range(nb):
+            f.write(f"FabOnDisk: Cell_D_{i:05d} {offsets[i]}\n")
         f.write("\n")
-        f.write(f"1,{ncomp}\n")
-        f.write(",".join(f"{v:.16e}" for v in mins) + ",\n")
+        f.write(f"{nb},{ncomp}\n")
+        for i in range(nb):
+            f.write(
+                ",".join(f"{mins[c][i]:.16e}" for c in range(ncomp)) + ",\n"
+            )
         f.write("\n")
-        f.write(f"1,{ncomp}\n")
-        f.write(",".join(f"{v:.16e}" for v in maxs) + ",\n")
+        f.write(f"{nb},{ncomp}\n")
+        for i in range(nb):
+            f.write(
+                ",".join(f"{maxs[c][i]:.16e}" for c in range(ncomp)) + ",\n"
+            )
 
 
 def write_plotfile(
@@ -93,9 +114,10 @@ def write_plotfile(
     """Write a plotfile (multi-level when fine_levels is given).
 
     fields: name -> cell array (*ncell) on the coarse level.
-    fine_levels: list of (fields_f, lo_idx, ratio) per finer level — lo_idx
-    the patch's lo corner in THAT level's index space (amr.max_level-deep
-    plotfiles with one grid per level, like the single-patch hierarchy).
+    fine_levels: one entry per finer level — either (fields_f, lo_idx,
+    ratio) for a single-grid level (lo_idx in THAT level's index space),
+    or (boxes, ratio) with boxes = [(fields_f, lo_idx), ...] for a
+    multi-grid BoxArray level.
     """
     dim = geom.dim
     names = list(fields.keys())
@@ -109,19 +131,29 @@ def write_plotfile(
     _write_level(path, 0, fields, names, lo, hi)
 
     # per-level boxes/dx for the Header
-    boxes = [(lo, hi)]
+    level_boxes = [[(lo, hi)]]
     dxs = [tuple(geom.dx)]
     ratios = []
     cum = 1
-    for k, (ff, lo_idx, ratio) in enumerate(fine_levels):
+    for k, entry in enumerate(fine_levels):
+        if len(entry) == 3:
+            grids = [(entry[0], entry[1])]
+            ratio = entry[2]
+        else:
+            grids, ratio = entry
         cum *= ratio
-        shape = np.asarray(ff[names[0]]).shape
-        lo_k = tuple(int(x) for x in lo_idx)
-        hi_k = tuple(lo_k[d] + shape[d] - 1 for d in range(dim))
-        boxes.append((lo_k, hi_k))
+        lev_boxes = []
+        blist = []
+        for ff, lo_idx in grids:
+            shape = np.asarray(ff[names[0]]).shape
+            lo_k = tuple(int(x) for x in lo_idx)
+            hi_k = tuple(lo_k[d] + shape[d] - 1 for d in range(dim))
+            lev_boxes.append((lo_k, hi_k))
+            blist.append((ff, lo_k, hi_k))
+        level_boxes.append(lev_boxes)
         dxs.append(tuple(h / cum for h in geom.dx))
         ratios.append(ratio)
-        _write_level(path, k + 1, ff, names, lo_k, hi_k)
+        _write_level_multi(path, k + 1, blist, names)
 
     # ---- plotfile Header
     with open(os.path.join(path, "Header"), "w") as f:
@@ -135,19 +167,22 @@ def write_plotfile(
         f.write(" ".join(f"{v:.16e}" for v in geom.prob_lo) + "\n")
         f.write(" ".join(f"{v:.16e}" for v in geom.prob_hi) + "\n")
         f.write(" ".join(str(r) for r in ratios) + "\n")
-        f.write(" ".join(_box_str(b[0], b[1]) for b in boxes) + "\n")
+        f.write(" ".join(
+            _box_str(b[0][0], b[-1][1]) for b in level_boxes
+        ) + "\n")
         f.write(" ".join(str(level_steps) for _ in range(nlev)) + "\n")
         for dx in dxs:
             f.write(" ".join(f"{v:.16e}" for v in dx) + "\n")
         f.write(f"{geom.coord_sys}\n")
         f.write("0\n")  # bndry width
         for k in range(nlev):
-            f.write(f"{k} 1 {time:.16e}\n")
+            f.write(f"{k} {len(level_boxes[k])} {time:.16e}\n")
             f.write(f"{level_steps}\n")
-            for d in range(dim):
-                glo = geom.prob_lo[d] + boxes[k][0][d] * dxs[k][d]
-                ghi = geom.prob_lo[d] + (boxes[k][1][d] + 1) * dxs[k][d]
-                f.write(f"{glo:.16e} {ghi:.16e}\n")
+            for blo, bhi in level_boxes[k]:
+                for d in range(dim):
+                    glo = geom.prob_lo[d] + blo[d] * dxs[k][d]
+                    ghi = geom.prob_lo[d] + (bhi[d] + 1) * dxs[k][d]
+                    f.write(f"{glo:.16e} {ghi:.16e}\n")
             f.write(f"Level_{k}/Cell\n")
 
 

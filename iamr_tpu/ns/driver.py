@@ -430,10 +430,14 @@ def run_multipatch(
     fixed_mg_cycles=None,
     error_tags=None,
     regrid_int: int = 0,
+    plot_int: int = -1,
+    plot_file: str = "plt",
+    fixed_specs=None,
 ):
     """Two-level run with a MULTI-BOX fine level: Berger-Rigoutsos
     clustering of error tags -> several fine patches, re-clustered every
-    regrid_int steps (regrid-as-recompile over the box-set signature)."""
+    regrid_int steps (regrid-as-recompile over the box-set signature).
+    fixed_specs pins the box set (multi-box amr.regrid_file level)."""
     import numpy as np
 
     from iamr_tpu.amr.multilevel import init_fine_from_coarse, make_hit_forcing
@@ -446,6 +450,8 @@ def run_multipatch(
     crse = initialize(cfg, fixed_mg_cycles)
 
     def specs_from_tags(crse_state):
+        if fixed_specs is not None:
+            return tuple(fixed_specs)
         tags = np.asarray(tag_cells(cfg, crse_state, error_tags))
         specs = cluster_to_patches(tags, cfg.ref_ratio)
         return tuple(specs) if specs else (default_fine_spec(cfg),)
@@ -483,6 +489,21 @@ def run_multipatch(
                     )
         crse, fines = get_step(specs)(crse, fines)
         step += 1
+        if plot_int > 0 and step % plot_int == 0:
+            from iamr_tpu.io.plotfile import write_plotfile
+
+            f0 = _plot_fields(cfg, crse)
+            from iamr_tpu.amr.multilevel import make_fine_config
+
+            grids = [
+                (_plot_fields(make_fine_config(cfg, sp), f), sp.lo)
+                for sp, f in zip(specs, fines)
+            ]
+            write_plotfile(
+                f"{plot_file}{step:05d}", cfg.geom, f0,
+                time=float(crse.time), level_steps=step,
+                fine_levels=[(grids, cfg.ref_ratio)],
+            )
         if verbose:
             print(
                 f"STEP {step} time {float(crse.time):.6g} "
@@ -936,6 +957,28 @@ def run_from_inputs(path: str, overrides=(), **kw):
             regrid_int=int(
                 pp.scoped("amr").queryarr("regrid_int", [0])[0]
             ),
+        )
+    if cfg.max_level == 1 and fixed_grids and len(fixed_grids[0]) > 1:
+        # a multi-box fixed-grids level runs the union multipatch path
+        # (disjoint refined regions; the bbox would waste area) — no
+        # particles/checkpoint wiring there yet
+        from iamr_tpu.amr.hierarchy import LevelSpec
+
+        r = cfg.ref_ratio
+        mspecs = [
+            LevelSpec(
+                lo=tuple(r * x for x in lo),
+                ncell=tuple(r * (h - l) for l, h in zip(lo, hi)),
+                ratio=r,
+            )
+            for lo, hi in fixed_grids[0]
+        ]
+        return run_multipatch(
+            cfg,
+            verbose=kw.get("verbose", False),
+            fixed_specs=mspecs,
+            plot_int=hooks.plot_int,
+            plot_file=hooks.plot_file,
         )
     if cfg.max_level >= 1:
         tags = parse_refinement_indicators(pp)
