@@ -94,7 +94,7 @@ print("MLMG_JSON " + json.dumps([secs, int(it), resf / bnorm]))
     try:
         out = subprocess.run(
             [sys.executable, "-c", code], capture_output=True, text=True,
-            timeout=3600, env=env,
+            timeout=1500, env=env,
         )
         for line in out.stdout.splitlines():
             if line.startswith("MLMG_JSON "):
