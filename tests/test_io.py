@@ -278,3 +278,25 @@ def test_particle_restart_determinism(tmp_path):
     a = np.loadtxt(f"{tmp_path}/ref_particles", skiprows=1)
     b = np.loadtxt(f"{tmp_path}/out_particles", skiprows=1)
     np.testing.assert_allclose(b, a, atol=1e-14)
+
+
+def test_multibox_plotfile_level(tmp_path):
+    """A fine level with a BoxArray of several grids: one FAB file per
+    grid, Cell_H lists them all, the Header's per-level section carries
+    the grid count and per-grid physical extents."""
+    from iamr_tpu.io.plotfile import write_plotfile
+
+    geom = Geometry((16, 16), (0.0, 0.0), (1.0, 1.0), (True, True), 0)
+    rng = np.random.RandomState(3)
+    f0 = {"density": rng.randn(16, 16)}
+    g1 = ({"density": rng.randn(8, 8)}, (2, 2))
+    g2 = ({"density": rng.randn(6, 10)}, (20, 18))
+    p = str(tmp_path / "plt00000")
+    write_plotfile(p, geom, f0, time=0.5, fine_levels=[([g1, g2], 2)])
+    hdr = open(p + "/Header").read().splitlines()
+    assert hdr[5] == "1"  # finest_level
+    cellh = open(p + "/Level_1/Cell_H").read()
+    assert cellh.count("FabOnDisk") == 2
+    assert os.path.exists(p + "/Level_1/Cell_D_00001")
+    # per-level section: "1 2 <time>" (level 1 has 2 grids)
+    assert any(l.startswith("1 2 ") for l in hdr)
