@@ -86,26 +86,111 @@ def _shift(a, d, s, periodic):
     return out
 
 
+def _hood_minmax(q, fluid, dim, periodic):
+    """(min, max) of q over the 3^d FLUID neighborhood (incl. self)."""
+    qlo = jnp.where(fluid > 0.0, q, 1e300)
+    qhi = jnp.where(fluid > 0.0, q, -1e300)
+
+    def pad(a, fill):
+        for d in range(dim):
+            mode = "wrap" if periodic[d] else "constant"
+            kw = {} if mode == "wrap" else {"constant_values": fill}
+            a = jnp.pad(a, [(1, 1) if t == d else (0, 0) for t in range(dim)],
+                        mode=mode, **kw)
+        return a
+    plo, phi = pad(qlo, 1e300), pad(qhi, -1e300)
+    n = q.shape
+    mn = mx = None
+    for off in itertools.product((0, 1, 2), repeat=dim):
+        s = tuple(slice(off[d], off[d] + n[d]) for d in range(dim))
+        mn = plo[s] if mn is None else jnp.minimum(mn, plo[s])
+        mx = phi[s] if mx is None else jnp.maximum(mx, phi[s])
+    return mn, mx
+
+
+def _shift_vec(a, off, periodic):
+    for d, s in enumerate(off):
+        if s != 0:
+            a = _shift(a, d, s, periodic[d])
+    return a
+
+
+def _ls_slopes(q, fluid, cent, dim, periodic):
+    """Least-squares slopes of q over the 3^d FLUID neighborhood at the
+    true (centroid) positions — exact for linear fields, one-sided where
+    the wall truncates the stencil (the reference EBGodunov/StateRedist
+    least-squares slope machinery). Returns per-dim slopes in index units
+    (g . delta with delta in index+centroid coordinates)."""
+    A = [[jnp.zeros_like(q) for _ in range(dim)] for _ in range(dim)]
+    b = [jnp.zeros_like(q) for _ in range(dim)]
+    for off in itertools.product((-1, 0, 1), repeat=dim):
+        if all(s == 0 for s in off):
+            continue
+        qn = _shift_vec(q, off, periodic)
+        m = _shift_vec(fluid, off, periodic)
+        delta = [
+            off[e] + _shift_vec(cent[e], off, periodic) - cent[e]
+            for e in range(dim)
+        ]
+        for e in range(dim):
+            b[e] = b[e] + m * delta[e] * (qn - q)
+            for f in range(e, dim):
+                A[e][f] = A[e][f] + m * delta[e] * delta[f]
+    if dim == 2:
+        det = A[0][0] * A[1][1] - A[0][1] * A[0][1]
+        ok = jnp.abs(det) > _EPS
+        det = jnp.where(ok, det, 1.0)
+        g = [
+            jnp.where(ok, (A[1][1] * b[0] - A[0][1] * b[1]) / det, 0.0),
+            jnp.where(ok, (A[0][0] * b[1] - A[0][1] * b[0]) / det, 0.0),
+        ]
+    else:
+        c00 = A[1][1] * A[2][2] - A[1][2] * A[1][2]
+        c01 = A[0][2] * A[1][2] - A[0][1] * A[2][2]
+        c02 = A[0][1] * A[1][2] - A[0][2] * A[1][1]
+        c11 = A[0][0] * A[2][2] - A[0][2] * A[0][2]
+        c12 = A[0][1] * A[0][2] - A[0][0] * A[1][2]
+        c22 = A[0][0] * A[1][1] - A[0][1] * A[0][1]
+        det = A[0][0] * c00 + A[0][1] * c01 + A[0][2] * c02
+        ok = jnp.abs(det) > _EPS
+        det = jnp.where(ok, det, 1.0)
+        g = [
+            jnp.where(ok, (c00 * b[0] + c01 * b[1] + c02 * b[2]) / det, 0.0),
+            jnp.where(ok, (c01 * b[0] + c11 * b[1] + c12 * b[2]) / det, 0.0),
+            jnp.where(ok, (c02 * b[0] + c12 * b[1] + c22 * b[2]) / det, 0.0),
+        ]
+    return [gi * fluid for gi in g]
+
+
 def state_redistribute(q, eb: EBData, periodic):
-    """Weighted state redistribution (the reference default
-    redistribution_type = StateRedist, NavierStokesBase.cpp:4984-5001;
-    AMReX-Hydro Redistribution::StateRedistribute; Giuliani et al. 2022).
+    """Weighted state redistribution with limited linear reconstruction
+    (the reference default redistribution_type = StateRedist,
+    NavierStokesBase.cpp:4984-5001; AMReX-Hydro
+    Redistribution::StateRedistribute; Giuliani et al. 2022).
 
     Each small cut cell (vfrac < 0.5) merges with its largest-volume face
     neighbor (eb.merge_dir, built at geometry time); with nu_j = number of
-    merged neighborhoods containing cell j:
+    merged neighborhoods containing cell j and w_r = kappa_r / nu_r:
 
-        Vhat_i = sum_{r in N(i)} kappa_r / nu_r
-        Qhat_i = sum_{r in N(i)} kappa_r q_r / nu_r / Vhat_i
-        q_j    = (1/nu_j) sum_{i : j in N(i)} Qhat_i
+        Vhat_i = sum_{r in N(i)} w_r
+        Qhat_i = sum_{r in N(i)} w_r q_r / Vhat_i          (neighborhood avg)
+        xhat_i = sum_{r in N(i)} w_r x_r / Vhat_i          (volume centroid)
+        q_j    = (1/nu_j) sum_{i : j in N(i)}
+                     [Qhat_i + alpha_i g_i . (x_j - xhat_i)]
 
-    Conserves sum kappa q exactly. Piecewise-constant neighborhood
-    reconstruction (the reference adds limited slopes; first-order at the
-    handful of merged cells, which matches the cut-cell scheme's wall
-    order)."""
+    with g_i a fluid-masked minmod slope of q and alpha_i a
+    Barth-Jespersen factor keeping every scatter value inside the 3^d
+    fluid-neighborhood bounds. The slope term sums to zero against the
+    w_j weights (centroid definition), so sum kappa q is conserved
+    EXACTLY for any alpha, and linear fields are reproduced exactly
+    (second-order at the merged cells — the reference's slope
+    reconstruction; the round-1 version was piecewise-constant).
+    Cell positions x use the fluid-volume centroids (eb.cent) when the
+    geometry provides them."""
     dim = q.ndim
     md = eb.merge_dir
     vf = eb.vfrac
+    fluid = eb.fluid
 
     def offs(k):
         d, side = k // 2, k % 2
@@ -119,23 +204,65 @@ def state_redistribute(q, eb: EBData, periodic):
         d, s = offs(k)
         nu = nu + _shift(masks[k], d, -s, periodic[d])
 
-    kq_nu = vf * q / nu
-    k_nu = vf / nu
-    # neighborhood sums for merging cells: self + target
-    sum_kq = kq_nu
-    sum_k = k_nu
-    for k in range(nk):
-        d, s = offs(k)
-        sum_kq = sum_kq + masks[k] * _shift(kq_nu, d, s, periodic[d])
-        sum_k = sum_k + masks[k] * _shift(k_nu, d, s, periodic[d])
-    qhat = jnp.where(sum_k > _EPS, sum_kq / jnp.maximum(sum_k, _EPS), q)
+    w = vf / nu
+    cent = eb.cent if eb.cent is not None else tuple(
+        jnp.zeros_like(q) for _ in range(dim))
 
-    # q_j = (Qhat_j + sum of Qhat from cells merging into j) / nu_j
-    out = qhat
+    # target-relative centroid offsets per merge face k (at cell i, the
+    # position of its target j minus x_i), periodic-safe: the integer
+    # step never wraps, only the centroid field shifts
+    dxrel = []  # dxrel[k][d]
     for k in range(nk):
         d, s = offs(k)
-        out = out + _shift(masks[k] * qhat, d, -s, periodic[d])
-    return eb.fluid * out / nu
+        dxrel.append([
+            (s if e == d else 0.0)
+            + _shift(cent[e], d, s, periodic[d]) - cent[e]
+            for e in range(dim)
+        ])
+
+    # neighborhood sums (self + target) for merging cells
+    sum_w = w
+    sum_wq = w * q
+    sum_wx = [jnp.zeros_like(q) for _ in range(dim)]  # sum w_r (x_r - x_i)
+    for k in range(nk):
+        d, s = offs(k)
+        wt = _shift(w, d, s, periodic[d])
+        sum_w = sum_w + masks[k] * wt
+        sum_wq = sum_wq + masks[k] * _shift(w * q, d, s, periodic[d])
+        for e in range(dim):
+            sum_wx[e] = sum_wx[e] + masks[k] * wt * dxrel[k][e]
+    vhat = jnp.maximum(sum_w, _EPS)
+    qhat = jnp.where(sum_w > _EPS, sum_wq / vhat, q)
+    xrel_hat = [jnp.where(sum_w > _EPS, sx / vhat, 0.0) for sx in sum_wx]
+
+    # least-squares slopes + Barth-Jespersen alpha over all scatter targets
+    g = _ls_slopes(q, fluid, cent, dim, periodic)
+    qmin, qmax = _hood_minmax(q, fluid, dim, periodic)
+
+    def bj_ratio(val, alpha):
+        pos = qmax - qhat
+        neg = qmin - qhat
+        r = jnp.where(
+            val > _EPS, pos / jnp.maximum(val, _EPS),
+            jnp.where(val < -_EPS, neg / jnp.minimum(val, -_EPS), 1.0),
+        )
+        return jnp.minimum(alpha, jnp.clip(r, 0.0, 1.0))
+
+    d_self = sum(g[e] * (-xrel_hat[e]) for e in range(dim))
+    alpha = bj_ratio(d_self, jnp.ones_like(q))
+    d_tgt = []
+    for k in range(nk):
+        dt = sum(g[e] * (dxrel[k][e] - xrel_hat[e]) for e in range(dim))
+        d_tgt.append(dt)
+        alpha = jnp.where(masks[k] > 0.0, bj_ratio(dt, alpha), alpha)
+
+    # scatter: self receipt + receipts from cells merging into j
+    out = qhat + alpha * d_self
+    for k in range(nk):
+        d, s = offs(k)
+        out = out + _shift(masks[k] * (qhat + alpha * d_tgt[k]), d, -s,
+                           periodic[d])
+    return fluid * out / nu
 
 
 def eb_aofs(flux, umac, eb: EBData, dx: Sequence[float], iconserv: bool,

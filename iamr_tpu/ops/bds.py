@@ -13,11 +13,19 @@ transverse velocities). For a multilinear profile those averages are closed
 form; the moment integrals below are derived by averaging each monomial
 over the swept region (the dt^2/3 and dt^3/4 terms of the BDS papers).
 
-Differences from the reference implementation: corner-coupling
-contributions from DIAGONAL neighbor cells (the gamma spill terms, which
-matter as the transverse CFL approaches 1) are approximated by the upwind
-cell's own limited profile; the scheme remains conservative (flux form) and
-monotone via the corner limiter.
+Corner coupling (the reference's gamma terms, AMReX-Hydro BDS_2D/3D): as
+the transverse CFL grows, the sheared characteristic region spills into
+DIAGONAL neighbor cells. The reference accumulates nested "gamma"
+correction integrals; here the SAME integral is evaluated directly on the
+piecewise reconstruction: at each backward time tau the face footprint is
+decomposed by cell membership into 2^(dim-1) boxes (per transverse dim e,
+a band of width a_e = |v_e| tau lies in the neighbor opposite v_e), each
+box's average of its OWN cell's multilinear profile is the profile at the
+box centroid (multilinear => centroid rule is exact), and the tau integral
+of the resulting polynomial (degree <= 5) is done with 3-point
+Gauss-Legendre, which is exact. The edge state is therefore a convex
+combination of limited in-cell profile values: conservative (flux form)
+and monotone with no extra clamping.
 """
 
 from __future__ import annotations
@@ -150,17 +158,28 @@ def bds_edge_states(
 
     vcell = [cell_vel(e) for e in range(dim)]
 
+    # 3-point Gauss-Legendre on [0, 1]: exact for the <= degree-5
+    # tau-polynomial integrand (see module docstring)
+    _s = 0.5 * (0.6 ** 0.5)
+    GL3 = ((0.5 - _s, 5.0 / 18.0), (0.5, 8.0 / 18.0), (0.5 + _s, 5.0 / 18.0))
+
     edges = []
     for d in range(dim):
         u_f = umac_grown[d]  # extent n_d+1 in d, n_e+2 transverse
+        tdims = [e for e in range(dim) if e != d]
 
-        def to_face_pair(a):
-            """upwind-cell L/R arrays on the n_d+1 faces, real transverse."""
+        def to_face_pair(a, shifts=None):
+            """upwind-cell L/R arrays on the n_d+1 faces, real transverse;
+            shifts: optional {e: +-1} transverse cell offset (the diagonal
+            neighbor the sheared region spills into)."""
             m = a.shape[d]
             L = _shift(a, d, 0, m - 1)
             R = _shift(a, d, 1, m - 1)
             idx = tuple(
-                slice(None) if e == d else slice(1, 1 + n[e]) for e in range(dim)
+                slice(None) if e == d
+                else slice(1 + (shifts or {}).get(e, 0),
+                           1 + (shifts or {}).get(e, 0) + n[e])
+                for e in range(dim)
             )
             return L[idx], R[idx]
 
@@ -169,58 +188,66 @@ def bds_edge_states(
         ]
         au = jnp.abs(u_real)
         su = jnp.sign(u_real)
+        up = u_real > 0.0
 
-        # moment integrals of the swept characteristic region (upwind cell
-        # local coords): normal xi and shear taus
-        m_xi = su * (0.5 * dx[d] - 0.5 * au * dt)
-        m_xitau = su * (0.25 * dx[d] * dt - au * dt * dt / 3.0)
-        m_xitau2 = su * (dx[d] * dt * dt / 6.0 - 0.25 * au * dt**3)
-        m_tau = 0.5 * dt
-        m_tau2 = dt * dt / 3.0
+        # upwind cell's transverse velocities (cell-constant characteristics)
+        v = {}
+        for e in tdims:
+            vL, vR = to_face_pair(vcell[e])
+            v[e] = jnp.where(up, vL, vR)
+
+        # upwind-selected profile coefficients of the cell the footprint
+        # subset S lands in: for e in S the neighbor is opposite v_e
+        # (runtime sign -> blend the two shifted variants)
+        subsets = []
+        for r in range(len(tdims) + 1):
+            subsets.extend(itertools.combinations(tdims, r))
+
+        def coef_sel(mset, S):
+            out = None
+            for sgs in itertools.product((-1, 1), repeat=len(S)):
+                L, R = to_face_pair(coefs[mset], dict(zip(S, sgs)))
+                c = jnp.where(up, L, R)
+                w = None
+                for e, sg in zip(S, sgs):
+                    # v_e > 0: band exits the LOW side -> neighbor -1
+                    m = (v[e] > 0.0) if sg == -1 else (v[e] <= 0.0)
+                    w = m if w is None else jnp.logical_and(w, m)
+                c = c if w is None else jnp.where(w, c, 0.0)
+                out = c if out is None else out + c
+            return out
+
+        csel = {S: {mset: coef_sel(mset, S) for mset in coefs} for S in subsets}
 
         out = 0.0
-        for mset, coef in coefs.items():
-            cL, cR = to_face_pair(coef)
-            c_up = jnp.where(u_real > 0.0, cL, cR)
-            # transverse velocities of the upwind cell
-            tdims = [e for e in range(dim) if e != d and mset[e]]
-            has_xi = bool(mset[d])
-            term = c_up
-            if not has_xi and not tdims:
-                pass
-            elif has_xi and not tdims:
-                term = term * m_xi
-            elif not has_xi and len(tdims) == 1:
-                e = tdims[0]
-                vL, vR = to_face_pair(vcell[e])
-                v = jnp.where(u_real > 0.0, vL, vR)
-                term = term * (-v * m_tau)
-            elif has_xi and len(tdims) == 1:
-                e = tdims[0]
-                vL, vR = to_face_pair(vcell[e])
-                v = jnp.where(u_real > 0.0, vL, vR)
-                term = term * (-v * m_xitau)
-            elif not has_xi and len(tdims) == 2:
-                e1, e2 = tdims
-                v1 = jnp.where(u_real > 0.0, *to_face_pair(vcell[e1]))
-                v2 = jnp.where(u_real > 0.0, *to_face_pair(vcell[e2]))
-                term = term * (v1 * v2 * m_tau2)
-            else:  # xi * eta * zeta
-                e1, e2 = tdims
-                v1 = jnp.where(u_real > 0.0, *to_face_pair(vcell[e1]))
-                v2 = jnp.where(u_real > 0.0, *to_face_pair(vcell[e2]))
-                term = term * (v1 * v2 * m_xitau2)
-            out = out + term
-
-        # clamp to the upwind cell's profile corner bounds: the sheared
-        # sweep region can exit the cell where the multilinear profile
-        # extrapolates (the reference handles that region with the gamma
-        # corner-coupling terms); clamping keeps the scheme monotone
-        loL, loR = to_face_pair(cmin)
-        hiL, hiR = to_face_pair(cmax)
-        lo_up = jnp.where(u_real > 0.0, loL, loR)
-        hi_up = jnp.where(u_real > 0.0, hiL, hiR)
-        out = jnp.clip(out, lo_up, hi_up)
+        for tq, wq in GL3:
+            tau = tq * dt
+            X = su * (0.5 * dx[d] - jnp.minimum(au * tau, dx[d]))
+            a_e = {e: jnp.minimum(jnp.abs(v[e]) * tau, dx[e]) for e in tdims}
+            sg_e = {e: jnp.sign(v[e]) for e in tdims}
+            for S in subsets:
+                # footprint fraction in this membership box
+                w_S = 1.0
+                mu = {}
+                for e in tdims:
+                    if e in S:
+                        w_S = w_S * (a_e[e] / dx[e])
+                        mu[e] = sg_e[e] * 0.5 * (dx[e] - a_e[e])
+                    else:
+                        w_S = w_S * (1.0 - a_e[e] / dx[e])
+                        mu[e] = -sg_e[e] * 0.5 * a_e[e]
+                # multilinear profile of the box's own cell at the box
+                # centroid (exact average)
+                P = 0.0
+                for mset, c in csel[S].items():
+                    term = c
+                    if mset[d]:
+                        term = term * X
+                    for e in tdims:
+                        if mset[e]:
+                            term = term * mu[e]
+                    P = P + term
+                out = out + wq * w_S * P
 
         if force_g is not None:
             f_real = force_g[

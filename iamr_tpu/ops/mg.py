@@ -680,8 +680,21 @@ def mg_solve(
     bnorm = jnp.max(jnp.abs(rhs))
     tol = jnp.maximum(rtol * bnorm, atol)
 
-    def do_cycle(phi):
-        _, r = _smooth2(phi, rhs, levels[0], a, b, bc, 0, True)
+    def residual_f64(phi):
+        return _smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]
+
+    def residual_df(phi):
+        # fused compensated-f32 residual (ops/df32.py) for the EARLY mixed
+        # cycles; the approach to tolerance always runs on the f64
+        # residual (see mg_nodal.nodal_solve for why: whole-program XLA
+        # optimization can degrade the compensation in large programs)
+        from iamr_tpu.ops.df32 import residual_cell_df
+
+        lev0 = levels[0]
+        return residual_cell_df(phi, rhs, lev0.alpha, lev0.beta, a, b,
+                                lev0.dx, bc)
+
+    def do_cycle(phi, r, resid_fn):
         if use_mixed:
             e = _vcycle(
                 r.astype(jnp.float32), levels32, a, b32, bc, 0,
@@ -692,29 +705,53 @@ def mg_solve(
         phi = phi + e
         if singular:
             phi = phi - invariant_mean(phi)
-        return phi
+        return phi, resid_fn(phi)
 
     def finalize(phi):
         return phi if g_ext is None else phi + g_ext
 
     if fixed_cycles is not None:
+        r = residual_df(phi) if use_mixed else residual_f64(phi)
         for _ in range(fixed_cycles):
-            phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
+            phi, r = do_cycle(phi, r, residual_df if use_mixed
+                              else residual_f64)
+        if use_mixed:  # report the true residual, not the df32 one
+            r = residual_f64(phi)
+        res = jnp.max(jnp.abs(r))
         return finalize(phi), res, jnp.asarray(fixed_cycles)
 
-    def cond(state):
-        phi, res, it = state
-        return jnp.logical_and(res > tol, it < max_vcycles)
+    def cond_phase(tol_phase):
+        def cond(state):
+            _, _, res, it = state
+            return jnp.logical_and(res > tol_phase, it < max_vcycles)
+        return cond
 
-    def body(state):
-        phi, _, it = state
-        phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
-        return phi, res, it + 1
+    def body_with(resid_fn):
+        def body(state):
+            phi, r, _, it = state
+            phi, r = do_cycle(phi, r, resid_fn)
+            return phi, r, jnp.max(jnp.abs(r)), it + 1
+        return body
 
-    res0 = jnp.max(jnp.abs(_smooth2(phi, rhs, levels[0], a, b, bc, 0, True)[1]))
-    phi, res, it = jax.lax.while_loop(cond, body, (phi, res0, jnp.asarray(0)))
+    if use_mixed:
+        switch = jnp.maximum(tol, 1e-7 * bnorm)
+        r0 = residual_df(phi)
+        phi, _, _, itA = jax.lax.while_loop(
+            cond_phase(switch), body_with(residual_df),
+            (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
+        )
+        rB = residual_f64(phi)
+        phi, _, res, itB = jax.lax.while_loop(
+            cond_phase(tol), body_with(residual_f64),
+            (phi, rB, jnp.max(jnp.abs(rB)), jnp.asarray(0)),
+        )
+        return finalize(phi), res, itA + itB
+
+    r0 = residual_f64(phi)
+    phi, _, res, it = jax.lax.while_loop(
+        cond_phase(tol), body_with(residual_f64),
+        (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
+    )
     return finalize(phi), res, it
 
 

@@ -740,8 +740,24 @@ def nodal_solve(
     bnorm = jnp.max(jnp.abs(rhs))
     tol = jnp.maximum(rtol * bnorm, atol)
 
-    def do_cycle(phi):
-        _, r = _smooth2(phi, rhs, lev0, bc, 0, True)
+    def residual_f64(phi):
+        return _smooth2(phi, rhs, lev0, bc, 0, True)[1]
+
+    def residual_df(phi):
+        # fused compensated-f32 residual (~1e-14 relative at f32 speed,
+        # ops/df32.py) — used for the EARLY mixed cycles only: compiled
+        # into a large enough program, XLA's whole-module optimizations
+        # can silently degrade the compensation to ~1e-8 relative (bare
+        # contexts stay exact; see tests/test_df32.py and the df32 module
+        # docstring), so the approach to tolerance below always runs on
+        # the f64 residual.
+        from iamr_tpu.ops.df32 import residual_nodal_df
+
+        return residual_nodal_df(phi, rhs, lev0.sigma, lev0.mask,
+                                 lev0.dx, bc)
+
+    def do_cycle(phi, r, resid_fn):
+        """One outer correction from residual r; returns (phi, next r)."""
         if use_mixed:
             e = _nodal_vcycle(
                 r.astype(jnp.float32), levels32, bc, 0, nu1, nu2, nu_bottom,
@@ -752,27 +768,55 @@ def nodal_solve(
         phi = phi + lev0.mask * e
         if singular:
             phi = demean(phi)
-        return phi
+        return phi, resid_fn(phi)
 
     def finalize(phi):
         return phi if phi_b is None else phi + phi_b
 
     if fixed_cycles is not None:
+        r = residual_df(phi) if use_mixed else residual_f64(phi)
         for _ in range(fixed_cycles):
-            phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_smooth2(phi, rhs, lev0, bc, 0, True)[1]))
+            phi, r = do_cycle(phi, r, residual_df if use_mixed
+                              else residual_f64)
+        if use_mixed:  # report the true residual, not the df32 one
+            r = residual_f64(phi)
+        res = jnp.max(jnp.abs(r))
         return finalize(phi), res, jnp.asarray(fixed_cycles)
 
-    def cond(state):
-        _, res, it = state
-        return jnp.logical_and(res > tol, it < max_vcycles)
+    def cond_phase(tol_phase):
+        def cond(state):
+            _, _, res, it = state
+            return jnp.logical_and(res > tol_phase, it < max_vcycles)
+        return cond
 
-    def body(state):
-        phi, _, it = state
-        phi = do_cycle(phi)
-        res = jnp.max(jnp.abs(_smooth2(phi, rhs, lev0, bc, 0, True)[1]))
-        return phi, res, it + 1
+    def body_with(resid_fn):
+        def body(state):
+            phi, r, _, it = state
+            phi, r = do_cycle(phi, r, resid_fn)
+            return phi, r, jnp.max(jnp.abs(r)), it + 1
+        return body
 
-    res0 = jnp.max(jnp.abs(_smooth2(phi, rhs, lev0, bc, 0, True)[1]))
-    phi, res, it = jax.lax.while_loop(cond, body, (phi, res0, jnp.asarray(0)))
+    if use_mixed:
+        # phase A: df32-residual-driven cycles down to ~1e-7*bnorm — the
+        # expensive f64 residual stays out of the loop while the V-cycles
+        # do the bulk of the contraction
+        switch = jnp.maximum(tol, 1e-7 * bnorm)
+        r0 = residual_df(phi)
+        phi, _, _, itA = jax.lax.while_loop(
+            cond_phase(switch), body_with(residual_df),
+            (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
+        )
+        # phase B: true-f64-residual-driven approach to tolerance
+        rB = residual_f64(phi)
+        phi, _, res, itB = jax.lax.while_loop(
+            cond_phase(tol), body_with(residual_f64),
+            (phi, rB, jnp.max(jnp.abs(rB)), jnp.asarray(0)),
+        )
+        return finalize(phi), res, itA + itB
+
+    r0 = residual_f64(phi)
+    phi, _, res, it = jax.lax.while_loop(
+        cond_phase(tol), body_with(residual_f64),
+        (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
+    )
     return finalize(phi), res, it

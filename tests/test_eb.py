@@ -214,6 +214,42 @@ def test_state_redistribute_conserves_and_fixes_small_cells():
     ) < 1e-14
 
 
+def test_state_redistribute_linear_exact_and_bounded():
+    """The slope-reconstruction StateRedist reproduces LINEAR fields
+    exactly on cut cells (second-order property of the reference's
+    Redistribution::StateRedistribute; the PC version averages them) and
+    never creates new extrema beyond the fluid-neighborhood bounds."""
+    import numpy as np
+    import jax.numpy as jnp
+    from iamr_tpu.core.geometry import Geometry
+    from iamr_tpu.eb.geom import build_eb_geometry, sphere_if
+    from iamr_tpu.eb.redist import state_redistribute
+
+    n = 32
+    geom = Geometry((n, n), (0.0, 0.0), (1.0, 1.0), (False, False), 0)
+    eb = build_eb_geometry(
+        sphere_if((0.5, 0.5), 0.31, fluid_inside=False), geom
+    )
+    ii, jj = np.meshgrid(np.arange(n, dtype=float), np.arange(n, dtype=float),
+                         indexing="ij")
+    # linear in the CENTROID coordinates (what a 2nd-order cut-cell field is)
+    cx = np.asarray(eb.cent[0]) if eb.cent is not None else 0.0
+    cy = np.asarray(eb.cent[1]) if eb.cent is not None else 0.0
+    lin = 0.3 * (ii + cx) - 0.7 * (jj + cy) + 2.0
+    q = jnp.asarray(lin) * eb.fluid
+    q2 = state_redistribute(q, eb, (False, False))
+    err = float(jnp.max(jnp.abs((q2 - q) * eb.fluid)))
+    assert err < 1e-10, err
+
+    # monotone: random field stays within the 3^2 fluid-hood bounds
+    rng = np.random.RandomState(3)
+    qr = jnp.asarray(rng.rand(n, n)) * eb.fluid
+    q3 = np.asarray(state_redistribute(qr, eb, (False, False)))
+    fl = np.asarray(eb.fluid) > 0
+    assert q3[fl].max() <= float(jnp.max(qr)) + 1e-12
+    assert q3[fl].min() >= -1e-12
+
+
 def test_named_geometry_catalog():
     """Named EB geometries from NS_init_eb2.cpp parse and build sensible
     fraction fields (Square-Grid, Inflow-Pipe, combustor)."""

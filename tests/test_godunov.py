@@ -299,10 +299,18 @@ def test_bds_monotone_and_second_order():
     sq = ((np.abs(X - 0.5) < 0.15) & (np.abs(Y - 0.5) < 0.15)).astype(float)
     umac = (jnp.full((n + 1, n), 1.0), jnp.full((n, n + 1), 0.5))
     s = _advect_steps(sq, umac, 0.4 * dx, dx, 20, iconserv=True, scheme="bds")
-    # bounded to ~1%: the diagonal corner-coupling (gamma) terms are
-    # approximated by the upwind cell's clamped profile (see ops/bds.py);
-    # strict max-principle needs the full gamma machinery
+    # edge states are convex combinations of limited in-cell profile values
+    # (exact piecewise corner coupling, ops/bds.py); the unsplit flux-form
+    # update still admits ~1% square-wave over/undershoot, as in the
+    # reference's BDS
     assert s.min() > -0.01 and s.max() < 1.01, (s.min(), s.max())
+
+    # high transverse CFL (0.9): the corner-coupling regime the gamma terms
+    # exist for — bounds stay at the few-percent level and mass is exact
+    um2 = (jnp.full((n + 1, n), 1.0), jnp.full((n, n + 1), 1.0))
+    s2 = _advect_steps(sq, um2, 0.9 * dx, dx, 20, iconserv=True, scheme="bds")
+    assert s2.min() > -0.02 and s2.max() < 1.03, (s2.min(), s2.max())
+    np.testing.assert_allclose(s2.sum(), sq.sum(), rtol=1e-12)
 
     errs = []
     for nn in (32, 64):
@@ -374,5 +382,5 @@ def test_bds_end_to_end_from_reference_inputs():
     )
     assert bool(jnp.all(jnp.isfinite(state.vel)))
     t = state.trac[0]
-    # ~1% bound (approximated gamma corner coupling, see ops/bds.py)
+    # few-percent bound: unsplit flux-form over/undershoot (see ops/bds.py)
     assert float(jnp.min(t)) > -0.05 and float(jnp.max(t)) < 1.05
