@@ -18,9 +18,12 @@ def main(argv):
     # Enabling x64 in a process also breaks Mosaic lowering of pure-f32
     # Pallas kernels, so f32 runs must leave it off.
     from iamr_tpu.config.parmparse import ParmParse
-    from iamr_tpu.ns.state import config_from_inputs
+    from iamr_tpu.ns.state import config_from_inputs, dim_hint_from_path
 
-    cfg_probe = config_from_inputs(ParmParse.from_file(path, overrides))
+    cfg_probe = config_from_inputs(
+        ParmParse.from_file(path, overrides),
+        dim_hint=dim_hint_from_path(path),
+    )
     jax.config.update("jax_enable_x64", cfg_probe.dtype == "float64")
     from iamr_tpu.ns.driver import run_from_inputs
 

@@ -834,8 +834,10 @@ def run_hierarchy(
 
 
 def run_from_inputs(path: str, overrides=(), **kw):
+    from iamr_tpu.ns.state import dim_hint_from_path
+
     pp = ParmParse.from_file(path, overrides)
-    cfg = config_from_inputs(pp)
+    cfg = config_from_inputs(pp, dim_hint=dim_hint_from_path(path))
     # exit-on-NaN debugging (the reference's NaN scans after every update,
     # NavierStokes.cpp:847-854; here jax traps at the producing op)
     if int(pp.scoped("ns").query("debug_nans", 0)):

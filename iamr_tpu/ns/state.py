@@ -180,6 +180,25 @@ def _phys_bcs(pp: ParmParse, dim: int, periodic):
     return tuple(phys_lo), tuple(phys_hi), bc_values
 
 
+def dim_hint_from_path(path) -> Optional[int]:
+    """Infer the spatial dimension from the reference's inputs-file naming
+    convention (inputs.2d.*, regtest.3d.*, inputs.3d, ...).
+
+    The reference fixes DIM at compile time (amr2d.ex vs amr3d.ex built in
+    Exec/run2d / run3d) and its inputs files often carry 3-component
+    geometry arrays regardless (e.g. Tutorials/FlowPastCylinder
+    inputs.2d.flow_past_cylinder-x has `amr.n_cell = 64 64 16`), so
+    len(n_cell) alone mis-detects those as 3D. The `.2d.`/`.3d.` filename
+    token is the reference's own convention for which executable runs the
+    file; use it when present."""
+    import os
+    import re
+
+    name = os.path.basename(str(path)).lower()
+    m = re.search(r"(?:^|[._-])([23])d(?:$|[._-])", name)
+    return int(m.group(1)) if m else None
+
+
 def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfig:
     """Build an NSConfig from a reference-format inputs table."""
     amr = pp.scoped("amr")

@@ -232,6 +232,47 @@ def apply_nodal(phi, sigma, dx, bc: NodalBC):
     return out
 
 
+def _jacobi_safe_omega(dx, dim: int, cap: float = 0.85) -> float:
+    """Static per-level weighted-Jacobi damping that cannot diverge.
+
+    Gershgorin: lambda_max(D^-1 A) <= max_i sum_j |a_ij| / |a_ii|, and
+    Jacobi diverges iff omega * lambda_max > 2. On isotropic grids the
+    bound stays ~2.3 and the tuned omega = 0.85 is returned unchanged; on
+    anisotropic grids (dz != dx — e.g. a 3D tutorial domain with a thin
+    z-extent) the trilinear FEM stencil loses diagonal dominance and the
+    fixed 0.85 DIVERGES (observed: residual 9e35 at dz = dx/2), so the
+    damping shrinks to 1.8 / bound. The bound is evaluated for locally
+    constant sigma (a python float — the fused Pallas smoothers need a
+    static omega); 1.8 instead of the exact 2.0 margin absorbs smooth
+    sigma variation, and sigma -> 0 (EB, walls) only removes off-diagonal
+    weight."""
+    import itertools as _it
+
+    K = _fem_element_matrix(dx)
+    diag_abs = 0.0
+    absrow = 0.0
+    for o in _it.product((-1, 0, 1), repeat=dim):
+        choices = []
+        for d in range(dim):
+            if o[d] == -1:
+                choices.append([(0, 1, 0)])
+            elif o[d] == 1:
+                choices.append([(1, 0, 1)])
+            else:
+                choices.append([(0, 1, 1), (1, 0, 0)])
+        coef = 0.0
+        for combo in _it.product(*choices):
+            a = tuple(c[1] for c in combo)
+            b = tuple(c[2] for c in combo)
+            coef += K[(a, b)]
+        if all(x == 0 for x in o):
+            diag_abs = abs(coef)
+        else:
+            absrow += abs(coef)
+    bound = (absrow + diag_abs) / diag_abs
+    return float(min(cap, 1.8 / bound))
+
+
 def avg_cell_to_node(s, bc: NodalBC):
     """Average a cell field to nodes (for divu sources in the nodal rhs)."""
     return _adjacent_cell_sum(s, bc) / (2 ** s.ndim)
@@ -327,6 +368,7 @@ class NodalLevel:
     mask: jnp.ndarray
     dx: Tuple[float, ...]
     nshape: Tuple[int, ...]
+    omega: float = 0.85  # divergence-safe Jacobi damping (_jacobi_safe_omega)
 
 
 def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2,
@@ -358,7 +400,8 @@ def build_nodal_hierarchy(sigma, dx, bc: NodalBC, min_size: int = 2,
         mask = _dirichlet_mask(nshape, bc, sigma.dtype)
         if cur_m is not None:
             mask = mask * cur_m
-        levels.append(NodalLevel(cur_sigma, diag, mask, cur_dx, nshape))
+        levels.append(NodalLevel(cur_sigma, diag, mask, cur_dx, nshape,
+                                 _jacobi_safe_omega(cur_dx, dim)))
         if (
             len(levels) >= max_levels
             or any(n % 2 != 0 for n in cshape)
@@ -409,8 +452,10 @@ def _fused_gate(lev: NodalLevel, dtype, nsweeps: int, want_resid: bool):
 
 
 def _smooth2(phi, rhs, lev: NodalLevel, bc: NodalBC, nsweeps: int,
-             want_resid: bool, omega: float = 0.85):
+             want_resid: bool, omega: Optional[float] = None):
     """Jacobi smoother (+ optional masked residual), fused when possible."""
+    if omega is None:
+        omega = lev.omega
     mode, interp = _fused_gate(lev, rhs.dtype, nsweeps, want_resid)
     if mode == "sr":
         from iamr_tpu.ops.pallas_fused import nodal_smooth_sr
@@ -440,7 +485,10 @@ def _sigp_for_kernel(sigma, bc: NodalBC):
     return jnp.pad(sp, [(0, 1)] * sigma.ndim, mode="edge")
 
 
-def _jacobi(phi, rhs, lev: NodalLevel, bc: NodalBC, nsweeps: int, omega: float = 0.85):
+def _jacobi(phi, rhs, lev: NodalLevel, bc: NodalBC, nsweeps: int,
+            omega: Optional[float] = None):
+    if omega is None:
+        omega = lev.omega
     if _use_pallas(lev, phi.dtype):
         from iamr_tpu.ops.pallas_mg import fem_K_table, nodal_sweep
 

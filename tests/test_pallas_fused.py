@@ -138,8 +138,10 @@ def test_nodal_fused_matches_xla(cshape, bc, nsweeps, mode):
     lev = build_nodal_hierarchy(sigma, dx, bc)[0]
     pr = mn._jacobi(phi, rhs, lev, bc, nsweeps)
     rr = mn._nodal_residual(pr, rhs, lev, bc)
+    # lev.omega: the divergence-safe damping (< 0.85 on the anisotropic
+    # cases here) — must match what _jacobi used
     pf, rf = nodal_smooth_fused(
-        phi, sigma, rhs, dx, bc.lo, bc.hi, 0.85,
+        phi, sigma, rhs, dx, bc.lo, bc.hi, lev.omega,
         nsweeps, True, interpret=True, mode=mode,
     )
     scale = max(float(jnp.max(jnp.abs(rr))), 1.0)
