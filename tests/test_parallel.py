@@ -192,6 +192,64 @@ def test_sharded_two_level_matches():
         assert (d > 1e-6).mean() < 0.01  # <1% of cells near thresholds
 
 
+def test_sharded_multibox_fine_level_matches():
+    """The union multi-box fine-level advance (BoxArray data model,
+    amr/multipatch.py) agrees under sharding: masked union elliptic solves,
+    sibling ghost pastes, and fine-fine-masked registers all compile to the
+    same answers on an 8-device mesh."""
+    from iamr_tpu.amr.hierarchy import LevelSpec
+    from iamr_tpu.amr.multilevel import init_fine_from_coarse
+    from iamr_tpu.amr.multipatch import advance_two_level_multipatch
+    from iamr_tpu.ns.driver import initialize
+
+    pp = ParmParse.from_string(
+        """
+        ns.cfl = 0.5
+        ns.init_iter = 1
+        amr.n_cell = 32 32
+        geometry.prob_lo = 0. 0.
+        geometry.prob_hi = 1. 1.
+        geometry.is_periodic = 1 1
+        prob.probtype = 5
+        prob.density_ic = 1.0
+        """
+    )
+    cfg = config_from_inputs(pp)
+    specs = (
+        LevelSpec(lo=(8, 12), ncell=(48, 12), ratio=2),
+        LevelSpec(lo=(8, 40), ncell=(48, 12), ratio=2),
+    )
+    crse = initialize(cfg, fixed_mg_cycles=4)
+    fines = tuple(init_fine_from_coarse(cfg, sp, crse) for sp in specs)
+    step = jax.jit(
+        lambda c, f: advance_two_level_multipatch(
+            c, f, cfg, specs, fixed_mg_cycles=4
+        )
+    )
+    c_ref, f_ref = step(crse, fines)
+
+    pmesh = SpatialMesh.create(8, dim=2)
+    with use_mesh(pmesh):
+        c_sh = shard_state(crse, pmesh)
+        f_sh = tuple(shard_state(fb, pmesh) for fb in fines)
+        step_sh = jax.jit(
+            lambda c, f: advance_two_level_multipatch(
+                c, f, cfg, specs, fixed_mg_cycles=4
+            )
+        )
+        c_out, f_out = step_sh(c_sh, f_sh)
+        c_out.vel.block_until_ready()
+
+    # same tolerance policy as test_sharded_two_level_matches: bulk at
+    # roundoff, thresholded-upwind tie flips bounded at truncation size
+    _assert_state_close(c_out, c_ref, 1e-3)
+    for fo, fr in zip(f_out, f_ref):
+        _assert_state_close(fo, fr, 1e-3)
+    d = np.abs(np.asarray(c_out.vel) - np.asarray(c_ref.vel))
+    assert float(np.median(d)) < 1e-8
+    assert (d > 1e-6).mean() < 0.01
+
+
 def test_collectives_present_in_hlo():
     """The compiled sharded program actually communicates (halo exchange /
     reductions lower to collectives, not all-gather-everything)."""
