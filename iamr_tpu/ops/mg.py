@@ -740,12 +740,42 @@ def mg_solve(
             cond_phase(switch), body_with(residual_df),
             (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
         )
+
+        # phase B: incremental residual r <- r - L(e) with L(e) in df32
+        # (error relative to |L(e)| ~ |r|, so drift << tol); one f64
+        # residual at entry, one to verify, cleanup loop only on drift
+        # (see mg_nodal.nodal_solve)
+        from iamr_tpu.ops.df32 import residual_cell_df as _rdf
+
+        lev0 = levels[0]
+
+        def apply_df(e):
+            return -_rdf(e, jnp.zeros_like(e), lev0.alpha, lev0.beta, a, b,
+                         lev0.dx, bc)
+
+        def bodyB(state):
+            phi, r, _, it = state
+            e = _vcycle(
+                r.astype(jnp.float32), levels32, a, b32, bc, 0,
+                nu1, nu2, nu_bottom, binv,
+            ).astype(dtype)
+            phi = phi + e
+            if singular:
+                phi = phi - invariant_mean(phi)  # constants in L's nullspace
+            r = r - apply_df(e)
+            return phi, r, jnp.max(jnp.abs(r)), it + 1
+
         rB = residual_f64(phi)
-        phi, _, res, itB = jax.lax.while_loop(
-            cond_phase(tol), body_with(residual_f64),
+        phi, _, _, itB = jax.lax.while_loop(
+            cond_phase(0.5 * tol), bodyB,
             (phi, rB, jnp.max(jnp.abs(rB)), jnp.asarray(0)),
         )
-        return finalize(phi), res, itA + itB
+        rV = residual_f64(phi)
+        phi, _, res, itC = jax.lax.while_loop(
+            cond_phase(tol), body_with(residual_f64),
+            (phi, rV, jnp.max(jnp.abs(rV)), jnp.asarray(0)),
+        )
+        return finalize(phi), res, itA + itB + itC
 
     r0 = residual_f64(phi)
     phi, _, res, it = jax.lax.while_loop(

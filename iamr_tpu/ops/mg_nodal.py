@@ -854,13 +854,45 @@ def nodal_solve(
             cond_phase(switch), body_with(residual_df),
             (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
         )
-        # phase B: true-f64-residual-driven approach to tolerance
+
+        # phase B: INCREMENTAL residual carried from one true f64 apply:
+        # r <- r - L(e) with L(e) in df32. The df32 apply error is
+        # relative to |L(e)| ~ |r| (NOT to bnorm), so the drift over the
+        # few phase-B cycles is ~1e-8 * |r_entry| << tol; a final f64
+        # residual verifies, and a full-f64 cleanup loop runs only if the
+        # drift ate the 2x margin. Total FULL f64 applies per solve: ~2.
+        from iamr_tpu.ops.df32 import residual_nodal_df as _rdf
+
+        def apply_df(e):
+            # mask * L(e) via the df32 residual with rhs = 0
+            return -_rdf(e, jnp.zeros_like(e), lev0.sigma, lev0.mask,
+                         lev0.dx, bc)
+
+        def bodyB(state):
+            phi, r, _, it = state
+            e = _nodal_vcycle(
+                r.astype(jnp.float32), levels32, bc, 0, nu1, nu2, nu_bottom,
+                binv,
+            ).astype(rhs.dtype)
+            phi = phi + lev0.mask * e
+            if singular:
+                phi = demean(phi)  # constants are in L's nullspace: r unchanged
+            r = lev0.mask * (r - apply_df(e))
+            return phi, r, jnp.max(jnp.abs(r)), it + 1
+
         rB = residual_f64(phi)
-        phi, _, res, itB = jax.lax.while_loop(
-            cond_phase(tol), body_with(residual_f64),
+        phi, _, _, itB = jax.lax.while_loop(
+            cond_phase(0.5 * tol), bodyB,
             (phi, rB, jnp.max(jnp.abs(rB)), jnp.asarray(0)),
         )
-        return finalize(phi), res, itA + itB
+        # verify against the truth; clean up with full f64 residuals if
+        # the incremental estimate drifted
+        rV = residual_f64(phi)
+        phi, _, res, itC = jax.lax.while_loop(
+            cond_phase(tol), body_with(residual_f64),
+            (phi, rV, jnp.max(jnp.abs(rV)), jnp.asarray(0)),
+        )
+        return finalize(phi), res, itA + itB + itC
 
     r0 = residual_f64(phi)
     phi, _, res, it = jax.lax.while_loop(
