@@ -221,6 +221,19 @@ def extrap_vel_to_faces(
     ng = 3
     n = tuple(ncell)
 
+    if dim == 3 and scheme == "plm":
+        from iamr_tpu.ops.pallas_godunov import (
+            extrap_plm_fused,
+            godunov_fused_ok,
+        )
+
+        if godunov_fused_ok(n, vel_g.dtype, scheme, None, None):
+            umac = extrap_plm_fused(vel_g, force_g, dt, dx, n)
+            return tuple(
+                _pin_faces(umac[d], d, bcrecs[d], bcvals_lo, bcvals_hi)
+                for d in range(dim)
+            )
+
     # limited slopes of every component in every dim, on the ng=1 region
     # slope4 output has ghost extent ng-2 = 1 in its own dim; trim others to 1
     slopes = [[None] * dim for _ in range(dim)]  # [comp][dir]
@@ -347,21 +360,23 @@ def extrap_vel_to_faces(
         uR_full = uR + corr_R + 0.5 * dt * f_R
 
         face = _riemann_self(uL_full, uR_full)
-
-        # pin ext_dir domain faces to the BC value (velFill semantics,
-        # NS_bcfill.H:101-170); reflect_odd (symmetry) faces are zero
-        bcr = bcrecs[d]
-        if bcr.lo[d] == MathBC.ext_dir:
-            face = _set_face(face, d, 0, bcvals_lo[d][d])
-        elif bcr.lo[d] == MathBC.reflect_odd:
-            face = _set_face(face, d, 0, 0.0)
-        if bcr.hi[d] == MathBC.ext_dir:
-            face = _set_face(face, d, -1, bcvals_hi[d][d])
-        elif bcr.hi[d] == MathBC.reflect_odd:
-            face = _set_face(face, d, -1, 0.0)
-        u_mac.append(face)
+        u_mac.append(_pin_faces(face, d, bcrecs[d], bcvals_lo, bcvals_hi))
 
     return tuple(u_mac)
+
+
+def _pin_faces(face, d, bcr, bcvals_lo, bcvals_hi):
+    """Pin ext_dir domain faces to the BC value (velFill semantics,
+    NS_bcfill.H:101-170); reflect_odd (symmetry) faces are zero."""
+    if bcr.lo[d] == MathBC.ext_dir:
+        face = _set_face(face, d, 0, bcvals_lo[d][d])
+    elif bcr.lo[d] == MathBC.reflect_odd:
+        face = _set_face(face, d, 0, 0.0)
+    if bcr.hi[d] == MathBC.ext_dir:
+        face = _set_face(face, d, -1, bcvals_hi[d][d])
+    elif bcr.hi[d] == MathBC.reflect_odd:
+        face = _set_face(face, d, -1, 0.0)
+    return face
 
 
 def _set_face(a, d, pos, val):

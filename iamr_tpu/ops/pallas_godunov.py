@@ -499,3 +499,353 @@ def godunov_plm_fused(
     )(scal, sgp, u0p, u1p, u2p, fgp)
     fluxes = (fx[:n0 + 1, :n1], fy[:n0, :n1 + 1], fz[:n0, :n1])
     return fluxes, aofs[:n0, :n1]
+
+
+# ---------------------------------------------------------------------------
+# fused ExtrapVelToFaces (the MAC-velocity predictor)
+
+
+def _slope4_dim0(sg, fc_lo, rows, c1lo, c1n, c2lo, c2n):
+    """4th-order MC slope along dim0 at cells [fc_lo, fc_lo+rows) in sg row
+    units, transverse windows [c1lo, c1lo+c1n) x [c2lo, c2lo+c2n)."""
+
+    def q(o):
+        return sg[fc_lo + o:fc_lo + o + rows,
+                  c1lo:c1lo + c1n, c2lo:c2lo + c2n]
+
+    def s2(o):
+        c = q(o)
+        lo = q(o - 1)
+        hi = q(o + 1)
+        dc = 0.5 * (hi - lo)
+        dl = 2.0 * (c - lo)
+        dr = 2.0 * (hi - c)
+        dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+        dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
+        return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
+
+    c = q(0)
+    lo = q(-1)
+    hi = q(1)
+    dc = (4.0 / 3.0) * 0.5 * (hi - lo) - (1.0 / 6.0) * (s2(1) + s2(-1))
+    dl = 2.0 * (c - lo)
+    dr = 2.0 * (hi - c)
+    dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+    dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
+    return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
+
+
+def _slope4_dimt(sg, d, r_lo, r_n, o_t, t_n, u_lo, u_n):
+    """4th-order MC slope along transverse dim d (1 or 2): dim0 rows
+    [r_lo, r_lo+r_n), dim-d cells at base col o_t extent t_n, the other
+    transverse dim at [u_lo, u_lo+u_n)."""
+
+    def q(o):
+        if d == 1:
+            return sg[r_lo:r_lo + r_n, o_t + o:o_t + o + t_n,
+                      u_lo:u_lo + u_n]
+        return sg[r_lo:r_lo + r_n, u_lo:u_lo + u_n,
+                  o_t + o:o_t + o + t_n]
+
+    def s2(o):
+        c = q(o)
+        lo = q(o - 1)
+        hi = q(o + 1)
+        dc = 0.5 * (hi - lo)
+        dl = 2.0 * (c - lo)
+        dr = 2.0 * (hi - c)
+        dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+        dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
+        return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
+
+    c = q(0)
+    lo = q(-1)
+    hi = q(1)
+    dc = (4.0 / 3.0) * 0.5 * (hi - lo) - (1.0 / 6.0) * (s2(1) + s2(-1))
+    dl = 2.0 * (c - lo)
+    dr = 2.0 * (hi - c)
+    dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
+    dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
+    return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
+
+
+def _rself(ul, ur):
+    """Self-advected normal-velocity Riemann (godunov._riemann_self)."""
+    avg = ul + ur
+    out = jnp.where((ul > 0.0) & (avg > 0.0), ul, 0.0)
+    return jnp.where((ur < 0.0) & (avg < 0.0), ur, out)
+
+
+def _extrap_kernel(
+    scal, sg0, sg1, sg2, fg0, fg1, fg2, o0, o1, o2,
+    hv0, hq01, hq02, hv1, hq10, hq12, hv2, hq20, hq21,
+    *, T, n1, n2, dx, has_force,
+):
+    """One (T x n1 x n2) tile of ExtrapVelToFaces (godunov.py:199-364).
+
+    Index conventions match _godunov_kernel: sg_c rows = cell - g0 + 3,
+    cols = cell1 - g1 + 3 / cell2 + 3; fg_c rows/cols shifted by 1.
+    Scratch: per face dim e, the Riemann-resolved hat states hv{e}
+    (normal comp, _riemann_self) and hq{e}{c} (upwinded transverse comp c)
+    with the same extents as the advect kernel's h0/h1/h2:
+      hv0/hq0*: (T+1, n1+2, n2+2)  0-faces [g0, g0+T+1), transverse ng=1
+      hv1/hq1*: (T+2, n1+1, n2+2)  1-faces [g1, g1+T1+1), dim0 [g0-1,g0+T+1)
+      hv2/hq2*: (T+2, n1+2, n2+1)  2-faces [0, n2+1)
+    Outputs: o0 faces [g0, g0+T) x real; o1 real x faces [g1, g1+T1);
+    o2 real x real x faces [0, n2+1).
+    """
+    dt = scal[0, 0]
+    dtdx = tuple(dt * (1.0 / h) for h in dx)
+    sgs = (sg0, sg1, sg2)
+
+    # ---- phase 0: the 9 limited slope fields (values, not scratch) -------
+    sl0 = [_slope4_dim0(sgs[c], 2, T + 2, 2, n1 + 2, 2, n2 + 2)
+           for c in range(3)]
+    sl1 = [_slope4_dimt(sgs[c], 1, 2, T + 2, 2, n1 + 2, 2, n2 + 2)
+           for c in range(3)]
+    sl2 = [_slope4_dimt(sgs[c], 2, 2, T + 2, 2, n2 + 2, 2, n1 + 2)
+           for c in range(3)]
+
+    # ---- phase 1: Riemann-resolved hat states into scratch ---------------
+    # 0-faces: L from cell f-1 (normal speed un_L), R from cell f (un_R)
+    unL = sg0[2:T + 3, 2:n1 + 4, 2:n2 + 4]
+    unR = sg0[3:T + 4, 2:n1 + 4, 2:n2 + 4]
+    cL = dtdx[0] * jnp.maximum(unL, 0.0)
+    cR = dtdx[0] * jnp.minimum(unR, 0.0)
+
+    def hat0(c):
+        qL = sgs[c][2:T + 3, 2:n1 + 4, 2:n2 + 4]
+        qR = sgs[c][3:T + 4, 2:n1 + 4, 2:n2 + 4]
+        sL = sl0[c][0:T + 1, :, :]
+        sR = sl0[c][1:T + 2, :, :]
+        return (qL + 0.5 * (1.0 - cL) * sL, qR - 0.5 * (1.0 + cR) * sR)
+
+    pL, pR = hat0(0)
+    uadv = _rself(pL, pR)
+    hv0[...] = uadv
+    pL, pR = hat0(1)
+    hq01[...] = _upw(pL, pR, uadv)
+    pL, pR = hat0(2)
+    hq02[...] = _upw(pL, pR, uadv)
+
+    # 1-faces
+    unL = sg1[2:T + 4, 2:n1 + 3, 2:n2 + 4]
+    unR = sg1[2:T + 4, 3:n1 + 4, 2:n2 + 4]
+    cL = dtdx[1] * jnp.maximum(unL, 0.0)
+    cR = dtdx[1] * jnp.minimum(unR, 0.0)
+
+    def hat1(c):
+        qL = sgs[c][2:T + 4, 2:n1 + 3, 2:n2 + 4]
+        qR = sgs[c][2:T + 4, 3:n1 + 4, 2:n2 + 4]
+        sL = sl1[c][:, 0:n1 + 1, :]
+        sR = sl1[c][:, 1:n1 + 2, :]
+        return (qL + 0.5 * (1.0 - cL) * sL, qR - 0.5 * (1.0 + cR) * sR)
+
+    pL, pR = hat1(1)
+    uadv = _rself(pL, pR)
+    hv1[...] = uadv
+    pL, pR = hat1(0)
+    hq10[...] = _upw(pL, pR, uadv)
+    pL, pR = hat1(2)
+    hq12[...] = _upw(pL, pR, uadv)
+
+    # 2-faces
+    unL = sg2[2:T + 4, 2:n1 + 4, 2:n2 + 3]
+    unR = sg2[2:T + 4, 2:n1 + 4, 3:n2 + 4]
+    cL = dtdx[2] * jnp.maximum(unL, 0.0)
+    cR = dtdx[2] * jnp.minimum(unR, 0.0)
+
+    def hat2(c):
+        qL = sgs[c][2:T + 4, 2:n1 + 4, 2:n2 + 3]
+        qR = sgs[c][2:T + 4, 2:n1 + 4, 3:n2 + 4]
+        sL = sl2[c][:, :, 0:n2 + 1]
+        sR = sl2[c][:, :, 1:n2 + 2]
+        return (qL + 0.5 * (1.0 - cL) * sL, qR - 0.5 * (1.0 + cR) * sR)
+
+    pL, pR = hat2(2)
+    uadv = _rself(pL, pR)
+    hv2[...] = uadv
+    pL, pR = hat2(0)
+    hq20[...] = _upw(pL, pR, uadv)
+    pL, pR = hat2(1)
+    hq21[...] = _upw(pL, pR, uadv)
+
+    # ---- phase 2: full face states on real transverse cells --------------
+    # d = 0: faces [g0, g0+T+1), store first T rows
+    unL = sg0[2:T + 3, 3:n1 + 3, 3:n2 + 3]
+    unR = sg0[3:T + 4, 3:n1 + 3, 3:n2 + 3]
+    cL = dtdx[0] * jnp.maximum(unL, 0.0)
+    cR = dtdx[0] * jnp.minimum(unR, 0.0)
+    pL = unL + 0.5 * (1.0 - cL) * sl0[0][0:T + 1, 1:n1 + 1, 1:n2 + 1]
+    pR = unR - 0.5 * (1.0 + cR) * sl0[0][1:T + 2, 1:n1 + 1, 1:n2 + 1]
+
+    def corr0(r0):
+        """Transverse increments at dim0 cells [g0-1+r0, g0+T+r0)."""
+        hq_lo = hq10[r0:r0 + T + 1, 0:n1, 1:n2 + 1]
+        hq_hi = hq10[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+        hv_lo = hv1[r0:r0 + T + 1, 0:n1, 1:n2 + 1]
+        hv_hi = hv1[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+        t = -0.5 * dtdx[1] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
+        hq_lo = hq20[r0:r0 + T + 1, 1:n1 + 1, 0:n2]
+        hq_hi = hq20[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+        hv_lo = hv2[r0:r0 + T + 1, 1:n1 + 1, 0:n2]
+        hv_hi = hv2[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+        t = t - 0.5 * dtdx[2] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
+        if has_force:
+            t = t + 0.5 * dt * fg0[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+        return t
+
+    o0[...] = _rself(pL + corr0(0), pR + corr0(1))[0:T]
+
+    # d = 1: faces [g1, g1+T1+1), store first T1 cols
+    unL = sg1[3:T + 3, 2:n1 + 3, 3:n2 + 3]
+    unR = sg1[3:T + 3, 3:n1 + 4, 3:n2 + 3]
+    cL = dtdx[1] * jnp.maximum(unL, 0.0)
+    cR = dtdx[1] * jnp.minimum(unR, 0.0)
+    pL = unL + 0.5 * (1.0 - cL) * sl1[1][1:T + 1, 0:n1 + 1, 1:n2 + 1]
+    pR = unR - 0.5 * (1.0 + cR) * sl1[1][1:T + 1, 1:n1 + 2, 1:n2 + 1]
+
+    def corr1(c1):
+        hq_lo = hq01[0:T, c1:c1 + n1 + 1, 1:n2 + 1]
+        hq_hi = hq01[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+        hv_lo = hv0[0:T, c1:c1 + n1 + 1, 1:n2 + 1]
+        hv_hi = hv0[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+        t = -0.5 * dtdx[0] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
+        hq_lo = hq21[1:T + 1, c1:c1 + n1 + 1, 0:n2]
+        hq_hi = hq21[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+        hv_lo = hv2[1:T + 1, c1:c1 + n1 + 1, 0:n2]
+        hv_hi = hv2[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+        t = t - 0.5 * dtdx[2] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
+        if has_force:
+            t = t + 0.5 * dt * fg1[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+        return t
+
+    o1[...] = _rself(pL + corr1(0), pR + corr1(1))[:, 0:n1]
+
+    # d = 2: faces [0, n2+1), full extent
+    unL = sg2[3:T + 3, 3:n1 + 3, 2:n2 + 3]
+    unR = sg2[3:T + 3, 3:n1 + 3, 3:n2 + 4]
+    cL = dtdx[2] * jnp.maximum(unL, 0.0)
+    cR = dtdx[2] * jnp.minimum(unR, 0.0)
+    pL = unL + 0.5 * (1.0 - cL) * sl2[2][1:T + 1, 1:n1 + 1, 0:n2 + 1]
+    pR = unR - 0.5 * (1.0 + cR) * sl2[2][1:T + 1, 1:n1 + 1, 1:n2 + 2]
+
+    def corr2(c2):
+        hq_lo = hq02[0:T, 1:n1 + 1, c2:c2 + n2 + 1]
+        hq_hi = hq02[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+        hv_lo = hv0[0:T, 1:n1 + 1, c2:c2 + n2 + 1]
+        hv_hi = hv0[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+        t = -0.5 * dtdx[0] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
+        hq_lo = hq12[1:T + 1, 0:n1, c2:c2 + n2 + 1]
+        hq_hi = hq12[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+        hv_lo = hv1[1:T + 1, 0:n1, c2:c2 + n2 + 1]
+        hv_hi = hv1[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+        t = t - 0.5 * dtdx[1] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
+        if has_force:
+            t = t + 0.5 * dt * fg2[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+        return t
+
+    o2[...] = _rself(pL + corr2(0), pR + corr2(1))
+
+
+def extrap_plm_fused(
+    vel_g, force_g, dt, dx, ncell, interpret: bool = False,
+):
+    """Fused PLM ExtrapVelToFaces: one pallas_call computes all three MAC
+    face-velocity arrays with the exact arithmetic of the XLA path
+    (godunov.extrap_vel_to_faces before BC pinning) — 9 limited slope
+    fields, 9 Riemann-resolved hat states, transverse corrections + forces,
+    final Burgers Riemann. The XLA path materializes every hat/slope
+    intermediate in HBM (profiled 37 ms at 256^3); here they live in
+    VMEM scratch/values per (T x T1 x n2) tile.
+
+    vel_g: (3, n+6, ...) velocity with 3 filled ghosts; force_g: (3,
+    n+2, ...) with 1 ghost or None. Returns (u0, u1, u2) raw face arrays;
+    the caller applies ext_dir/reflect_odd face pinning.
+    """
+    n0, n1, n2 = tuple(int(x) for x in ncell)
+    dtype = vel_g.dtype
+    import os
+
+    T = _T
+    T1 = int(os.environ.get("IAMR_GOD_T1", "0")) or (64 if n1 >= 128 else
+                                                     (16 if n1 >= 32 else 8))
+    nblk = (n0 + T - 1) // T
+    if nblk * T == n0:
+        nblk += 1           # cover face n0 in a block interior
+    nblk1 = (n1 + T1 - 1) // T1
+    if nblk1 * T1 == n1:
+        nblk1 += 1          # cover face n1
+    BS1 = T1 + 8
+
+    def pad_to(x, d, need):
+        if x.shape[d] >= need:
+            return x
+        pads = [(0, 0)] * 3
+        pads[d] = (0, need - x.shape[d])
+        return jnp.pad(x, pads, mode="edge")
+
+    need0_sg = (nblk - 1) * T + T + 6
+    need0_fg = (nblk - 1) * T + T + 2
+    need1 = (nblk1 - 1) * T1 + BS1
+
+    sgp = [pad_to(pad_to(vel_g[c], 0, need0_sg), 1, need1) for c in range(3)]
+    has_force = force_g is not None
+    if has_force:
+        fgp = [pad_to(pad_to(force_g[c], 0, need0_fg), 1, need1)
+               for c in range(3)]
+    else:
+        fgp = [jnp.zeros((1, 1, 1), dtype)] * 3
+
+    kern = partial(
+        _extrap_kernel, T=T, n1=T1, n2=n2,
+        dx=tuple(float(h) for h in dx), has_force=has_force,
+    )
+    scal = jnp.asarray(dt, dtype).reshape(1, 1)
+
+    def in_spec(rows, a):
+        return pl.BlockSpec(
+            (pl.Element(rows, (0, 0)), pl.Element(BS1, (0, 0)),
+             pl.Element(a.shape[2], (0, 0))),
+            lambda i, j: (i * T, j * T1, 0),
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((nblk * T, nblk1 * T1, n2), dtype),
+        jax.ShapeDtypeStruct((nblk * T, nblk1 * T1, n2), dtype),
+        jax.ShapeDtypeStruct((nblk * T, nblk1 * T1, n2 + 1), dtype),
+    )
+    out_specs = tuple(
+        pl.BlockSpec((T, T1) + s.shape[2:], lambda i, j: (i, j, 0))
+        for s in out_shapes
+    )
+    scratch = [
+        pltpu.VMEM((T + 1, T1 + 2, n2 + 2), dtype),
+        pltpu.VMEM((T + 1, T1 + 2, n2 + 2), dtype),
+        pltpu.VMEM((T + 1, T1 + 2, n2 + 2), dtype),
+        pltpu.VMEM((T + 2, T1 + 1, n2 + 2), dtype),
+        pltpu.VMEM((T + 2, T1 + 1, n2 + 2), dtype),
+        pltpu.VMEM((T + 2, T1 + 1, n2 + 2), dtype),
+        pltpu.VMEM((T + 2, T1 + 2, n2 + 1), dtype),
+        pltpu.VMEM((T + 2, T1 + 2, n2 + 1), dtype),
+        pltpu.VMEM((T + 2, T1 + 2, n2 + 1), dtype),
+    ]
+    fspec = (in_spec(T + 2, fgp[0]) if has_force
+             else pl.BlockSpec(memory_space=pltpu.VMEM))
+    u0, u1, u2 = pl.pallas_call(
+        kern,
+        grid=(nblk, nblk1),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_spec(T + 6, sgp[0]),
+            in_spec(T + 6, sgp[1]),
+            in_spec(T + 6, sgp[2]),
+            fspec, fspec, fspec,
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(scal, sgp[0], sgp[1], sgp[2], fgp[0], fgp[1], fgp[2])
+    return (u0[:n0 + 1, :n1, :n2], u1[:n0, :n1 + 1, :n2], u2[:n0, :n1, :])
