@@ -352,7 +352,19 @@ def run(
         from iamr_tpu.ns.advance import make_step_with_particles
 
         pstep_fn = make_step_with_particles(cfg, fixed_mg_cycles, spectral=sp)
-    step_fn = make_step(cfg, fixed_mg_cycles, eb=eb, spectral=sp)
+    if cfg.debug and particles is None:
+        # ns.debug: per-step self-checks need the step's MAC velocities
+        # (ns/checks.py — check_div_cond / test_umac_periodic / NaN+Bogus
+        # scans, reference MacProj.cpp:792-846,977-1080)
+        _hit = make_hit_forcing(cfg)
+        step_fn = jax.jit(
+            lambda s: advance(
+                s, cfg, fixed_mg_cycles, hit=_hit, eb=eb, spectral=sp,
+                return_umac=True,
+            )
+        )
+    else:
+        step_fn = make_step(cfg, fixed_mg_cycles, eb=eb, spectral=sp)
 
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
@@ -368,6 +380,11 @@ def run(
         prev = state
         if particles is not None:
             state, particles = pstep_fn(state, particles)
+        elif cfg.debug:
+            state, umac_dbg = step_fn(state)
+            from iamr_tpu.ns.checks import run_debug_checks
+
+            run_debug_checks(cfg, state, umac_dbg, eb=eb, step=step + 1)
         else:
             state = step_fn(state)
         step += 1

@@ -97,6 +97,10 @@ class NSConfig:
     do_reflux: bool = True
     do_sync_proj: bool = True
     do_mac_proj: bool = True
+    # ns.debug = 1: per-step runtime self-checks (ns/checks.py — MAC
+    # divergence condition, periodic umac consistency, NaN/BogusValue scans;
+    # reference MacProj.cpp:792-846,977-1080 + ghost poisoning)
+    debug: bool = False
     # EB: tag every cut cell for refinement (reference default true,
     # NavierStokesBase.cpp refine_cutcells intake)
     refine_cutcells: bool = True
@@ -330,6 +334,7 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         do_reflux=bool(int(ns.query("do_reflux", 1))),
         do_sync_proj=bool(int(ns.query("do_sync_proj", 1))),
         do_mac_proj=bool(int(ns.query("do_mac_proj", 1))),
+        debug=bool(int(ns.query("debug", 0))),
         refine_cutcells=bool(int(ns.query("refine_cutcells", 1))),
         do_refine_outflow=bool(int(ns.query("do_refine_outflow", 0))),
         do_derefine_outflow=bool(int(ns.query("do_derefine_outflow", 1))),

@@ -221,7 +221,11 @@ def extrap_vel_to_faces(
     ng = 3
     n = tuple(ncell)
 
-    if dim == 3 and scheme == "plm":
+    # use_forces_in_trans is accepted-but-unimplemented on both paths (the
+    # reference default is false, NavierStokesBase.cpp:556); keep the fused
+    # kernel out when it is set so any future XLA-path implementation can't
+    # silently diverge from the fused one
+    if dim == 3 and scheme == "plm" and not use_forces_in_trans:
         from iamr_tpu.ops.pallas_godunov import (
             extrap_plm_fused,
             godunov_fused_ok,
@@ -422,18 +426,26 @@ def advect_field(
     scheme: str = "plm",
     rz=None,
     eb=None,
+    umac_gn=None,
 ):
     """Edge states + fluxes + advective tendency for one field.
 
     Dispatches to the fused Pallas PLM kernel (ops/pallas_godunov.py) on
     TPU for the common configuration, else composes compute_edge_states +
-    compute_fluxes_and_aofs. Returns (fluxes, aofs)."""
+    compute_fluxes_and_aofs. Returns (fluxes, aofs).
+
+    umac_gn: optional MAC velocities ALSO grown by one face in their own
+    (normal) dim — a box of a box-batched level passes these so the
+    conservative d(umac)/dx ghost terms use the true neighbor faces
+    (sibling/coarse data) instead of the single-level wrap/edge-copy."""
     from iamr_tpu.ops.pallas_godunov import (
         godunov_fused_ok,
         godunov_plm_fused,
     )
 
-    if godunov_fused_ok(tuple(ncell), s_g.dtype, scheme, rz, eb):
+    if umac_gn is None and godunov_fused_ok(
+        tuple(ncell), s_g.dtype, scheme, rz, eb
+    ):
         return godunov_plm_fused(
             s_g, umac, umac_g, dt, dx, ncell, iconserv,
             force_g=force_g, periodic=periodic,
@@ -446,7 +458,7 @@ def advect_field(
         fluid_g = jnp.pad(eb.fluid, ng, mode="constant", constant_values=1.0)
     edges = compute_edge_states(
         s_g, umac_g, dt, dx, ncell, iconserv, force_g=force_g,
-        periodic=periodic, scheme=scheme, fluid_g=fluid_g,
+        periodic=periodic, scheme=scheme, fluid_g=fluid_g, umac_gn=umac_gn,
     )
     return compute_fluxes_and_aofs(edges, umac, dx, iconserv, s_cc=s_cc, rz=rz)
 
@@ -462,6 +474,7 @@ def compute_edge_states(
     periodic: Optional[Sequence[bool]] = None,
     scheme: str = "plm",
     fluid_g=None,
+    umac_gn=None,
 ):
     """Predict scalar edge states on all faces given time-centered u_mac.
 
@@ -592,20 +605,29 @@ def compute_edge_states(
         if iconserv:
             # conservative correction: +dt/2 * s * d(u_mac_d)/dx_d per cell
             # (completes div(u s) vs u.grad(s) in the normal direction)
-            ud = umac_grown[d]
-            dudx = (sl(ud, d, 1, None) - sl(ud, d, 0, -1)) / dx[d]
-            # dudx covers real cells in d (extent n_d); the ng=1 extent needs
-            # the normal-ghost cells too: wrap for periodic (constancy
-            # preservation demands the true wrapped divergence), edge-copy
-            # otherwise
-            if periodic is not None and periodic[d]:
-                dudx = jnp.concatenate(
-                    [sl(dudx, d, -1, None), dudx, sl(dudx, d, 0, 1)], axis=d
-                )
+            if umac_gn is not None:
+                # true neighbor-face divergence from the normal-grown MAC
+                # field (box-batch path: ghost faces hold sibling/coarse
+                # data, so box seams stay flux-consistent level-wide)
+                ug = umac_gn[d]
+                dudx = (sl(ug, d, 1, None) - sl(ug, d, 0, -1)) / dx[d]
             else:
-                dudx = jnp.concatenate(
-                    [sl(dudx, d, 0, 1), dudx, sl(dudx, d, -1, None)], axis=d
-                )
+                ud = umac_grown[d]
+                dudx = (sl(ud, d, 1, None) - sl(ud, d, 0, -1)) / dx[d]
+                # dudx covers real cells in d (extent n_d); the ng=1 extent
+                # needs the normal-ghost cells too: wrap for periodic
+                # (constancy preservation demands the true wrapped
+                # divergence), edge-copy otherwise
+                if periodic is not None and periodic[d]:
+                    dudx = jnp.concatenate(
+                        [sl(dudx, d, -1, None), dudx, sl(dudx, d, 0, 1)],
+                        axis=d,
+                    )
+                else:
+                    dudx = jnp.concatenate(
+                        [sl(dudx, d, 0, 1), dudx, sl(dudx, d, -1, None)],
+                        axis=d,
+                    )
             q_cc = s_1
             t = -0.5 * dt * q_cc[
                 tuple(slice(None) if e == d else slice(1, 1 + n[e]) for e in range(dim))

@@ -59,9 +59,16 @@ def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
         return False
     if min(shape) < 8 or shape[0] % 8 != 0:
         return False
-    # VMEM: ~24 block-sized values at T=8
-    plane = (shape[1] + 6) * (shape[2] + 6) * 4
-    if plane * 14 * 24 > 110 * 1024 * 1024:
+    # VMEM bound from the actual tiled geometry (both kernels tile dims 0/1
+    # into (T x BS1 x n2) blocks): double-buffered input blocks + 9 scratch
+    # hat buffers + ~40 compiler-materialized live values per tile
+    T = _T
+    BS1 = _pick_t1(shape[1]) + 8
+    n2 = shape[2]
+    in_blk = (T + 6) * BS1 * (n2 + 6) * 4
+    val_blk = (T + 2) * BS1 * (n2 + 2) * 4
+    need = 2 * 6 * in_blk + (9 + 40) * val_blk
+    if need > 110 * 1024 * 1024:
         return False
     env = os.environ.get("IAMR_FUSED", "")
     if env == "0":
@@ -77,6 +84,23 @@ def _upw(sl_, sr, speed):
     small = jnp.abs(speed) < _EPS_UPWIND
     out = jnp.where(speed > 0.0, sl_, sr)
     return jnp.where(small, 0.5 * (sl_ + sr), out)
+
+
+def _pick_t1(n1: int) -> int:
+    """dim1 tile size: validated IAMR_GOD_T1 override (>0 and 8-divisible,
+    the '2nd-minor: 8-divisible' assumption behind BS1 = T1+8), else the
+    measured heuristic (bench_experiments/exp_god_t1.py)."""
+    import os
+
+    env = os.environ.get("IAMR_GOD_T1", "")
+    if env:
+        try:
+            t1 = int(env)
+            if t1 > 0 and t1 % 8 == 0:
+                return t1
+        except ValueError:
+            pass
+    return 64 if n1 >= 128 else (16 if n1 >= 32 else 8)
 
 
 def _godunov_kernel(
@@ -100,69 +124,6 @@ def _godunov_kernel(
     dt = scal[0, 0]
     dtdx = tuple(dt * (1.0 / h) for h in dx)
 
-    def slope4_0(fc_lo, rows, c1lo, c1n, c2lo, c2n):
-        """4th-order slope along dim0 at cells [fc_lo, fc_lo+rows) (global
-        offset vs g0-3=sg row 0), transverse windows [c1lo, c1lo+c1n) etc.
-        (sg col units)."""
-
-        def q(o):
-            return sg[fc_lo + o:fc_lo + o + rows,
-                      c1lo:c1lo + c1n, c2lo:c2lo + c2n]
-
-        def s2(o):
-            c = q(o)
-            lo = q(o - 1)
-            hi = q(o + 1)
-            dc = 0.5 * (hi - lo)
-            dl = 2.0 * (c - lo)
-            dr = 2.0 * (hi - c)
-            dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
-            dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
-            return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
-
-        c = q(0)
-        lo = q(-1)
-        hi = q(1)
-        dc = (4.0 / 3.0) * 0.5 * (hi - lo) - (1.0 / 6.0) * (s2(1) + s2(-1))
-        dl = 2.0 * (c - lo)
-        dr = 2.0 * (hi - c)
-        dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
-        dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
-        return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
-
-    def slope4_t(d, r_lo, r_n, o_t, t_n, u_lo, u_n):
-        """Slope along transverse dim d (1 or 2) evaluated with dim0 rows
-        [r_lo, r_lo+r_n) (sg row units): dim-d cells at base col o_t of
-        extent t_n; the other transverse dim at [u_lo, u_lo+u_n)."""
-
-        def q(o):
-            if d == 1:
-                return sg[r_lo:r_lo + r_n, o_t + o:o_t + o + t_n,
-                          u_lo:u_lo + u_n]
-            return sg[r_lo:r_lo + r_n, u_lo:u_lo + u_n,
-                      o_t + o:o_t + o + t_n]
-
-        def s2(o):
-            c = q(o)
-            lo = q(o - 1)
-            hi = q(o + 1)
-            dc = 0.5 * (hi - lo)
-            dl = 2.0 * (c - lo)
-            dr = 2.0 * (hi - c)
-            dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
-            dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
-            return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
-
-        c = q(0)
-        lo = q(-1)
-        hi = q(1)
-        dc = (4.0 / 3.0) * 0.5 * (hi - lo) - (1.0 / 6.0) * (s2(1) + s2(-1))
-        dl = 2.0 * (c - lo)
-        dr = 2.0 * (hi - c)
-        dlim = jnp.minimum(jnp.abs(dl), jnp.abs(dr))
-        dlim = jnp.where(dl * dr > 0.0, dlim, 0.0)
-        return jnp.sign(dc) * jnp.minimum(jnp.abs(dc), dlim)
-
     # ---- phase 0: per-dim slope caches -----------------------------------
     # each slope4 field is computed ONCE over its maximal window and staged
     # through VMEM scratch; recomputing it per use (hat pass + edge pass,
@@ -170,9 +131,9 @@ def _godunov_kernel(
     # VALUES, not scratch: staging these through VMEM scratch measured
     # 7.5x slower (147 vs 20 ms) — Mosaic register/spill management beats
     # explicit scratch round-trips for shared subexpressions
-    sl0 = slope4_0(2, T + 2, 2, n1 + 2, 2, n2 + 2)
-    sl1 = slope4_t(1, 2, T + 2, 2, n1 + 2, 2, n2 + 2)
-    sl2 = slope4_t(2, 2, T + 2, 2, n2 + 2, 2, n1 + 2)
+    sl0 = _slope4_dim0(sg, 2, T + 2, 2, n1 + 2, 2, n2 + 2)
+    sl1 = _slope4_dimt(sg, 1, 2, T + 2, 2, n1 + 2, 2, n2 + 2)
+    sl2 = _slope4_dimt(sg, 2, 2, T + 2, 2, n2 + 2, 2, n1 + 2)
 
     # ---- phase 1: hat states into scratch --------------------------------
     # h0: 0-faces [g0, g0+T+1), transverse ng=1 cells [-1, n+1)
@@ -391,8 +352,7 @@ def godunov_plm_fused(
     import os
 
     T = _T
-    T1 = int(os.environ.get("IAMR_GOD_T1", "0")) or (64 if n1 >= 128 else
-                                                     (16 if n1 >= 32 else 8))
+    T1 = _pick_t1(n1)
     nblk = (n0 + T - 1) // T
     if nblk * T == n0:
         nblk += 1           # cover face n0 in a block interior
@@ -768,8 +728,7 @@ def extrap_plm_fused(
     import os
 
     T = _T
-    T1 = int(os.environ.get("IAMR_GOD_T1", "0")) or (64 if n1 >= 128 else
-                                                     (16 if n1 >= 32 else 8))
+    T1 = _pick_t1(n1)
     nblk = (n0 + T - 1) // T
     if nblk * T == n0:
         nblk += 1           # cover face n0 in a block interior
