@@ -553,3 +553,234 @@ class BoxBatch:
                     jnp.where(sel, jnp.broadcast_to(src, cur.shape), cur)
                 )
         return g
+
+
+# ---------------------------------------------------------------------------
+# Stage-A execution: per-box windowed hyperbolic phases of a UNION advance
+# ---------------------------------------------------------------------------
+
+
+def grow_umac_normal_union(umac, periodic: Sequence[bool]):
+    """MAC components grown by one face on each side of their OWN dim,
+    reproducing exactly the union advance's d(umac)/dx ghost-row rule
+    (ops/godunov.py compute_edge_states): periodic dims wrap the true
+    faces; non-periodic sides linearly extrapolate so the per-box ghost
+    dudx equals the union's edge-copied dudx:
+    (u0 - u_pad)/dx == (u1 - u0)/dx  =>  u_pad = 2 u0 - u1."""
+
+    def _take(u, d, j):
+        return jnp.take(u, jnp.asarray([j]), axis=d)
+
+    out = []
+    for d, u in enumerate(umac):
+        n = u.shape[d]
+        if periodic[d]:
+            lo = _take(u, d, n - 2)
+            hi = _take(u, d, 1)
+        else:
+            lo = 2.0 * _take(u, d, 0) - _take(u, d, 1)
+            hi = 2.0 * _take(u, d, n - 1) - _take(u, d, n - 2)
+        out.append(jnp.concatenate([lo, u, hi], axis=d))
+    return tuple(out)
+
+
+class UnionBoxExec:
+    """Executes the hyperbolic phases (Godunov extrap + advection) of a
+    union-bbox advance per CONGRUENT box instead of over the whole bounding
+    box: FLOPs scale with sum(box volumes), program size is independent of
+    nbox (one gather -> one vmapped kernel -> one scatter), and the results
+    are bitwise those of the bbox-wide computation because every per-box
+    window carries the identical bbox data (stencil support ng=3 is inside
+    the window).
+
+    The reference's execution model is exactly this: amrex iterates
+    Godunov/HydroUtils kernels box-by-box over the level's BoxArray
+    (MFIter; Docs Software.rst:356-401) while MLMG couples the level
+    globally — here the elliptic solves stay on the masked union
+    (ops/mg.py interior_mask), as advance() already does.
+
+    Boxes are grouped by their domain-touch pattern so each group's vmapped
+    extrap gets the right static BCRec (physical sides on touching boxes,
+    int_dir elsewhere — the same masking CoarseFineBCProvider applies to
+    C-F sides). advect_field takes no BCRec, so advection runs as ONE
+    all-box vmap.
+    """
+
+    def __init__(self, crse_geom, specs: Sequence[LevelSpec],
+                 bbox: Optional[LevelSpec] = None):
+        assert congruent(specs), "box batch requires congruent boxes"
+        self.specs = tuple(specs)
+        self.nbox = len(specs)
+        self.dim = specs[0].dim
+        self.r = specs[0].ratio
+        self.bshape = tuple(specs[0].ncell)
+        self.bbox = bbox if bbox is not None else union_bbox_spec(specs)
+        self.dom_ncell = tuple(
+            crse_geom.ncell[d] * self.r for d in range(self.dim)
+        )
+        self.off = np.array(
+            [[sp.lo[d] - self.bbox.lo[d] for d in range(self.dim)]
+             for sp in specs], np.int32,
+        )
+        # group boxes by domain-touch pattern (static per group)
+        groups: Dict[Tuple, List[int]] = {}
+        for b, sp in enumerate(specs):
+            pat = tuple(
+                (sp.lo[d] == 0, sp.lo[d] + sp.ncell[d] == self.dom_ncell[d])
+                for d in range(self.dim)
+            )
+            groups.setdefault(pat, []).append(b)
+        self.groups = {k: tuple(v) for k, v in groups.items()}
+        self._sel_cache: Dict = {}
+
+    # -- window selectors ---------------------------------------------------
+
+    def _sel(self, lengths: Tuple[int, ...], idxs: Tuple[int, ...]):
+        """Advanced-index selector for per-box windows: window along d
+        starts at off[b, d] in array coords for ANY ghost width (the array's
+        ghost offset cancels the window's)."""
+        key = (lengths, idxs)
+        if key in self._sel_cache:
+            return self._sel_cache[key]
+        nb = len(idxs)
+        sel = []
+        for d in range(self.dim):
+            i = self.off[list(idxs), d][:, None] + np.arange(
+                lengths[d], dtype=np.int32
+            )[None]
+            sh = [nb] + [1] * self.dim
+            sh[1 + d] = lengths[d]
+            sel.append(jnp.asarray(i.reshape(sh)))
+        sel = tuple(sel)
+        self._sel_cache[key] = sel
+        return sel
+
+    def _lengths(self, ng=0, face_dim=None, gn=0, gt=0):
+        return tuple(
+            self.bshape[d]
+            + (1 + 2 * gn if d == face_dim else 0)
+            + (2 * ng if face_dim is None else 0)
+            + (2 * gt if face_dim is not None and d != face_dim else 0)
+            for d in range(self.dim)
+        )
+
+    def gather_cc(self, a, ng: int, idxs, lead: int = 0):
+        """[lead..., bbox cells + 2ng] -> [nb, lead..., bshape + 2ng]."""
+        sel = self._sel(self._lengths(ng=ng), idxs)
+        out = a[(slice(None),) * lead + sel]
+        return jnp.swapaxes(out, 0, 1) if lead else out
+
+    def gather_face(self, u, fd: int, idxs, gn: int = 0, gt: int = 0):
+        """Face-array windows (normal faces grown by gn, transverse cells
+        by gt — matching the array's own ghosts)."""
+        sel = self._sel(self._lengths(face_dim=fd, gn=gn, gt=gt), idxs)
+        return u[sel]
+
+    def scatter_cc(self, vals, idxs, target):
+        sel = self._sel(self._lengths(), idxs)
+        return target.at[sel].set(vals)
+
+    def scatter_face(self, vals, fd: int, idxs, target):
+        """Seam faces are written by both owners with bitwise-identical
+        values (same window data, same arithmetic), so duplicate scatter
+        indices are harmless."""
+        sel = self._sel(self._lengths(face_dim=fd), idxs)
+        return target.at[sel].set(vals)
+
+    # -- batched phases -------------------------------------------------
+
+    @staticmethod
+    def _mask_rec(rec: BCRec, pat) -> BCRec:
+        lo = tuple(
+            rec.lo[d] if pat[d][0] else MathBC.int_dir for d in range(len(rec.lo))
+        )
+        hi = tuple(
+            rec.hi[d] if pat[d][1] else MathBC.int_dir for d in range(len(rec.hi))
+        )
+        return BCRec(lo=lo, hi=hi)
+
+    def extrap_batched(self, vel_g, force_g, dt, dx, recs_u, bl, bh,
+                       scheme: str, use_forces_in_trans: bool):
+        """Per-box Godunov ExtrapVelToFaces over the union arrays; returns
+        bbox-shaped MAC faces (holes zero — the MAC projection's masked
+        union solve overwrites/ignores them exactly as with the bbox-wide
+        extrap)."""
+        from iamr_tpu.ops.godunov import extrap_vel_to_faces
+
+        dim = self.dim
+        umac = [
+            jnp.zeros(
+                tuple(
+                    self.bbox.ncell[e] + (1 if e == d else 0)
+                    for e in range(dim)
+                ),
+                vel_g.dtype,
+            )
+            for d in range(dim)
+        ]
+        for pat, idxs in self.groups.items():
+            vg = self.gather_cc(vel_g, 3, idxs, lead=1)
+            fg = self.gather_cc(force_g, 1, idxs, lead=1)
+            recs_b = [self._mask_rec(recs_u[c], pat) for c in range(dim)]
+
+            def _one(v, f, _recs=recs_b):
+                return extrap_vel_to_faces(
+                    v, f, dt, dx, self.bshape, _recs, bl, bh,
+                    use_forces_in_trans=use_forces_in_trans, scheme=scheme,
+                    fused=False,
+                )
+
+            outs = jax.vmap(_one)(vg, fg)
+            for d in range(dim):
+                umac[d] = self.scatter_face(outs[d], d, idxs, umac[d])
+        return tuple(umac)
+
+    def advect_batched(self, s_g, umac, umac_g, umac_n, dt, dx,
+                       iconserv: bool, s_cc=None, force_g=None,
+                       scheme: str = "plm"):
+        """Per-box advect_field over the union arrays. umac_n comes from
+        grow_umac_normal_union so the conservative d(umac)/dx term matches
+        the bbox-wide rule bitwise. Returns (bbox fluxes, bbox aofs)."""
+        from iamr_tpu.ops.godunov import advect_field
+
+        dim = self.dim
+        idxs = tuple(range(self.nbox))
+        sgb = self.gather_cc(s_g, 3, idxs)
+        ub = tuple(self.gather_face(umac[d], d, idxs) for d in range(dim))
+        ugb = tuple(
+            self.gather_face(umac_g[d], d, idxs, gt=1) for d in range(dim)
+        )
+        unb = tuple(
+            self.gather_face(umac_n[d], d, idxs, gn=1) for d in range(dim)
+        )
+        sccb = None if s_cc is None else self.gather_cc(s_cc, 0, idxs)
+        fgb = None if force_g is None else self.gather_cc(force_g, 1, idxs)
+
+        def _one(sg, u, ug, un, scc, fg):
+            return advect_field(
+                sg, u, ug, dt, dx, self.bshape, iconserv, s_cc=scc,
+                force_g=fg, periodic=None, scheme=scheme, umac_gn=un,
+            )
+
+        in_axes = (0, 0, 0, 0, None if sccb is None else 0,
+                   None if fgb is None else 0)
+        fl, aofs = jax.vmap(_one, in_axes=in_axes)(
+            sgb, ub, ugb, unb, sccb, fgb
+        )
+        fluxes = tuple(
+            self.scatter_face(
+                fl[d], d, idxs,
+                jnp.zeros(
+                    tuple(
+                        self.bbox.ncell[e] + (1 if e == d else 0)
+                        for e in range(dim)
+                    ),
+                    s_g.dtype,
+                ),
+            )
+            for d in range(dim)
+        )
+        a_out = self.scatter_cc(
+            aofs, idxs, jnp.zeros(tuple(self.bbox.ncell), s_g.dtype)
+        )
+        return fluxes, a_out

@@ -219,6 +219,16 @@ def _subcycle_union(
             gradp=u.gradp.at[(slice(None),) + cs].set(f.gradp),
         )
     u = u._replace(time=fines[0].time, dt=dt_f)
+    # congruent multi-box levels run the hyperbolic phases per box
+    # (gather -> vmap -> scatter; amr/boxbatch.UnionBoxExec) — FLOPs scale
+    # with sum(box volumes) and the traced program is nbox-independent
+    from iamr_tpu.amr.boxbatch import UnionBoxExec, congruent
+
+    bexec = (
+        UnionBoxExec(cfg.geom, specs, bbox=bbox)
+        if congruent(specs) and len(specs) > 1
+        else None
+    )
     fine_avg = {}
     masks = None
     for k in range(r):
@@ -233,7 +243,7 @@ def _subcycle_union(
         masks = (bcp.cellmask, bcp.nodemask)
         u, aux = advance(
             u._replace(dt=dt_f), cfg_u, fixed_mg_cycles, hit=hit, bcp=bcp,
-            return_aux=True,
+            return_aux=True, boxes=bexec,
         )
         for key in (
             "flux_rho", "umac", "flux_trac", "flux_vel",

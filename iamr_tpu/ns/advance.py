@@ -234,6 +234,7 @@ def advance(
     return_aux: bool = False,
     eb=None,
     spectral: bool = False,
+    boxes=None,
 ):
     """One timestep: consumes state^n, returns state^{n+1}.
 
@@ -251,6 +252,12 @@ def advance(
     levels pass a CoarseFineBCProvider).
     return_aux: also return {"umac", "mac_phi", "flux_rho", "flux_trac"}
     for particle advection and coarse-fine flux registers.
+    boxes: optional amr.boxbatch.UnionBoxExec for a union (bbox) advance of
+    a congruent multi-box level — the hyperbolic phases (Godunov extrap +
+    advection) then execute per box (gather -> vmap -> scatter, reference
+    MFIter-over-BoxArray execution) with bitwise-identical results, while
+    the elliptic solves stay on the masked union. Requires a union bcp;
+    ignored for EB/RZ/BDS where only the bbox-wide path exists.
     eb: optional EBData cut-cell geometry. The step then follows the
     reference's EB path (EBGodunov + redistribution + MLEB* operators,
     NavierStokesBase.cpp:4477-5001): advective tendencies get the hybrid
@@ -375,10 +382,18 @@ def advance(
     # reorganize per-dim: extrap wants bcvals_lo[d][c]
     bl = tuple(tuple(bcvals_lo[c][d] for c in range(dim)) for d in range(dim))
     bh = tuple(tuple(bcvals_hi[c][d] for c in range(dim)) for d in range(dim))
-    umac = extrap_vel_to_faces(
-        vel_g, force_g, dt, dx, cfg.geom.ncell, recs, bl, bh,
-        use_forces_in_trans=cfg.use_forces_in_trans, scheme=mac_scheme,
-    )
+    if boxes is not None and (eb is not None or rz is not None):
+        boxes = None  # only the bbox-wide path handles EB/RZ
+    if boxes is not None:
+        umac = boxes.extrap_batched(
+            vel_g, force_g, dt, dx, recs, bl, bh, mac_scheme,
+            cfg.use_forces_in_trans,
+        )
+    else:
+        umac = extrap_vel_to_faces(
+            vel_g, force_g, dt, dx, cfg.geom.ncell, recs, bl, bh,
+            use_forces_in_trans=cfg.use_forces_in_trans, scheme=mac_scheme,
+        )
 
     # --- 2. MAC projection ---------------------------------------------
     # thermal divergence source S = div(lambda/cp grad T)/(rho T)
@@ -413,7 +428,33 @@ def advance(
         # ns.do_mac_proj=0 debugging toggle: advect with the predicted
         # (unprojected) MAC velocities (NavierStokes.cpp do_mac_proj)
         mac_phi = jnp.zeros(tuple(cfg.geom.ncell), cfg.jdtype)
+    if boxes is not None and is_union:
+        # box-batched extrap never computed strictly-hole faces; give them
+        # the same coarse-interpolated values grow_umac pastes so the
+        # normal-grown ghosts (umac_n) and aux consumers (particles, sync
+        # registers) see the union path's data bitwise
+        umac = bcp.paste_hole_faces(umac)
     umac_g = bcp.grow_umac(umac)
+
+    # box-batched advection (amr/boxbatch.py): one vmapped advect per field
+    # over all boxes; BDS falls back to the bbox-wide path (its corner
+    # coupling needs the periodic wrap advect_field owns)
+    adv_batched = boxes is not None and scheme in ("plm", "ppm")
+    if adv_batched:
+        from iamr_tpu.amr.boxbatch import grow_umac_normal_union
+
+        umac_n = grow_umac_normal_union(umac, periodic)
+
+    def _adv(s_g_, icons, s_cc_=None, fg_=None):
+        if adv_batched:
+            return boxes.advect_batched(
+                s_g_, umac, umac_g, umac_n, dt, dx, icons, s_cc=s_cc_,
+                force_g=fg_, scheme=scheme,
+            )
+        return advect_field(
+            s_g_, umac, umac_g, dt, dx, cfg.geom.ncell, icons, s_cc=s_cc_,
+            force_g=fg_, periodic=periodic, scheme=scheme, rz=rz, eb=eb,
+        )
 
     # --- 3. velocity advection -------------------------------------------
     # convective form by default; ns.do_mom_diff=1 advects momentum rho*U
@@ -428,10 +469,8 @@ def advance(
     for c in range(dim):
         sg = vel_g[c] if not mom_diff else rho_g3 * vel_g[c]
         fg = force_g[c]
-        fl, a = advect_field(
-            sg, umac, umac_g, dt, dx, cfg.geom.ncell, mom_diff,
-            s_cc=vel[c] if not mom_diff else None, force_g=fg,
-            periodic=periodic, scheme=scheme, rz=rz, eb=eb,
+        fl, a = _adv(
+            sg, mom_diff, s_cc_=vel[c] if not mom_diff else None, fg_=fg,
         )
         if eb is not None:
             a = eb_aofs(
@@ -446,10 +485,7 @@ def advance(
     # --- 4. scalar advection + updates ----------------------------------
     # density: conservative, no forcing
     rho_g = bcp.fill_scal(rho, 3, 0)
-    flux_rho, aofs_rho = advect_field(
-        rho_g, umac, umac_g, dt, dx, cfg.geom.ncell, True,
-        periodic=periodic, scheme=scheme, rz=rz, eb=eb,
-    )
+    flux_rho, aofs_rho = _adv(rho_g, True)
     if eb is not None:
         aofs_rho = eb_aofs(
             flux_rho, umac, eb, dx, True, s_cc=rho, periodic=periodic,
@@ -470,10 +506,7 @@ def advance(
         s = trac[t]
         s_g = bcp.fill_scal(s, 3, 1 + t)
         icons = cfg.do_cons_trac
-        flux_s, aofs_s = advect_field(
-            s_g, umac, umac_g, dt, dx, cfg.geom.ncell, icons, s_cc=s,
-            periodic=periodic, scheme=scheme, rz=rz, eb=eb,
-        )
+        flux_s, aofs_s = _adv(s_g, icons, s_cc_=s)
         if eb is not None:
             aofs_s = eb_aofs(
                 flux_s, umac, eb, dx, icons, s_cc=s, periodic=periodic,
@@ -534,10 +567,7 @@ def advance(
     temp_new = state.temp
     if cfg.do_temp:
         t_g = bcp.fill_temp(state.temp, 3)
-        flux_t, aofs_t = advect_field(
-            t_g, umac, umac_g, dt, dx, cfg.geom.ncell, False, s_cc=state.temp,
-            periodic=periodic, scheme=scheme, rz=rz, eb=eb,
-        )
+        flux_t, aofs_t = _adv(t_g, False, s_cc_=state.temp)
         if eb is not None:
             aofs_t = eb_aofs(
                 flux_t, umac, eb, dx, False, s_cc=state.temp,
@@ -712,6 +742,25 @@ def advance(
     dsdt_new = None
     if divu_new is not None and divu_src is not None:
         dsdt_new = (divu_new - divu_src) / dt
+
+    # box-batched advance: the hyperbolic phases never computed hole cells
+    # (bbox minus the box union), so give them well-defined time-correct
+    # coarse data — holes only feed the masked solves' coefficients and the
+    # next fill re-pastes them anyway (UnionBCProvider._paste_holes)
+    if boxes is not None and is_union:
+        cm = bcp.cellmask > 0.0
+        rho_new = jnp.where(cm, rho_new, bcp.union_vals_scal(0))
+        vel_new = jnp.stack(
+            [jnp.where(cm, vel_new[c], bcp.union_vals_vel(c)) for c in range(dim)]
+        )
+        trac_new = jnp.stack(
+            [
+                jnp.where(cm, trac_new[t], bcp.union_vals_scal(1 + t))
+                for t in range(cfg.ntrac)
+            ]
+        )
+        if cfg.do_temp:
+            temp_new = jnp.where(cm, temp_new, bcp.union_vals_temp())
 
     # --- next dt ----------------------------------------------------------
     new_state = NSState(

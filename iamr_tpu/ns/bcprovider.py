@@ -486,14 +486,16 @@ class UnionBCProvider(CoarseFineBCProvider):
                 slice(t[d], t[d] + nshape[d]) for d in range(dim)
             )]
         self.nodemask = jnp.asarray(nm, dtype)
-        # strict hole faces (both adjacent cells are holes; domain edges
-        # count as union so boundary faces of hole cells still qualify only
-        # via the hole side)
+        # strict hole faces: no adjacent cell belongs to any box (outside
+        # the bbox counts as hole too, so bbox-boundary faces of hole cells
+        # qualify) — every such face is C-F data and gets the coarse
+        # interpolation create_umac_grown would give it; faces with a box
+        # neighbor are computed by the extrap and never overwritten
         self.holeface = []
         for d in range(dim):
             pad = [(0, 0)] * dim
             pad[d] = (1, 1)
-            mp2 = np.pad(m, pad, constant_values=1.0)
+            mp2 = np.pad(m, pad, constant_values=0.0)
             lo = mp2[tuple(
                 slice(0, -1) if e == d else slice(None) for e in range(dim)
             )]
@@ -536,18 +538,25 @@ class UnionBCProvider(CoarseFineBCProvider):
             super().fill_temp(s, ng), ng, self.crse_old["temp"]
         )
 
+    def paste_hole_faces(self, umac):
+        """Coarse-interpolated MAC velocities on strictly-hole faces (both
+        neighbors outside every box) — the union-level analogue of
+        create_umac_grown's C-F fill (NavierStokesBase.cpp:1161-1311). Box
+        faces (>=1 neighbor in a box) are never touched."""
+        if self.crse_umac is None:
+            return umac
+        pasted = []
+        for d in range(self.dim):
+            interp = _prolong_face_patch(
+                self.crse_umac[d], d, self.spec
+            ).astype(umac[d].dtype)
+            pasted.append(
+                jnp.where(self.holeface[d] > 0.0, interp, umac[d])
+            )
+        return tuple(pasted)
+
     def grow_umac(self, umac):
-        if self.crse_umac is not None:
-            pasted = []
-            for d in range(self.dim):
-                interp = _prolong_face_patch(
-                    self.crse_umac[d], d, self.spec
-                ).astype(umac[d].dtype)
-                pasted.append(
-                    jnp.where(self.holeface[d] > 0.0, interp, umac[d])
-                )
-            umac = tuple(pasted)
-        return super().grow_umac(umac)
+        return super().grow_umac(self.paste_hole_faces(umac))
 
     # --- interior Dirichlet values for the union solves -------------------
     def union_vals_vel(self, c):

@@ -207,6 +207,7 @@ def extrap_vel_to_faces(
     bcvals_hi,
     use_forces_in_trans: bool = False,
     scheme: str = "plm",
+    fused: bool = True,
 ):
     """Predict time-centered normal velocities on faces (the MAC velocities).
 
@@ -214,6 +215,8 @@ def extrap_vel_to_faces(
     force_g: (dim, n+2, ...) force (tf + visc - gradp)/rho with 1 ghost
     bcrecs[c]: BCRec for velocity component c; bcvals_lo/hi[(d)][c]: ext_dir
     values used to pin faces on inflow/no-slip boundaries.
+    fused: allow dispatch to the Pallas kernel (callers running under vmap —
+    the box-batched AMR levels — pass False and take the XLA path).
 
     Returns tuple of face arrays u_mac[d] with shape n_d+1 in dim d.
     """
@@ -225,7 +228,7 @@ def extrap_vel_to_faces(
     # reference default is false, NavierStokesBase.cpp:556); keep the fused
     # kernel out when it is set so any future XLA-path implementation can't
     # silently diverge from the fused one
-    if dim == 3 and scheme == "plm" and not use_forces_in_trans:
+    if fused and dim == 3 and scheme == "plm" and not use_forces_in_trans:
         from iamr_tpu.ops.pallas_godunov import (
             extrap_plm_fused,
             godunov_fused_ok,
@@ -629,10 +632,16 @@ def compute_edge_states(
                         axis=d,
                     )
             q_cc = s_1
+            # umac_gn carries NO transverse ghosts (real extent n_e), the
+            # grow_umac_transverse field carries one per side (n_e + 2)
+            toff = 0 if umac_gn is not None else 1
             t = -0.5 * dt * q_cc[
                 tuple(slice(None) if e == d else slice(1, 1 + n[e]) for e in range(dim))
             ] * dudx[
-                tuple(slice(None) if e == d else slice(1, 1 + n[e]) for e in range(dim))
+                tuple(
+                    slice(None) if e == d else slice(toff, toff + n[e])
+                    for e in range(dim)
+                )
             ]
             corr_L = corr_L + _shift(t, d, 0, n[d] + 1)
             corr_R = corr_R + _shift(t, d, 1, n[d] + 1)
