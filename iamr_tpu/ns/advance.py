@@ -445,7 +445,53 @@ def advance(
 
         umac_n = grow_umac_normal_union(umac, periodic)
 
-    def _adv(s_g_, icons, s_cc_=None, fg_=None):
+    # fills for every advected field up front (pure functions of state^n),
+    # so the whole step's advection can run as ONE fused multi-field kernel
+    # on the single-level TPU path (the 3 MAC-velocity blocks load once and
+    # feed all fields, ops/pallas_godunov.godunov_plm_fused_multi)
+    mom_diff = cfg.do_mom_diff
+    rho_g = bcp.fill_scal(rho, 3, 0)
+    trac_gs = [bcp.fill_scal(trac[t], 3, 1 + t) for t in range(cfg.ntrac)]
+    t_g = bcp.fill_temp(state.temp, 3) if cfg.do_temp else None
+    # field order: vel x dim, rho, tracers, temp
+    _fields = []
+    for c in range(dim):
+        sgc = vel_g[c] if not mom_diff else rho_g * vel_g[c]
+        _fields.append((sgc, bool(mom_diff), force_g[c]))
+    _fields.append((rho_g, True, None))
+    for t in range(cfg.ntrac):
+        _fields.append((trac_gs[t], bool(cfg.do_cons_trac), None))
+    if cfg.do_temp:
+        _fields.append((t_g, False, None))
+
+    adv_pre = None
+    if not adv_batched and boxes is None and eb is None and rz is None:
+        from iamr_tpu.ops.pallas_godunov import (
+            godunov_multi_ok,
+            godunov_plm_fused_multi,
+        )
+
+        if godunov_multi_ok(
+            tuple(cfg.geom.ncell), _fields[0][0].dtype, scheme, rz, eb,
+            len(_fields),
+        ):
+            flist, rows, k = [], [], 0
+            for (_, _, f) in _fields:
+                rows.append(k if f is not None else -1)
+                if f is not None:
+                    flist.append(f)
+                    k += 1
+            adv_pre = godunov_plm_fused_multi(
+                [f[0] for f in _fields], umac, umac_g, dt, dx,
+                cfg.geom.ncell, [f[1] for f in _fields], flist, rows,
+                [not f[1] for f in _fields], periodic=periodic,
+            )
+
+    def _adv(i, s_g_, icons, s_cc_=None, fg_=None):
+        """Advect field i of _fields (falls back per-field when the fused
+        multi pass is ineligible: box-batched, EB, RZ, BDS/PPM, 2D, CPU)."""
+        if adv_pre is not None:
+            return adv_pre[i]
         if adv_batched:
             return boxes.advect_batched(
                 s_g_, umac, umac_g, umac_n, dt, dx, icons, s_cc=s_cc_,
@@ -461,16 +507,13 @@ def advance(
     # conservatively (velocity_advection, NavierStokesBase.cpp:3358-3485;
     # mom-diff update divides by rho^{n+1} in velocity_advection_update,
     # cpp:3523-3626)
-    mom_diff = cfg.do_mom_diff
-    if mom_diff:
-        rho_g3 = bcp.fill_scal(rho, 3, 0)
     aofs_vel = []
     flux_vel = []
     for c in range(dim):
-        sg = vel_g[c] if not mom_diff else rho_g3 * vel_g[c]
+        sg = _fields[c][0]
         fg = force_g[c]
         fl, a = _adv(
-            sg, mom_diff, s_cc_=vel[c] if not mom_diff else None, fg_=fg,
+            c, sg, mom_diff, s_cc_=vel[c] if not mom_diff else None, fg_=fg,
         )
         if eb is not None:
             a = eb_aofs(
@@ -484,8 +527,7 @@ def advance(
 
     # --- 4. scalar advection + updates ----------------------------------
     # density: conservative, no forcing
-    rho_g = bcp.fill_scal(rho, 3, 0)
-    flux_rho, aofs_rho = _adv(rho_g, True)
+    flux_rho, aofs_rho = _adv(dim, rho_g, True)
     if eb is not None:
         aofs_rho = eb_aofs(
             flux_rho, umac, eb, dx, True, s_cc=rho, periodic=periodic,
@@ -504,9 +546,9 @@ def advance(
     vflux_trac = []
     for t in range(cfg.ntrac):
         s = trac[t]
-        s_g = bcp.fill_scal(s, 3, 1 + t)
+        s_g = trac_gs[t]
         icons = cfg.do_cons_trac
-        flux_s, aofs_s = _adv(s_g, icons, s_cc_=s)
+        flux_s, aofs_s = _adv(dim + 1 + t, s_g, icons, s_cc_=s)
         if eb is not None:
             aofs_s = eb_aofs(
                 flux_s, umac, eb, dx, icons, s_cc=s, periodic=periodic,
@@ -566,8 +608,8 @@ def advance(
     # --- 4b. temperature: advect (convective) + CN conduction -------------
     temp_new = state.temp
     if cfg.do_temp:
-        t_g = bcp.fill_temp(state.temp, 3)
-        flux_t, aofs_t = _adv(t_g, False, s_cc_=state.temp)
+        flux_t, aofs_t = _adv(dim + 1 + cfg.ntrac, t_g, False,
+                              s_cc_=state.temp)
         if eb is not None:
             aofs_t = eb_aofs(
                 flux_t, umac, eb, dx, False, s_cc=state.temp,

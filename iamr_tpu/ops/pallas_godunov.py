@@ -103,11 +103,17 @@ def _pick_t1(n1: int) -> int:
     return 64 if n1 >= 128 else (16 if n1 >= 32 else 8)
 
 
-def _godunov_kernel(
-    scal, sg, u0, u1, u2, fg, f0_o, f1_o, f2_o, a_o, h0, h1, h2,
-    *, T, n1, n2, dx, iconserv, has_force, conv_out,
+def _advect_field_tile(
+    sg, u0, u1, u2, fg, h0, h1, h2,
+    *, T, n1, n2, dx, dt, iconserv, has_force, conv_out,
 ):
-    """One slab: cells rows [iT, iT+T).
+    """One field's full advection pipeline on one (T x n1 x n2) tile;
+    returns (f0, f1, f2, aofs) value blocks. Shared by the single-field
+    and multi-field kernels — the multi-field kernel loops this per field
+    with the SAME u0/u1/u2 blocks (the MAC loads amortize across fields)
+    and reuses the h0/h1/h2 hat scratch.
+
+    See _godunov_kernel for the index conventions.
 
     Local row conventions (global cell c, block start g0 = i*T):
       sg   row ls = c - g0 + 3   (block rows T+6: cells [g0-3, g0+T+3))
@@ -121,7 +127,6 @@ def _godunov_kernel(
     ng=1; h1 (T+2, n1+1, n2+2) dim0 cells [g0-1, g0+T+1); h2 like h1 with
     dims 1/2 swapped roles.
     """
-    dt = scal[0, 0]
     dtdx = tuple(dt * (1.0 / h) for h in dx)
 
     # ---- phase 0: per-dim slope caches -----------------------------------
@@ -217,7 +222,7 @@ def _godunov_kernel(
     sRf = pR + corr0(1)
     edge0 = _upw(sLf, sRf, uf)
     fx0 = uf * edge0
-    f0_o[...] = fx0[0:T]
+    f0 = fx0[0:T]
     div = (fx0[1:T + 1] - fx0[0:T]) * (1.0 / dx[0])
 
     # --- d = 1: 1-faces [0, n1+1), dim0 cells [g0, g0+T) real ---
@@ -264,7 +269,7 @@ def _godunov_kernel(
     sRf = pR + corr1(1)
     edge1 = _upw(sLf, sRf, uf)
     fx1 = uf * edge1
-    f1_o[...] = fx1[:, 0:n1, :]   # faces [g1, g1+T1); face n1 covered by
+    f1 = fx1[:, 0:n1, :]   # faces [g1, g1+T1); face n1 covered by
     # the next tile's interior (nblk1 is padded when T1 divides n1)
     div = div + (fx1[:, 1:n1 + 1, :] - fx1[:, 0:n1, :]) * (1.0 / dx[1])
 
@@ -311,7 +316,7 @@ def _godunov_kernel(
     sRf = pR + corr2(1)
     edge2 = _upw(sLf, sRf, uf)
     fx2 = uf * edge2
-    f2_o[...] = fx2
+    f2 = fx2
     div = div + (fx2[:, :, 1:n2 + 1] - fx2[:, :, 0:n2]) * (1.0 / dx[2])
 
     if conv_out:
@@ -325,9 +330,46 @@ def _godunov_kernel(
             + (u2[1:T + 1, 1:n1 + 1, 2:n2 + 2]
                - u2[1:T + 1, 1:n1 + 1, 1:n2 + 1]) * (1.0 / dx[2])
         )
-        a_o[...] = div - s_cc * divu
-    else:
-        a_o[...] = div
+        return f0, f1, f2, div - s_cc * divu
+    return f0, f1, f2, div
+
+
+def _godunov_kernel(
+    scal, sg, u0, u1, u2, fg, f0_o, f1_o, f2_o, a_o, h0, h1, h2,
+    *, T, n1, n2, dx, iconserv, has_force, conv_out,
+):
+    f0, f1, f2, a = _advect_field_tile(
+        sg, u0, u1, u2, fg, h0, h1, h2, T=T, n1=n1, n2=n2, dx=dx,
+        dt=scal[0, 0], iconserv=iconserv, has_force=has_force,
+        conv_out=conv_out,
+    )
+    f0_o[...] = f0
+    f1_o[...] = f1
+    f2_o[...] = f2
+    a_o[...] = a
+
+
+def _godunov_kernel_multi(
+    scal, sg, u0, u1, u2, fg, f0_o, f1_o, f2_o, a_o, h0, h1, h2,
+    *, T, n1, n2, dx, iconservs, force_rows, convs,
+):
+    """All advected fields of one timestep in ONE pallas_call: sg carries
+    a leading field axis [nc, ...]; the u0/u1/u2 blocks are loaded once and
+    reused by every field (they dominate the single-field kernel's input
+    traffic); fg stacks only the fields that HAVE a force (force_rows[j] is
+    the row or -1). Per-field iconserv/convective flags are static."""
+    dt = scal[0, 0]
+    for j in range(sg.shape[0]):
+        fr = force_rows[j]
+        f0, f1, f2, a = _advect_field_tile(
+            sg[j], u0, u1, u2, fg[fr] if fr >= 0 else None, h0, h1, h2,
+            T=T, n1=n1, n2=n2, dx=dx, dt=dt, iconserv=iconservs[j],
+            has_force=fr >= 0, conv_out=convs[j],
+        )
+        f0_o[j] = f0
+        f1_o[j] = f1
+        f2_o[j] = f2
+        a_o[j] = a
 
 
 def godunov_plm_fused(
@@ -459,6 +501,165 @@ def godunov_plm_fused(
     )(scal, sgp, u0p, u1p, u2p, fgp)
     fluxes = (fx[:n0 + 1, :n1], fy[:n0, :n1 + 1], fz[:n0, :n1])
     return fluxes, aofs[:n0, :n1]
+
+
+def _pick_t1_multi(n1: int, n2: int, nc: int, nf: int) -> int:
+    """dim1 tile for the multi-field kernel: largest 8-divisible T1 whose
+    per-tile VMEM (nc-scaled inputs/outputs, shared u blocks, 3 reused hat
+    scratch, ~40-value live set) fits the budget."""
+    T = _T
+    for t1 in (64, 32, 16, 8):
+        if t1 > max(8, n1):
+            continue
+        BS1 = t1 + 8
+        in_sg = nc * (T + 6) * BS1 * (n2 + 6) * 4
+        in_u = 3 * (T + 3) * BS1 * (n2 + 3) * 4
+        in_f = max(nf, 1) * (T + 2) * BS1 * (n2 + 2) * 4
+        out = nc * 4 * T * t1 * (n2 + 1) * 4
+        val = (T + 2) * BS1 * (n2 + 2) * 4
+        need = 2 * (in_sg + in_u + in_f + out) + (3 + 40) * val
+        if need <= 100 * 1024 * 1024:
+            return t1
+    return 8
+
+
+def godunov_multi_ok(shape, dtype, scheme, rz, eb, nc) -> bool:
+    """Gate for the one-call multi-field advection (same conditions as the
+    single-field kernel; the VMEM fit is checked by _pick_t1_multi)."""
+    if not godunov_fused_ok(shape, dtype, scheme, rz, eb):
+        return False
+    return nc >= 2
+
+
+def godunov_plm_fused_multi(
+    s_gs, umac, umac_g, dt, dx, ncell, iconservs, force_gs, force_rows,
+    convs, periodic=None, interpret: bool = False,
+):
+    """ALL advected fields of a step in ONE pallas_call (velocity x3, rho,
+    tracers, temperature): the three MAC-velocity blocks — which dominate
+    the single-field kernel's input traffic — are loaded once per tile and
+    reused by every field, and the per-tile pipeline overheads amortize.
+
+    s_gs: list of nc fields with 3 filled ghosts; iconservs/convs: per-field
+    static flags; force_gs: list of force arrays (1 ghost) for the fields
+    that have one, force_rows[j] = row into force_gs or -1.
+    Returns (fluxes[j], aofs[j]) per field, exactly godunov_plm_fused's
+    arithmetic per field."""
+    n0, n1, n2 = tuple(int(x) for x in ncell)
+    nc = len(s_gs)
+    nf = len(force_gs)
+    dtype = s_gs[0].dtype
+
+    T = _T
+    T1 = _pick_t1_multi(n1, n2, nc, nf)
+    nblk = (n0 + T - 1) // T
+    if nblk * T == n0:
+        nblk += 1
+    nblk1 = (n1 + T1 - 1) // T1
+    if nblk1 * T1 == n1:
+        nblk1 += 1
+    BS1 = T1 + 8
+
+    per = tuple(bool(p) for p in periodic) if periodic is not None else (False,) * 3
+
+    def ext_face(u, d, wrap):
+        first = jax.lax.slice_in_dim(u, 0, 1, axis=d)
+        second = jax.lax.slice_in_dim(u, 1, 2, axis=d)
+        nlast = u.shape[d]
+        last = jax.lax.slice_in_dim(u, nlast - 1, nlast, axis=d)
+        seclast = jax.lax.slice_in_dim(u, nlast - 2, nlast - 1, axis=d)
+        if wrap:
+            lo = first - (last - seclast)
+            hi = last + (second - first)
+        else:
+            lo = 2.0 * first - second
+            hi = 2.0 * last - seclast
+        return jnp.concatenate([lo, u, hi], axis=d)
+
+    def pad_to(x, d, need):
+        if x.shape[d] >= need:
+            return x
+        pads = [(0, 0)] * x.ndim
+        pads[d] = (0, need - x.shape[d])
+        return jnp.pad(x, pads, mode="edge")
+
+    need0 = {"sg": (nblk - 1) * T + T + 6, "u0": (nblk - 1) * T + T + 3,
+             "u": (nblk - 1) * T + T + 2}
+    need1 = (nblk1 - 1) * T1 + BS1
+
+    sgp = jnp.stack([pad_to(pad_to(s, 0, need0["sg"]), 1, need1)
+                     for s in s_gs])
+    u0p = pad_to(pad_to(ext_face(umac_g[0], 0, per[0]), 0, need0["u0"]),
+                 1, need1)
+    u1p = pad_to(pad_to(ext_face(umac_g[1], 1, per[1]), 0, need0["u"]),
+                 1, need1)
+    u2p = pad_to(pad_to(ext_face(umac_g[2], 2, per[2]), 0, need0["u"]),
+                 1, need1)
+    if nf:
+        fgp = jnp.stack([pad_to(pad_to(f, 0, need0["u"]), 1, need1)
+                         for f in force_gs])
+    else:
+        fgp = jnp.zeros((1, 1, 1, 1), dtype)
+
+    kern = partial(
+        _godunov_kernel_multi, T=T, n1=T1, n2=n2,
+        dx=tuple(float(h) for h in dx), iconservs=tuple(iconservs),
+        force_rows=tuple(force_rows), convs=tuple(convs),
+    )
+    scal = jnp.asarray(dt, dtype).reshape(1, 1)
+
+    def in_spec4(rows, a):
+        return pl.BlockSpec(
+            (pl.Element(a.shape[0], (0, 0)), pl.Element(rows, (0, 0)),
+             pl.Element(BS1, (0, 0)), pl.Element(a.shape[3], (0, 0))),
+            lambda i, j: (0, i * T, j * T1, 0),
+        )
+
+    def in_spec3(rows, a):
+        return pl.BlockSpec(
+            (pl.Element(rows, (0, 0)), pl.Element(BS1, (0, 0)),
+             pl.Element(a.shape[2], (0, 0))),
+            lambda i, j: (i * T, j * T1, 0),
+        )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((nc, nblk * T, nblk1 * T1, n2), dtype),
+        jax.ShapeDtypeStruct((nc, nblk * T, nblk1 * T1, n2), dtype),
+        jax.ShapeDtypeStruct((nc, nblk * T, nblk1 * T1, n2 + 1), dtype),
+        jax.ShapeDtypeStruct((nc, nblk * T, nblk1 * T1, n2), dtype),
+    )
+    out_specs = tuple(
+        pl.BlockSpec((nc, T, T1) + s.shape[3:], lambda i, j: (0, i, j, 0))
+        for s in out_shapes
+    )
+    scratch = [
+        pltpu.VMEM((T + 1, T1 + 2, n2 + 2), dtype),
+        pltpu.VMEM((T + 2, T1 + 1, n2 + 2), dtype),
+        pltpu.VMEM((T + 2, T1 + 2, n2 + 1), dtype),
+    ]
+    fx, fy, fz, aofs = pl.pallas_call(
+        kern,
+        grid=(nblk, nblk1),
+        out_shape=out_shapes,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            in_spec4(T + 6, sgp),
+            in_spec3(T + 3, u0p),
+            in_spec3(T + 2, u1p),
+            in_spec3(T + 2, u2p),
+            (in_spec4(T + 2, fgp) if nf
+             else pl.BlockSpec(memory_space=pltpu.VMEM)),
+        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(scal, sgp, u0p, u1p, u2p, fgp)
+    out = []
+    for j in range(nc):
+        fluxes = (fx[j, :n0 + 1, :n1], fy[j, :n0, :n1 + 1], fz[j, :n0, :n1])
+        out.append((fluxes, aofs[j, :n0, :n1]))
+    return out
 
 
 # ---------------------------------------------------------------------------
