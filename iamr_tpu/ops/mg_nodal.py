@@ -747,7 +747,11 @@ def nodal_solve(
         rhs = rhs - apply_nodal(phi_b, sigma, dx, bc)
         phi = lev0.mask * phi
 
-    singular = all(
+    # interior_mask pins nodes to Dirichlet data -> NOT singular: demeaning
+    # a pinned system perturbs the rhs by a constant the pinned rows cannot
+    # absorb, i.e. it silently solves a different problem (mg.mg_solve's
+    # singular test already excludes interior_mask; this one must too)
+    singular = interior_mask is None and all(
         bc.lo[d] != N_DIRICHLET and bc.hi[d] != N_DIRICHLET for d in range(dim)
     )
     # weight for mean-projection over duplicated periodic DOFs: use the mask
