@@ -618,6 +618,12 @@ class UnionBoxExec:
         self.dom_ncell = tuple(
             crse_geom.ncell[d] * self.r for d in range(self.dim)
         )
+        self.per_crse = tuple(bool(p) for p in crse_geom.periodic)
+        self._solvers: Dict = {}
+        # route the union elliptic solves through the batched MG
+        # (ops/mg_batch.py / ops/mg_nodal_batch.py); bitwise-parity tests
+        # against the masked-union path switch this off
+        self.solve_elliptic = True
         self.off = np.array(
             [[sp.lo[d] - self.bbox.lo[d] for d in range(self.dim)]
              for sp in specs], np.int32,
@@ -784,3 +790,187 @@ class UnionBoxExec:
             aofs, idxs, jnp.zeros(tuple(self.bbox.ncell), s_g.dtype)
         )
         return fluxes, a_out
+
+
+# ---------------------------------------------------------------------------
+# Stage-B execution: the union advance's ELLIPTIC solves run on the batch
+# ---------------------------------------------------------------------------
+# The masked-union MG (ops/mg.py interior_mask, ops/mg_nodal.py) solves the
+# right system but pays O(bbox) memory and FLOPs per V-cycle. These adapters
+# gather the same system onto the congruent box batch, solve with the
+# batched MG (ops/mg_batch.py, ops/mg_nodal_batch.py — every MG depth stays
+# [nbox, ...]-sized, the reference's MLMG-over-BoxArray execution), and
+# scatter the solution back into the bbox array with holes carrying the
+# interior Dirichlet data, exactly mg_solve's union return convention.
+
+
+def _bbox_solver_geometry(bexec: "UnionBoxExec"):
+    """(periodic, touch) of the boxes within the BBOX index space."""
+    dim = bexec.dim
+    per = tuple(
+        bexec.per_crse[d]
+        and bexec.bbox.lo[d] == 0
+        and bexec.bbox.ncell[d] == bexec.dom_ncell[d]
+        for d in range(dim)
+    )
+    touch = np.zeros((bexec.nbox, dim, 2), bool)
+    for b in range(bexec.nbox):
+        for d in range(dim):
+            touch[b, d, 0] = bexec.off[b, d] == 0
+            touch[b, d, 1] = (
+                bexec.off[b, d] + bexec.bshape[d] == bexec.bbox.ncell[d]
+            )
+    return per, touch
+
+
+def _batch_bvals(bexec: "UnionBoxExec", bvals, idxs):
+    """Per-box windows of bbox-boundary bval data (scalars pass through)."""
+    if not bvals:
+        return bvals
+    out = {}
+    for (d, side), v in bvals.items():
+        va = jnp.asarray(v)
+        if va.ndim == 0:
+            out[(d, side)] = va
+            continue
+        # boundary-slab array over the transverse dims of the bbox (with
+        # or without a kept singleton at d)
+        if va.ndim == bexec.dim:
+            va = jnp.squeeze(va, axis=d)
+        sel = []
+        tds = [e for e in range(bexec.dim) if e != d]
+        for j, e in enumerate(tds):
+            i = bexec.off[list(idxs), e][:, None] + np.arange(
+                bexec.bshape[e], dtype=np.int32
+            )[None]
+            sh = [len(idxs)] + [1] * len(tds)
+            sh[1 + j] = bexec.bshape[e]
+            sel.append(jnp.asarray(i.reshape(sh)))
+        vb = va[tuple(sel)]
+        # the ghost slab in the padded batch spans bs+2 transversely; pad
+        # with zeros — corner ghosts never enter the 7-point stencil of any
+        # interior cell (mg._boundary_lift skips them too)
+        vb = jnp.pad(vb, [(0, 0)] + [(1, 1)] * len(tds))
+        out[(d, side)] = jnp.expand_dims(vb, axis=1 + d)
+    return out
+
+
+def _solve_cell_batched(
+    bexec: "UnionBoxExec", rhs_u, alpha_u, beta_u, a, b, dx, bc, bvals,
+    interior_vals, phi0=None, rtol=1e-11, atol=0.0, fixed_cycles=None,
+):
+    """Batched replacement for mg_solve(..., interior_mask, interior_vals)
+    on a congruent union level. Returns (phi_bbox, res, iters) with hole
+    cells = interior_vals (mg_solve's finalize convention)."""
+    from iamr_tpu.ops.mg_batch import BatchPoisson
+
+    dim = bexec.dim
+    key = ("cell", tuple(bc.lo), tuple(bc.hi))
+    if key not in bexec._solvers:
+        per, touch = _bbox_solver_geometry(bexec)
+        bexec._solvers[key] = BatchPoisson(
+            bexec.off, bexec.bshape, tuple(bexec.bbox.ncell), per, bc, touch
+        )
+    bp = bexec._solvers[key]
+    idxs = tuple(range(bexec.nbox))
+    rhs_b = bexec.gather_cc(rhs_u, 0, idxs)
+    alpha_b = bexec.gather_cc(alpha_u, 0, idxs)
+    beta_b = tuple(bexec.gather_face(beta_u[d], d, idxs) for d in range(dim))
+    # gather_cc(ng=1) expects an array WITH a 1-ghost ring (the offsets
+    # cancel); interior_vals is plain bbox-shaped, so pad it first (edge
+    # values beyond the bbox are never read: those ghosts are physical)
+    iv_g = jnp.pad(interior_vals.astype(rhs_u.dtype),
+                   [(1, 1)] * dim, mode="edge")
+    cf = bexec.gather_cc(iv_g, 1, idxs)
+    phi0_b = None if phi0 is None else bexec.gather_cc(phi0, 0, idxs)
+    bv_b = _batch_bvals(bexec, bvals, idxs)
+    phi_b, it, res = bp.solve(
+        rhs_b, alpha_b, beta_b, a, b, dx, phi0=phi0_b, cf_ghosts=cf,
+        bvals=bv_b, rtol=rtol, atol=atol, fixed_cycles=fixed_cycles,
+    )
+    out = bexec.scatter_cc(phi_b, idxs, interior_vals.astype(rhs_u.dtype))
+    return out, res, it
+
+
+def _gather_nodes_padded(bexec: "UnionBoxExec", a_nodes, idxs, pad: int):
+    """Per-box node windows grown by `pad`, clamped at the bbox edge."""
+    dim = bexec.dim
+    sel = []
+    for d in range(dim):
+        nn = bexec.bbox.ncell[d] + 1
+        i = bexec.off[list(idxs), d][:, None] + np.arange(
+            -pad, bexec.bshape[d] + 1 + pad, dtype=np.int32
+        )[None]
+        i = np.clip(i, 0, nn - 1)
+        sh = [len(idxs)] + [1] * dim
+        sh[1 + d] = bexec.bshape[d] + 1 + 2 * pad
+        sel.append(jnp.asarray(i.reshape(sh)))
+    return a_nodes[tuple(sel)]
+
+
+def _solve_nodal_batched(
+    bexec: "UnionBoxExec", rhs_nodes, sigma_u, dx, bc, phi_bc=None,
+    phi0=None, rtol=1e-11, atol=1e-16, fixed_cycles=None,
+):
+    """Batched replacement for nodal_solve(..., interior_mask=nodemask,
+    phi_bc) on a congruent union level: bbox-boundary nodes and any node
+    with an uncovered adjacent cell are Dirichlet-pinned to phi_bc
+    (UnionBCProvider.nodemask semantics). Returns (phi_bbox, res, iters)
+    with non-box nodes carrying phi_bc."""
+    from iamr_tpu.ops.mg_nodal_batch import BatchNodal
+
+    dim = bexec.dim
+    key = ("nodal", tuple(bc.lo), tuple(bc.hi))
+    if key not in bexec._solvers:
+        per, touch = _bbox_solver_geometry(bexec)
+        # the union nodemask pins every bbox-boundary node (mp padded 0)
+        pin = np.zeros(
+            (bexec.nbox,) + tuple(n + 1 for n in bexec.bshape), bool
+        )
+        for b in range(bexec.nbox):
+            for d in range(dim):
+                if touch[b, d, 0]:
+                    idx = [slice(None)] * dim
+                    idx[d] = slice(0, 1)
+                    pin[(b,) + tuple(idx)] = True
+                if touch[b, d, 1]:
+                    idx = [slice(None)] * dim
+                    idx[d] = slice(-1, None)
+                    pin[(b,) + tuple(idx)] = True
+        bexec._solvers[key] = BatchNodal(
+            bexec.off, bexec.bshape, tuple(bexec.bbox.ncell), per, bc,
+            extra_pin=pin,
+        )
+    bn = bexec._solvers[key]
+    idxs = tuple(range(bexec.nbox))
+    rhs_b = _gather_nodes_padded(bexec, rhs_nodes, idxs, 0)
+    sigma_b = bexec.gather_cc(sigma_u, 0, idxs)
+    g_pad = None
+    bg = jnp.zeros(tuple(n + 1 for n in bexec.bbox.ncell), rhs_nodes.dtype)
+    if phi_bc is not None:
+        g_pad = _gather_nodes_padded(
+            bexec, phi_bc.astype(rhs_nodes.dtype), idxs, 1
+        )
+        bg = phi_bc.astype(rhs_nodes.dtype)
+    phi0_b = None if phi0 is None else _gather_nodes_padded(
+        bexec, phi0, idxs, 0
+    )
+    phi_b, it, res = bn.solve(
+        rhs_b, sigma_b, dx, phi0=phi0_b, g_pad=g_pad, rtol=rtol, atol=atol,
+        fixed_cycles=fixed_cycles,
+    )
+    # scatter nodes (duplicated seam copies carry equal values)
+    nsel = []
+    for d in range(dim):
+        i = bexec.off[list(idxs), d][:, None] + np.arange(
+            bexec.bshape[d] + 1, dtype=np.int32
+        )[None]
+        sh = [len(idxs)] + [1] * dim
+        sh[1 + d] = bexec.bshape[d] + 1
+        nsel.append(jnp.asarray(i.reshape(sh)))
+    out = bg.at[tuple(nsel)].set(phi_b)
+    return out, res, it
+
+
+UnionBoxExec.solve_cell = _solve_cell_batched
+UnionBoxExec.solve_nodal = _solve_nodal_batched

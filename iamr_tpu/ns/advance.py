@@ -384,6 +384,12 @@ def advance(
     bh = tuple(tuple(bcvals_hi[c][d] for c in range(dim)) for d in range(dim))
     if boxes is not None and (eb is not None or rz is not None):
         boxes = None  # only the bbox-wide path handles EB/RZ
+    # batched elliptic solves (gather -> batch MG -> scatter); bitwise
+    # hyperbolic-parity tests construct UnionBoxExec(solve_elliptic=False)
+    sboxes = (
+        boxes if boxes is not None and getattr(boxes, "solve_elliptic", True)
+        else None
+    )
     if boxes is not None:
         umac = boxes.extrap_batched(
             vel_g, force_g, dt, dx, recs, bl, bh, mac_scheme,
@@ -423,6 +429,7 @@ def advance(
             interior_mask=umask,
             interior_vals=bcp.union_vals_mac() if is_union else None,
             spectral_beta0=(1.0 / invariant_mean(rho)) if spectral else None,
+            boxes=sboxes,
         )
     else:
         # ns.do_mac_proj=0 debugging toggle: advect with the predicted
@@ -573,6 +580,7 @@ def advance(
                     spectral=(
                         (invariant_mean(rho_new), coef) if spectral else None
                     ),
+                    boxes=sboxes,
                 )
             else:
                 # volume-weighted EB operator; no-flux at the EB wall
@@ -636,6 +644,7 @@ def advance(
                 spectral=(
                     (invariant_mean(a_new), cfg.temp_cond_coef) if spectral else None
                 ),
+                boxes=sboxes,
             )
         if eb is not None:
             temp_new = eb.fluid * temp_new + eb.covered * state.temp
@@ -678,7 +687,9 @@ def advance(
         elif eb is None and spectral:
             # all-periodic constant-mu: batch the 3 component Helmholtz
             # solves into ONE vmapped spectral solve (batched rfftn is
-            # ~1.5x cheaper than 3 separate transforms on TPU)
+            # ~1.5x cheaper than 3 separate transforms on TPU; a fused
+            # GS-sweep alternative measured NO faster — the smoother is
+            # VMEM-load bound at 256^3, bench_experiments round 3)
             vbc, vbv = bcp.vel_diff_bc(0)
             sp_args = (invariant_mean(alpha), cfg.vel_visc_coef)
 
@@ -704,6 +715,7 @@ def advance(
                     interior_vals=(
                         bcp.union_vals_vel(c) if is_union else None
                     ),
+                    boxes=sboxes,
                 )
                 comps.append(u_new)
             vel_star = jnp.stack(comps)
@@ -778,6 +790,7 @@ def advance(
         bc=nodal_bc_, phi_bc=nodal_phi_bc, divu_src=divu_new, eb=eb, rz=rz,
         union=(bcp.cellmask, bcp.nodemask) if is_union else None,
         spectral_sigma0=(1.0 / invariant_mean(rho_half)) if spectral else None,
+        boxes=sboxes,
     )
 
     # dsdt for the next step's MAC RHS (calc_dsdt, NavierStokes.cpp:631-641)

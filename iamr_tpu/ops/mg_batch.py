@@ -421,7 +421,7 @@ class BatchPoisson:
         rtol: float = 1e-11,
         atol: float = 0.0,
         fixed_cycles: Optional[int] = None,
-        max_cycles: int = 60,
+        max_cycles: int = 200,
         nu1: int = 2,
         nu2: int = 2,
     ):

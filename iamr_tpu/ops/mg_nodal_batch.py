@@ -291,7 +291,7 @@ class BatchNodal:
                 # mask0 handling in build_nodal_hierarchy
                 s = 1 << k
                 pin = np.asarray(self.extra_pin)[
-                    (slice(None),) + tuple(slice(None, None, s),) * self.dim
+                    (slice(None),) + (slice(None, None, s),) * self.dim
                 ]
                 free &= ~pin
             m["free"] = free
@@ -474,7 +474,7 @@ class BatchNodal:
 
     def solve(self, rhs, sigma, dx, phi0=None, g_pad=None,
               rtol: float = 1e-11, atol: float = 0.0,
-              fixed_cycles: Optional[int] = None, max_cycles: int = 60,
+              fixed_cycles: Optional[int] = None, max_cycles: int = 200,
               nu1: int = 2, nu2: int = 2):
         """g_pad: [nbox, bs+3] FULL padded Dirichlet data (values at pinned
         nodes + uncovered ghosts; anything at free/covered slots ignored).

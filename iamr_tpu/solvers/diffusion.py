@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from iamr_tpu.core.bc import BCRec, MathBC
@@ -91,8 +92,13 @@ def diffuse_scalar(
     interior_mask=None,
     interior_vals=None,
     spectral=None,
+    boxes=None,
 ):
     """CN diffusion update after advection.
+
+    boxes: optional amr.boxbatch.UnionBoxExec — congruent multi-box union
+    solves run on the box batch (ops/mg_batch.py) instead of the masked
+    bbox MG; same system, same return convention.
 
     spectral: optional (alpha0, beta0) SCALARS of an all-periodic
     constant-coefficient solve — the Helmholtz solve runs in Fourier space
@@ -147,6 +153,13 @@ def diffuse_scalar(
         s_new = solve_cell_helmholtz(rhs, alpha0, theta * dt * beta0, dx)
         return s_new, (jnp.zeros((), s_star.dtype), 0)
 
+    if boxes is not None and interior_mask is not None:
+        s_new, res, it = boxes.solve_cell(
+            rhs, alpha_op, beta, 1.0, theta * dt, dx, bc, bvals,
+            interior_vals, phi0=s_star, rtol=rtol, atol=atol,
+            fixed_cycles=fixed_cycles,
+        )
+        return s_new, (res, it)
     s_new, res, it = mg.mg_solve(
         rhs,
         alpha_op,

@@ -73,8 +73,14 @@ def mac_project(
     interior_mask=None,
     interior_vals=None,
     spectral_beta0=None,
+    boxes=None,
 ):
     """Project the MAC velocities. Returns (umac_corrected, phi, stats).
+
+    boxes: optional amr.boxbatch.UnionBoxExec — a congruent multi-box union
+    solve then runs on the box batch (ops/mg_batch.py; every MG depth stays
+    batch-sized) instead of the masked bbox MG; same system, same return
+    convention.
 
     spectral_beta0: scalar 1/rho of an all-periodic uniform-density run —
     the Poisson solve runs in Fourier space (solvers.spectral), exact for
@@ -161,22 +167,29 @@ def mac_project(
 
     # mg operator is (a*alpha - b*div beta grad); with a=0, b=1 it is
     # -div(beta grad). Solve -div(beta grad phi) = -div  <=>  L phi = div.
-    phi, res, it = mg.mg_solve(
-        -div,
-        jnp.zeros_like(rho),
-        beta,
-        0.0,
-        1.0,
-        dx,
-        bc,
-        phi0=phi0,
-        bvals=bvals,
-        rtol=rtol,
-        atol=atol,
-        fixed_cycles=fixed_cycles,
-        interior_mask=interior_mask,
-        interior_vals=interior_vals,
-    )
+    if boxes is not None and interior_mask is not None:
+        phi, res, it = boxes.solve_cell(
+            -div, jnp.zeros_like(rho), beta, 0.0, 1.0, dx, bc, bvals,
+            interior_vals, phi0=phi0, rtol=rtol, atol=atol,
+            fixed_cycles=fixed_cycles,
+        )
+    else:
+        phi, res, it = mg.mg_solve(
+            -div,
+            jnp.zeros_like(rho),
+            beta,
+            0.0,
+            1.0,
+            dx,
+            bc,
+            phi0=phi0,
+            bvals=bvals,
+            rtol=rtol,
+            atol=atol,
+            fixed_cycles=fixed_cycles,
+            interior_mask=interior_mask,
+            interior_vals=interior_vals,
+        )
     # correction fluxes: get_fluxes returns -b*beta*grad(phi) = -beta grad phi
     corr = mg.get_fluxes(phi, beta, 1.0, dx, bc, bvals=bvals)
     umac_new = []

@@ -67,6 +67,7 @@ def level_project(
     rz=None,
     union=None,
     spectral_sigma0=None,
+    boxes=None,
 ):
     """Approximate nodal projection of the provisional velocity.
 
@@ -159,6 +160,13 @@ def level_project(
 
         phi = solve_nodal_poisson(rhs, spectral_sigma0, dx)
         res, it = jnp.zeros((), rho_half.dtype), 0
+    elif boxes is not None and union is not None:
+        # congruent multi-box union: batched nodal MG (ops/mg_nodal_batch)
+        # — same pinned system as the masked bbox solve, batch-sized
+        phi, res, it = boxes.solve_nodal(
+            rhs, sigma_op, dx, bc, phi_bc=phi_bc, phi0=phi0, rtol=rtol,
+            atol=atol, fixed_cycles=fixed_cycles,
+        )
     else:
         phi, res, it = nodal_solve(
             rhs, sigma_op, dx, bc, rtol=rtol, atol=atol,

@@ -50,9 +50,10 @@ def _union_setup(cfg, specs, fixed=4):
     return crse, u._replace(dt=crse.dt / r), cfg_u, bbox, bcp
 
 
-def _compare_on_boxes(a, b, specs, bbox, tol, node=False, lead=False):
+def _compare_on_boxes(a, b, specs, bbox, tol, node=False, lead=False,
+                      face_dim=None):
     for sp in specs:
-        cs = _box_slices(sp, bbox, node=node)
+        cs = _box_slices(sp, bbox, node=node, face_dim=face_dim)
         if lead:
             cs = (slice(None),) + cs
         np.testing.assert_allclose(
@@ -61,10 +62,14 @@ def _compare_on_boxes(a, b, specs, bbox, tol, node=False, lead=False):
         )
 
 
-def _run_both(cfg, specs, fixed=4):
+def _run_both(cfg, specs, fixed=4, batch_solves=False):
     crse, u0, cfg_u, bbox, bcp = _union_setup(cfg, specs, fixed)
     ref, aux_ref = advance(u0, cfg_u, fixed, bcp=bcp, return_aux=True)
     bexec = UnionBoxExec(cfg.geom, specs, bbox=bbox)
+    # bitwise tests pin the hyperbolic phases against the bbox-wide path;
+    # the batched elliptic solvers converge to the same solution but along
+    # different iterates, so they get their own tolerance-mode test
+    bexec.solve_elliptic = batch_solves
     out, aux_bb = advance(
         u0, cfg_u, fixed, bcp=bcp, return_aux=True, boxes=bexec
     )
@@ -203,3 +208,29 @@ def test_congruent_chop():
         cov[lo[0]:hi[0], lo[1]:hi[1]] = True
     for lo, hi in boxes:
         assert cov[lo[0]:hi[0], lo[1]:hi[1]].all()
+
+
+def test_batched_elliptic_solves_match_union():
+    """With tolerance-mode solves, the batched elliptic path (BatchPoisson
+    MAC + diffusion, BatchNodal projection; ops/mg_batch.py) reproduces the
+    masked-union advance on box cells to solver tolerance — same pinned
+    systems, batch-sized memory."""
+    cfg = _cfg(VISC_SHEAR)
+    specs = (
+        LevelSpec(lo=(8, 12), ncell=(20, 12), ratio=2),
+        LevelSpec(lo=(36, 36), ncell=(20, 12), ratio=2),
+    )
+    # tolerance mode: fixed=None -> both paths converge to ~proj_tol
+    ref, out, aux_ref, aux_bb, bbox = _run_both(
+        cfg, specs, fixed=None, batch_solves=True
+    )
+    tol = 2e-8
+    _compare_on_boxes(out.rho, ref.rho, specs, bbox, tol)
+    _compare_on_boxes(out.vel, ref.vel, specs, bbox, tol, lead=True)
+    _compare_on_boxes(out.trac, ref.trac, specs, bbox, tol, lead=True)
+    _compare_on_boxes(out.p, ref.p, specs, bbox, 1e-6, node=True)
+    for d in range(2):
+        _compare_on_boxes(
+            aux_bb["umac"][d], aux_ref["umac"][d], specs, bbox, tol,
+            face_dim=d,
+        )
