@@ -47,7 +47,19 @@ def _interp_mac(umac, pos, geom: Geometry):
 
     Component d is face-centered in d (node coordinates) and cell-centered
     in the others; periodic dims wrap, non-periodic clamp to the domain.
+
+    Under an active spatial mesh the interpolation runs SHARDED
+    (_interp_mac_sharded): each device gathers only the stencil corners it
+    owns and one psum of the (N, dim) particle velocities combines them —
+    the MAC fields are never all-gathered (the Redistribute analogue of
+    amrex's distributed AmrParticleContainer,
+    NavierStokesBase.cpp:3866-3954).
     """
+    from iamr_tpu.parallel.context import active
+
+    pm = active()
+    if pm is not None and pm.dim == geom.dim:
+        return _interp_mac_sharded(umac, pos, geom, pm)
     dim = geom.dim
     dx = geom.dx
     out = []
@@ -106,6 +118,88 @@ def _multilinear(a, fidx: Sequence, geom: Geometry, face_dim: int):
         ws.append(w)
     vals = jnp.take(a.reshape(-1), jnp.stack(lins, -1).reshape(-1))
     return jnp.sum(vals.reshape(-1, 2**dim) * jnp.stack(ws, -1), -1)
+
+
+def _interp_mac_sharded(umac, pos, geom: Geometry, pm):
+    """Sharded MAC interpolation: positions are replicated (they are tiny),
+    the fields stay spatially sharded. Every stencil corner is owned by
+    exactly ONE device, so the combining psum adds one nonzero contribution
+    to zeros — bitwise equal to the unsharded gather."""
+    from jax.sharding import PartitionSpec as P
+
+    dim = geom.dim
+    dx = geom.dx
+    n = geom.ncell
+    names = pm.mesh.axis_names
+    msh = pm.shape
+
+    # pad every component to mesh-divisible extents (its own face dim has
+    # n+1 entries); padding sits at the trailing shard and is never indexed
+    padded = []
+    locs = []
+    for d in range(dim):
+        u = umac[d]
+        tgt = [(-(-u.shape[e] // msh[e])) * msh[e] for e in range(dim)]
+        padded.append(
+            jnp.pad(u, [(0, tgt[e] - u.shape[e]) for e in range(dim)])
+        )
+        locs.append(tuple(tgt[e] // msh[e] for e in range(dim)))
+
+    def body(*args):
+        us = args[:dim]
+        p = args[dim]
+        offs = [jax.lax.axis_index(names[e]) for e in range(dim)]
+        out = []
+        for d in range(dim):
+            u_loc = us[d]
+            loc = locs[d]
+            base, frac = [], []
+            for e in range(dim):
+                xe = (p[:, e] - geom.prob_lo[e]) / dx[e]
+                fe = xe if e == d else xe - 0.5
+                f0 = jnp.floor(fe)
+                base.append(f0.astype(jnp.int32))
+                frac.append(fe - f0)
+            prods = []
+            for corner in range(2 ** dim):
+                w = 1.0
+                lin = 0
+                ok = None
+                for e in range(dim):
+                    bit = (corner >> e) & 1
+                    ie = base[e] + bit
+                    we = frac[e] if bit else (1.0 - frac[e])
+                    size = n[e] + (1 if e == d else 0)
+                    if geom.periodic[e]:
+                        ie = jnp.mod(ie, n[e])  # real faces/cells wrap
+                    else:
+                        ie = jnp.clip(ie, 0, size - 1)
+                    il = ie - offs[e] * loc[e]
+                    oke = (il >= 0) & (il < loc[e])
+                    ok = oke if ok is None else ok & oke
+                    lin = lin * loc[e] + jnp.clip(il, 0, loc[e] - 1)
+                    w = w * we
+                vals = jnp.take(u_loc.reshape(-1), lin)
+                prods.append(jnp.where(ok, vals * w, 0.0))
+            # psum BEFORE the corner reduction: each (particle, corner)
+            # slot has exactly one nonzero contribution across devices, so
+            # the psum is exact, and the final corner sum then runs in the
+            # SAME reduction order as the unsharded gather -> bitwise equal
+            stackp = jnp.stack(prods, axis=-1)
+            for e in range(dim):
+                stackp = jax.lax.psum(stackp, names[e])
+            out.append(jnp.sum(stackp, axis=-1))
+        return jnp.stack(out, axis=-1)
+
+    spatial = P(*names)
+    fn = jax.shard_map(
+        body,
+        mesh=pm.mesh,
+        in_specs=tuple([spatial] * dim) + (P(),),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return fn(*padded, pos)
 
 
 def advect_with_umac(

@@ -389,3 +389,75 @@ def test_sharded_spectral_step_matches():
             .as_text()
         )
     assert txt.count("all-to-all") > 0
+
+
+def test_sharded_particles_match_unsharded():
+    """Particle advection under a mesh gathers only locally-owned stencil
+    corners and psums the (N, dim) velocities (ns/particles.py
+    _interp_mac_sharded) — exactly one device owns each corner, so the
+    result is BITWISE the unsharded trajectory; and the compiled program
+    must not all-gather the MAC fields."""
+    from iamr_tpu.ns.particles import advect_with_umac, from_positions
+
+    cfg, state = _cfg_state(32, dim=3)
+    geom = cfg.geom
+    rng = np.random.RandomState(3)
+    umac = tuple(
+        jnp.asarray(rng.standard_normal(
+            tuple(32 + (1 if e == d else 0) for e in range(3))
+        ))
+        for d in range(3)
+    )
+    pos = rng.rand(4096, 3)
+    parts = from_positions(pos)
+    # jit the reference too: eager vs jit fusion differences are not what
+    # this test measures (sharded-vs-unsharded is)
+    ref = jax.jit(lambda p, u: advect_with_umac(p, u, 0.01, geom))(
+        parts, umac
+    )
+
+    pmesh = SpatialMesh.create(8, dim=3)
+    names = pmesh.mesh.axis_names
+    with use_mesh(pmesh):
+        # face dim d has n+1 entries (not mesh-divisible): shard each
+        # component on its transverse (cell) dims, like the step's own
+        # face arrays
+        umac_sh = tuple(
+            jax.device_put(
+                u,
+                pmesh.sharding(spatial=[
+                    None if e == d else names[e] for e in range(3)
+                ]),
+            )
+            for d, u in enumerate(umac)
+        )
+        parts_sh = jax.device_put(parts, pmesh.replicated())
+        step = jax.jit(
+            lambda p, u: advect_with_umac(p, u, 0.01, geom)
+        )
+        compiled = step.lower(parts_sh, umac_sh).compile()
+        out = step(parts_sh, umac_sh)
+        out.pos.block_until_ready()
+
+    # the INTERPOLATION is bitwise (the psum adds exactly-one-nonzero
+    # contributions to zeros; verified directly); the RK2 position update
+    # picks up <= 1 ulp from different FMA fusion between the two compiled
+    # programs — bound at 2 ulps of the unit domain
+    assert float(jnp.max(jnp.abs(out.pos - ref.pos))) <= 4.5e-16
+    assert bool(jnp.all(out.alive == ref.alive))
+    # the MAC fields must not be all-gathered: any all-gather in the
+    # program has to be smaller than a full field (32^3 * 8 bytes)
+    txt = compiled.as_text()
+    import re
+
+    for m in re.finditer(r"all-gather\(([^)]*)\)", txt):
+        pass  # shapes live on the result line; parse defensively below
+    for line in txt.splitlines():
+        if "all-gather(" in line and "f64[" in line:
+            shapes = re.findall(r"f64\[([0-9,]*)\]", line)
+            for s in shapes:
+                sz = 1
+                for t in s.split(","):
+                    if t:
+                        sz *= int(t)
+                assert sz < 32 ** 3, f"field-sized all-gather: {line[:120]}"
