@@ -741,8 +741,7 @@ def advance(
             vel_star = jnp.stack(comps)
 
     # CN viscous fluxes for the velocity viscous flux registers
-    # (diffuse_velocity register increments; tensor cross-term fluxes are
-    # omitted from the registers — componentwise part only, documented)
+    # (diffuse_velocity register increments)
     vflux_vel = None
     if (
         return_aux
@@ -762,6 +761,19 @@ def advance(
                     vbc, bvals=vbv,
                 )
             )
+        if cfg.do_les:
+            # the tensor solve's registers carry the FULL stress flux
+            # mu (grad u + grad u^T) (reference computeExtensiveFluxes,
+            # Diffusion.cpp:1463-1539): add the theta-weighted transpose
+            # (cross) fluxes so variable-mu/LES C-F refluxing is exact
+            from iamr_tpu.ns.les import tensor_cross_fluxes
+
+            u_th = (1.0 - th) * vel + th * vel_star
+            xf = tensor_cross_fluxes(cfg, bcp, u_th, mfv)
+            vflux_vel = [
+                tuple(f + x for f, x in zip(vflux_vel[c], xf[c]))
+                for c in range(dim)
+            ]
 
     # --- 6. nodal projection ---------------------------------------------
     divu_new = None

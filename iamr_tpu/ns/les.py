@@ -117,3 +117,25 @@ def tensor_cross_terms(cfg, bcp, vel, mu_f):
             acc = t if acc is None else acc + t
         out.append(acc)
     return jnp.stack(out)
+
+
+def tensor_cross_fluxes(cfg, bcp, vel, mu_f):
+    """Transpose-part viscous face fluxes: out[i][j] = -mu_f[j]*(d_i u_j)
+    on j-faces — the cross half of the full tensor stress flux
+    mu (grad u + grad u^T) that the reference registers from its tensor
+    solve (computeExtensiveFluxes, Diffusion.cpp:1463-1539). Sign matches
+    ops/mg.get_fluxes (-b*beta*grad), so these ADD to the componentwise
+    register fluxes to make LES / variable-viscosity C-F refluxing exact.
+    """
+    from iamr_tpu.ops.stencil import cell_to_face
+
+    dim = cfg.dim
+    G = _cc_gradients(cfg, bcp, vel)
+    return [
+        tuple(
+            -mu_f[j]
+            * cell_to_face(G[j][i], j, bc_wrap=cfg.geom.periodic[j])
+            for j in range(dim)
+        )
+        for i in range(dim)
+    ]

@@ -127,3 +127,41 @@ def test_tensor_cross_terms_vanish_for_constant_mu_divfree():
         errs.append(float(jnp.max(jnp.abs(T))))
     # exact discrete cancellation (up to roundoff) for constant mu
     assert max(errs) < 1e-10, errs
+
+
+def test_tensor_cross_fluxes_divergence_matches_cross_terms():
+    """The register cross fluxes (ns/les.py tensor_cross_fluxes) must be
+    the FLUX FORM of tensor_cross_terms: -sum_j d_j(F^i_j)/dx_j ==
+    X_i(u), so refluxing with them corrects exactly the cross part of the
+    stress divergence (reference computeExtensiveFluxes on the tensor
+    solve, Diffusion.cpp:1463-1539)."""
+    from iamr_tpu.ns.advance import mu_faces
+    from iamr_tpu.ns.les import tensor_cross_fluxes, tensor_cross_terms
+    from iamr_tpu.ops.stencil import diff
+
+    n = 24
+    pp = ParmParse.from_string(
+        f"""
+        ns.cfl = 0.5
+        ns.vel_visc_coef = 0.01
+        amr.n_cell = {n} {n}
+        geometry.is_periodic = 1 1
+        prob.probtype = 1
+        """
+    )
+    cfg = config_from_inputs(pp)
+    bcp = PhysBCProvider(cfg)
+    rng = np.random.RandomState(7)
+    vel = jnp.asarray(rng.standard_normal((2, n, n)))
+    # variable viscosity so the cross part is nonzero
+    mu_f = tuple(
+        m * (1.0 + 0.5 * jnp.asarray(rng.rand(*m.shape)))
+        for m in mu_faces(cfg)
+    )
+    X = tensor_cross_terms(cfg, bcp, vel, mu_f)
+    F = tensor_cross_fluxes(cfg, bcp, vel, mu_f)
+    dx = cfg.geom.dx
+    for i in range(2):
+        div = sum(diff(F[i][j], j) / dx[j] for j in range(2))
+        err = float(jnp.max(jnp.abs(-div - X[i])))
+        assert err < 1e-12, (i, err)
