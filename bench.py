@@ -226,6 +226,26 @@ def main():
     dt_wall = time.perf_counter() - t0
     assert np.isfinite(checksum), "non-finite state after bench steps"
 
+    # the reference's check_div_cond (MacProj.cpp:792-846): max divergence
+    # of the MAC-projected face velocities — the EXACTLY-enforced
+    # constraint, reported alongside the approximate nodal one below
+    @jax.jit
+    def last_umac(state):
+        return advance(state, cfg, fixed_mg_cycles=4, hit=hit,
+                       return_umac=True, spectral=sp)[1]
+
+    umac_f = last_umac(s)
+    mac_div = jnp.zeros_like(s.rho)
+    for d in range(3):
+        lo = [slice(None)] * 3
+        hi = [slice(None)] * 3
+        lo[d] = slice(0, -1)
+        hi[d] = slice(1, None)
+        mac_div = mac_div + (
+            umac_f[d][tuple(hi)] - umac_f[d][tuple(lo)]
+        ) / cfg.geom.dx[d]
+    max_mac_div = float(jnp.max(jnp.abs(mac_div)))
+
     # solve-quality evidence: the projected field must actually be
     # divergence-free at the fixed cycle count used above
     from iamr_tpu.ops.mg_nodal import NodalBC, N_PERIODIC, div_cell_to_node
@@ -253,6 +273,14 @@ def main():
                 "spectral_solvers": bool(sp),
                 "max_div_after_step": max_div,
                 "max_div_over_umax_dx": max_div / (umax / (1.0 / n)),
+                "max_mac_div": max_mac_div,
+                "max_mac_div_over_umax_dx": max_mac_div / (umax / (1.0 / n)),
+                "baseline_anchor": (
+                    "assumed 5e7 cells/s on one A100 for the full step; the"
+                    " reference publishes NO throughput numbers (BASELINE.md)"
+                    " and could not be built here (no AMReX sources, no"
+                    " network) — treat value (cells/s) as the primary metric"
+                ),
                 "mlmg_rtol1e11_seconds": mlmg_secs,
                 "mlmg_rtol1e11_cycles": mlmg_cycles,
                 "mlmg_final_rel_resid": mlmg_resid,
