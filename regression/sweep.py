@@ -53,6 +53,57 @@ SKIP = {
     # at a checkpoint that does not exist in a fresh tree
     "regtest.3d.euler-restart",
 }
+# configs whose native AMR hierarchy is forced back to max_level=0 here
+# (everything else sweeps at the file's OWN max_level / tagging wiring)
+AMR_SKIP = {}
+
+
+def _amr_overrides(f, cap_cells):
+    """Run each file at its NATIVE amr.max_level (its own
+    refinement_indicators / tagging wiring), capping the coarse grid so a
+    1-core CPU smoke run stays cheap: halve n_cell while the product
+    exceeds cap_cells and every component stays even (MG-coarsenable)."""
+    from iamr_tpu.config.parmparse import ParmParse
+
+    pp = ParmParse.from_file(f)
+    max_lvl = int(pp.query("amr.max_level", 0))
+    out = []
+    if os.path.basename(f) in AMR_SKIP:
+        out.append("amr.max_level=0")
+        max_lvl = 0
+    ncell = [int(v) for v in pp.getarr("amr.n_cell")]
+    capped = list(ncell)
+    while True:
+        prod = 1
+        for v in capped:
+            prod *= v
+        if prod <= cap_cells or any(v % 2 or v <= 16 for v in capped):
+            break
+        capped = [v // 2 for v in capped]
+    if capped != ncell:
+        out.append("amr.n_cell=" + " ".join(map(str, capped)))
+        if max_lvl > 0:
+            # keep fine-grid box generation legal on the smaller grid
+            out.append("amr.blocking_factor=8")
+            out.append("amr.max_grid_size=1024")
+    return tuple(out)
+
+
+def _leaf_states(s):
+    """Flatten any runner return (NSState, MLState, level lists/tuples,
+    multipatch containers) to the per-level NSState leaves."""
+    if hasattr(s, "vel") and hasattr(s, "dt"):
+        return [s]
+    out = []
+    if isinstance(s, (list, tuple)):
+        for x in s:
+            out.extend(_leaf_states(x))
+        return out
+    for name in ("crse", "fine", "fines", "levels", "states"):
+        v = getattr(s, name, None)
+        if v is not None:
+            out.extend(_leaf_states(v))
+    return out
 
 
 def main():
@@ -76,17 +127,21 @@ def main():
     overrides = (
         f"max_step={args.steps}", "ns.init_iter=1", "amr.plot_int=-1",
         "amr.check_int=-1", "amr.plot_per=-1", "stop_time=1e30",
-        "amr.max_level=0",
     )
     failures = []
     for f in files:
         tag = "/".join(f.split("/")[-2:])
         extra = SIZE_OVERRIDES.get(os.path.basename(f), ())
+        extra = extra + _amr_overrides(f, cap_cells=32**3)
         t0 = time.time()
         try:
             state = run_from_inputs(f, overrides=overrides + extra)
-            m = float(jnp.max(jnp.abs(state.vel)))
-            ok = bool(np.isfinite(m)) and float(state.dt) > 1e-15
+            # AMR runs return multilevel containers (MLState, level lists,
+            # multipatch tuples): health-check EVERY level's velocity
+            flat = _leaf_states(state)
+            m = max(float(jnp.max(jnp.abs(s.vel))) for s in flat)
+            dt0 = min(float(s.dt) for s in flat)
+            ok = bool(np.isfinite(m)) and dt0 > 1e-15
             status = "OK " if ok else "BAD"
             if not ok:
                 failures.append(tag)
