@@ -19,13 +19,20 @@ N = 256
 KEY = jax.random.PRNGKey(0)
 
 
+def _sync(r):
+    # host readback: on the axon backend block_until_ready returns before
+    # execution finishes; a scalar device->host transfer truly syncs
+    leaf = jax.tree_util.tree_leaves(r)[0]
+    return float(jnp.real(leaf.ravel()[0]))
+
+
 def timeit(f, *args, n=20):
     r = f(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     t0 = time.perf_counter()
     for _ in range(n):
         r = f(*args)
-    jax.block_until_ready(r)
+    _sync(r)
     return (time.perf_counter() - t0) / n * 1e3
 
 
@@ -66,21 +73,24 @@ def rfftn_mm(x, prec):
 
 
 def irfftn_mm(zr, zi, n2, prec):
-    """Inverse of rfftn_mm (full 3D irfftn) via matmuls."""
+    """Inverse of rfftn_mm (full 3D irfftn) via matmuls.
+
+    Forward used C = exp(-2*pi*i*k*j/n) = cr + i*ci (ci = sin of the
+    NEGATIVE angle); the inverse applies conj(C)/n = (cr - i*ci)/n, so
+    yr = (cr zr + ci zi)/n and yi = (cr zi - ci zr)/n."""
     n0, n1, nh = zr.shape
     c0r, c0i = dft_mats(n0, zr.dtype)
     c1r, c1i = dft_mats(n1, zr.dtype)
-    # inverse along axis 0: conj transpose / n
     yr = (jnp.einsum("kbc,kj->jbc", zr, c0r, precision=prec)
-          - jnp.einsum("kbc,kj->jbc", zi, c0i, precision=prec)) / n0
+          + jnp.einsum("kbc,kj->jbc", zi, c0i, precision=prec)) / n0
     yi = (jnp.einsum("kbc,kj->jbc", zi, c0r, precision=prec)
-          + jnp.einsum("kbc,kj->jbc", zr, c0i, precision=prec)) / n0
+          - jnp.einsum("kbc,kj->jbc", zr, c0i, precision=prec)) / n0
     xr = (jnp.einsum("akc,kj->ajc", yr, c1r, precision=prec)
-          - jnp.einsum("akc,kj->ajc", yi, c1i, precision=prec)) / n1
+          + jnp.einsum("akc,kj->ajc", yi, c1i, precision=prec)) / n1
     xi = (jnp.einsum("akc,kj->ajc", yi, c1r, precision=prec)
-          + jnp.einsum("akc,kj->ajc", yr, c1i, precision=prec)) / n1
-    # last axis: hermitian expand via weighted cos/sin synthesis
-    # x_j = (1/n) sum_k w_k (re_k cos + im_k sin...) use full-matrix form:
+          - jnp.einsum("akc,kj->ajc", yr, c1i, precision=prec)) / n1
+    # last axis: hermitian synthesis x_j = (1/n) sum_k w_k
+    # (xr_k cos(2pi jk/n) - xi_k sin(2pi jk/n)), w = 2 except DC/Nyquist
     j = np.arange(n2)
     k = np.arange(nh)
     ang = 2.0 * np.pi * np.outer(j, k) / n2
@@ -89,7 +99,7 @@ def irfftn_mm(zr, zi, n2, prec):
     if n2 % 2 == 0:
         w[-1] = 1.0
     sr = jnp.asarray(np.cos(ang) * w / n2, zr.dtype)
-    si = jnp.asarray(-np.sin(ang) * w / n2, zr.dtype)
+    si = jnp.asarray(np.sin(ang) * w / n2, zr.dtype)
     return (jnp.einsum("abk,jk->abj", xr, sr, precision=prec)
             - jnp.einsum("abk,jk->abj", xi, si, precision=prec))
 
@@ -104,28 +114,28 @@ def main():
     t_ifft = timeit(f_ifft, z)
     print(f"rfftn {t_fft:.2f} ms   irfftn {t_ifft:.2f} ms")
 
+    # fft roundtrip error (on device: the axon tunnel cannot transfer
+    # full 256^3 arrays to host)
+    rt_fft = jax.jit(lambda a: jnp.max(jnp.abs(
+        jnp.fft.irfftn(jnp.fft.rfftn(a), s=a.shape) - a)) / jnp.max(jnp.abs(a)))
+    print(f"fft[f32] roundtrip_err {float(rt_fft(x)):.2e}")
+
     for prec in ("highest", "default"):
         f_mm = jax.jit(lambda a: rfftn_mm(a, prec))
         t_mm = timeit(f_mm, x)
         zr, zi = f_mm(x)
         f_imm = jax.jit(lambda r, i: irfftn_mm(r, i, N, prec))
         t_imm = timeit(f_imm, zr, zi)
-        # accuracy vs numpy f64
-        zref = np.fft.rfftn(np.asarray(x, np.float64))
-        scale = np.abs(zref).max()
-        err_f = max(np.abs(np.asarray(zr) - zref.real).max(),
-                    np.abs(np.asarray(zi) - zref.imag).max()) / scale
-        xr = f_imm(zr, zi)
-        err_rt = np.abs(np.asarray(xr) - np.asarray(x)).max() / np.abs(
-            np.asarray(x)).max()
+        # forward accuracy vs the XLA FFT (on device), roundtrip vs x
+        z = f_fft(x)
+        err_f = float(jax.jit(lambda zr, zi, z: jnp.maximum(
+            jnp.max(jnp.abs(zr - jnp.real(z))),
+            jnp.max(jnp.abs(zi - jnp.imag(z)))) / jnp.max(jnp.abs(z)))(
+                zr, zi, z))
+        err_rt = float(jax.jit(lambda r, i, a: jnp.max(jnp.abs(
+            irfftn_mm(r, i, N, prec) - a)) / jnp.max(jnp.abs(a)))(zr, zi, x))
         print(f"mm[{prec}]  fwd {t_mm:.2f} ms  inv {t_imm:.2f} ms  "
-              f"fwd_err {err_f:.2e}  roundtrip_err {err_rt:.2e}")
-
-    # fft accuracy baseline
-    zref = np.fft.rfftn(np.asarray(x, np.float64))
-    zf = np.asarray(f_fft(x))
-    err = np.abs(zf - zref).max() / np.abs(zref).max()
-    print(f"fft[f32] fwd_err {err:.2e}")
+              f"fwd_err_vs_fft {err_f:.2e}  roundtrip_err {err_rt:.2e}")
 
 
 if __name__ == "__main__":
