@@ -65,7 +65,14 @@ def save_checkpoint(path: str, state: NSState, step: int = 0):
 def load_checkpoint(path: str, cfg: NSConfig) -> Tuple[NSState, int]:
     """Load a checkpoint; tolerates older files missing gradp/temp (the
     reference's ns.gradp_in_checkpoint=0 backward-compat path recomputes
-    Gp from the nodal pressure on load, NavierStokesBase.cpp:2684-2724)."""
+    Gp from the nodal pressure on load, NavierStokesBase.cpp:2684-2724).
+    AMReX-format chk directories (the reference's own checkpoints) are
+    detected and read via io/amrex_chk.py."""
+    from iamr_tpu.io.amrex_chk import is_amrex_checkpoint, read_checkpoint_amrex
+
+    if is_amrex_checkpoint(path):
+        states, _specs, step = read_checkpoint_amrex(path, cfg)
+        return states[0], step
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
     if meta["version"] != FORMAT_VERSION:
@@ -221,8 +228,14 @@ def save_checkpoint_ml(path: str, states, specs, step: int = 0):
 
 
 def load_checkpoint_ml(path: str, cfg: NSConfig):
-    """Load a multilevel checkpoint -> (states list, specs list, step)."""
+    """Load a multilevel checkpoint -> (states list, specs list, step).
+    AMReX-format chk directories (written by the reference C++ or by
+    write_checkpoint_amrex) are detected and read via io/amrex_chk.py."""
     from iamr_tpu.amr.hierarchy import LevelSpec
+    from iamr_tpu.io.amrex_chk import is_amrex_checkpoint, read_checkpoint_amrex
+
+    if is_amrex_checkpoint(path):
+        return read_checkpoint_amrex(path, cfg)
 
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)

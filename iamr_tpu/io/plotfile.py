@@ -22,11 +22,6 @@ import numpy as np
 
 from iamr_tpu.core.geometry import Geometry
 
-_FAB_HEADER = (
-    "FAB ((8, (64 11 52 0 1 12 0 1023)),(8, (8 7 6 5 4 3 2 1)))"
-)
-
-
 def _box_str(lo, hi, typ=None):
     dim = len(lo)
     t = typ if typ is not None else (0,) * dim
@@ -50,57 +45,19 @@ def _write_level(path: str, lev: int, fields: Dict[str, np.ndarray], names,
 def _write_level_multi(path: str, lev: int, boxes, names):
     """One Level_k directory holding a BoxArray of grids (one FAB file per
     grid, VisMF OneFilePerFab). boxes: list of (fields, lo, hi)."""
-    ncomp = len(names)
-    os.makedirs(os.path.join(path, f"Level_{lev}"), exist_ok=True)
-    from iamr_tpu import native
+    from iamr_tpu.io.vismf import write_vismf
 
-    offsets = []
-    mins = [[] for _ in range(ncomp)]
-    maxs = [[] for _ in range(ncomp)]
-    for i, (fields, lo, hi) in enumerate(boxes):
-        data = np.stack(
-            [np.asarray(fields[k], dtype=np.float64) for k in names], axis=0
+    fabs = [
+        (
+            np.stack(
+                [np.asarray(fields[k], dtype=np.float64) for k in names], 0
+            ),
+            lo,
+            hi,
         )
-        fab_path = os.path.join(path, f"Level_{lev}", f"Cell_D_{i:05d}")
-        if native.available():
-            offsets.append(native.write_fab(fab_path, data, lo, hi))
-        else:
-            with open(fab_path, "wb") as f:
-                hdr = f"{_FAB_HEADER}{_box_str(lo, hi)} {ncomp}\n"
-                f.write(hdr.encode())
-                offsets.append(f.tell())
-                # AMReX fab layout: component-major, fortran (x fastest)
-                for c in range(ncomp):
-                    f.write(np.asfortranarray(data[c]).tobytes(order="F"))
-        for c in range(ncomp):
-            mins[c].append(float(data[c].min()))
-            maxs[c].append(float(data[c].max()))
-
-    nb = len(boxes)
-    with open(os.path.join(path, f"Level_{lev}", "Cell_H"), "w") as f:
-        f.write("1\n")  # version
-        f.write("1\n")  # how (one file per fab)
-        f.write(f"{ncomp}\n")
-        f.write("0\n")  # ngrow
-        f.write(f"({nb} 0\n")
-        for _, lo, hi in boxes:
-            f.write(_box_str(lo, hi) + "\n")
-        f.write(")\n")
-        f.write(f"{nb}\n")
-        for i in range(nb):
-            f.write(f"FabOnDisk: Cell_D_{i:05d} {offsets[i]}\n")
-        f.write("\n")
-        f.write(f"{nb},{ncomp}\n")
-        for i in range(nb):
-            f.write(
-                ",".join(f"{mins[c][i]:.16e}" for c in range(ncomp)) + ",\n"
-            )
-        f.write("\n")
-        f.write(f"{nb},{ncomp}\n")
-        for i in range(nb):
-            f.write(
-                ",".join(f"{maxs[c][i]:.16e}" for c in range(ncomp)) + ",\n"
-            )
+        for fields, lo, hi in boxes
+    ]
+    write_vismf(os.path.join(path, f"Level_{lev}", "Cell"), fabs, len(names))
 
 
 def write_plotfile(
@@ -198,29 +155,9 @@ def read_plotfile(path: str):
     dim = int(lines[i]); i += 1
     time = float(lines[i]); i += 1
 
-    with open(os.path.join(path, "Level_0", "Cell_H")) as f:
-        txt = f.read().splitlines()
-    # parse the box from the BoxArray section
-    box_line = next(l for l in txt if l.startswith("(("))
-    nums = [int(x) for x in _parse_ints(box_line)]
-    lo = nums[0:dim]
-    hi = nums[dim : 2 * dim]
-    shape = tuple(h - l + 1 for l, h in zip(lo, hi))
-    fab_line = next(l for l in txt if l.startswith("FabOnDisk:"))
-    fname, offset = fab_line.split()[1], int(fab_line.split()[2])
+    from iamr_tpu.io.vismf import assemble_level, read_vismf
 
-    with open(os.path.join(path, "Level_0", fname), "rb") as f:
-        f.seek(offset)
-        raw = np.frombuffer(
-            f.read(8 * ncomp * int(np.prod(shape))), dtype=np.float64
-        )
-    data = raw.reshape((ncomp,) + shape[::-1]).transpose(
-        (0,) + tuple(range(dim, 0, -1))
-    )
+    boxes, nc = read_vismf(os.path.join(path, "Level_0", "Cell"))
+    assert nc == ncomp, (nc, ncomp)
+    data = assemble_level(boxes, ncomp)
     return {k: data[c] for c, k in enumerate(names)}, time
-
-
-def _parse_ints(s):
-    import re
-
-    return re.findall(r"-?\d+", s)

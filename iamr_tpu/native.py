@@ -57,6 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
             ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32),
         ]
         lib.iamr_read_fab.restype = ctypes.c_int
         lib.iamr_read_fab.argtypes = [
@@ -118,10 +119,12 @@ def write_fab(
     lo: Tuple[int, ...],
     hi: Tuple[int, ...],
     append: bool = False,
+    typ: Optional[Tuple[int, ...]] = None,
 ) -> int:
     """Write (ncomp, *n) float64 C-order data as one AMReX-native FAB.
 
-    Returns the payload byte offset (for Cell_H FabOnDisk lines)."""
+    Returns the FAB-header byte offset (what VisMF _H FabOnDisk lines
+    record — AMReX readers seek there and re-parse the header)."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
@@ -131,6 +134,7 @@ def write_fab(
     dim = len(d.shape) - 1
     lo_a = np.asarray(lo, dtype=np.int32)
     hi_a = np.asarray(hi, dtype=np.int32)
+    typ_a = np.asarray(typ if typ is not None else (0,) * dim, dtype=np.int32)
     off = lib.iamr_write_fab(
         path.encode(),
         d.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
@@ -140,6 +144,7 @@ def write_fab(
         lo_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         hi_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         1 if append else 0,
+        typ_a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     if off < 0:
         raise IOError(f"iamr_write_fab failed for {path}")

@@ -218,6 +218,12 @@ class IOHooks:
         )
         self.check_int = int(amr.query("check_int", -1)) if amr else -1
         self.check_file = str(amr.query("check_file", "chk")) if amr else "chk"
+        # amr.checkpoint_format = npz (compact, default) | amrex (the
+        # reference's chk directory layout, restartable by either code;
+        # io/amrex_chk.py). Restart AUTO-DETECTS the format either way.
+        self.checkpoint_format = (
+            str(amr.query("checkpoint_format", "npz")) if amr else "npz"
+        )
         self.sum_interval = int(ns.query("sum_interval", -1)) if ns else -1
         # run log: one "STEP= n TIME= t DT= dt" line per step
         # (amr.run_log / amr.run_log_terse, Docs RunningProblems.rst:300-330)
@@ -287,7 +293,15 @@ class IOHooks:
             )
             write_job_info(self.cfg, path, self.pp)
         if self.check_int > 0 and step % self.check_int == 0:
-            save_checkpoint(f"{self.check_file}{step:05d}", state, step)
+            if self.checkpoint_format == "amrex":
+                from iamr_tpu.io.amrex_chk import write_checkpoint_amrex
+
+                write_checkpoint_amrex(
+                    f"{self.check_file}{step:05d}", [state], [], self.cfg,
+                    step,
+                )
+            else:
+                save_checkpoint(f"{self.check_file}{step:05d}", state, step)
             if self.particles is not None:
                 from iamr_tpu.io.checkpoint import save_particles
 

@@ -199,6 +199,31 @@ def init_state(cfg: NSConfig) -> NSState:
             fields["vel"], fields["rho"], fields["trac"], fields["temp"]
         )
 
+    if cfg.velocity_plotfile:
+        # BL_USE_VELOCITY: ADD scale * plotfile velocity to the IC
+        # (Saxpy onto S_new, NavierStokes.cpp:356-422); assumes the
+        # plotfile's level-0 grid matches this problem's, like the
+        # reference does
+        from iamr_tpu.io.plotfile import read_plotfile
+
+        fields_pf, _t = read_plotfile(cfg.velocity_plotfile)
+        names = list(fields_pf.keys())
+        xname = cfg.velocity_plotfile_xvel_name
+        if xname not in names:
+            raise ValueError(
+                f"Could not find velocity fields in supplied "
+                f"velocity_plotfile (looked for {xname!r})"
+            )
+        idx = names.index(xname)
+        for d in range(dim):
+            v = np.asarray(fields_pf[names[idx + d]])
+            if v.shape != vel[d].shape:
+                raise ValueError(
+                    f"velocity_plotfile grid {v.shape} != problem grid "
+                    f"{vel[d].shape}"
+                )
+            vel[d] = vel[d] + cfg.velocity_plotfile_scale * v
+
     zero = jnp.zeros((), dtype=dtype)
     return NSState(
         vel=jnp.asarray(vel, dtype=dtype),

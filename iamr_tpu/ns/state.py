@@ -115,6 +115,11 @@ class NSConfig:
     max_step: int = -1
     stop_time: float = -1.0
     probtype: int = 1
+    # BL_USE_VELOCITY plotfile ingestion (NavierStokes.cpp:356-422): ADD
+    # scale * plotfile velocity to the IC velocity after prob_initData
+    velocity_plotfile: str = ""
+    velocity_plotfile_xvel_name: str = "x_velocity"
+    velocity_plotfile_scale: float = 1.0
     prob: Tuple[Tuple[str, float], ...] = ()
     forcing: str = "default"  # "default" (buoyancy) | "hit" (spectral)
     turb: Tuple[Tuple[str, float], ...] = ()  # turb.* namespace (HIT)
@@ -305,6 +310,13 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         steady_tol=float(ns.query("steady_tol", 1e-10)),
         advection_scheme=str(ns.query("advection_scheme", "Godunov_PLM")),
         redist_type=str(ns.query("redistribution_type", "StateRedist")),
+        velocity_plotfile=str(ns.query("velocity_plotfile", "")),
+        velocity_plotfile_xvel_name=str(
+            ns.query("velocity_plotfile_xvel_name", "x_velocity")
+        ),
+        velocity_plotfile_scale=float(
+            ns.query("velocity_plotfile_scale", 1.0)
+        ),
         # f32 floors: an f32 run can never reach the f64-calibrated
         # defaults, and tolerance-mode solves would spin max_vcycles
         visc_tol=max(

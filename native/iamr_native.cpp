@@ -208,13 +208,17 @@ int iamr_br_cluster(const uint8_t* tags, const int64_t* shape, int dim,
 
 // Write one FArrayBox in AMReX native format (header line + per-component
 // Fortran-order float64 payload). data: C-order (ncomp, n[0], ..., n[dim-1]).
-// Returns the byte offset of the payload (for the Cell_H FabOnDisk line) or
-// -1 on failure. `append`: 0 = truncate, 1 = append (multi-fab files).
+// Returns the byte offset of the FAB HEADER (what VisMF records in the _H
+// FabOnDisk line: AMReX's VisMF::readFAB seeks there and re-parses the
+// header) or -1 on failure. `append`: 0 = truncate, 1 = append (multi-fab
+// files). `typ`: per-dim box index type (0 cell, 1 node), may be null.
 int64_t iamr_write_fab(const char* path, const double* data,
                        const int64_t* n, int dim, int ncomp,
-                       const int32_t* lo, const int32_t* hi, int append) {
+                       const int32_t* lo, const int32_t* hi, int append,
+                       const int32_t* typ) {
   FILE* f = std::fopen(path, append ? "ab" : "wb");
   if (!f) return -1;
+  int64_t offset = std::ftell(f);
   // header: FAB ((8, (64 11 52 0 1 12 0 1023)),(8, (8 7 6 5 4 3 2 1)))
   //         ((lo) (hi) (type)) ncomp
   std::string hdr = "FAB ((8, (64 11 52 0 1 12 0 1023)),(8, (8 7 6 5 4 3 2 1)))((";
@@ -222,10 +226,10 @@ int64_t iamr_write_fab(const char* path, const double* data,
   hdr += ") (";
   for (int d = 0; d < dim; ++d) hdr += (d ? "," : "") + std::to_string(hi[d]);
   hdr += ") (";
-  for (int d = 0; d < dim; ++d) hdr += (d ? "," : "") + std::string("0");
+  for (int d = 0; d < dim; ++d)
+    hdr += (d ? "," : "") + std::to_string(typ ? typ[d] : 0);
   hdr += ")) " + std::to_string(ncomp) + "\n";
   std::fwrite(hdr.data(), 1, hdr.size(), f);
-  int64_t offset = std::ftell(f);
 
   int64_t npts = 1;
   for (int d = 0; d < dim; ++d) npts *= n[d];
@@ -251,13 +255,24 @@ int64_t iamr_write_fab(const char* path, const double* data,
   return offset;
 }
 
-// Read the payload of a FAB written by iamr_write_fab back into C-order
-// (ncomp, n...). Returns 0 on success.
+// Read the payload of a FAB back into C-order (ncomp, n...). `offset` is
+// the FAB-header position (VisMF semantics; the header line is skipped),
+// or a legacy direct-payload offset (detected by the missing FAB magic).
+// Returns 0 on success.
 int iamr_read_fab(const char* path, int64_t offset, double* data,
                   const int64_t* n, int dim, int ncomp) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return -1;
   if (std::fseek(f, long(offset), SEEK_SET) != 0) {
+    std::fclose(f);
+    return -1;
+  }
+  char magic[4];
+  if (std::fread(magic, 1, 4, f) == 4 && std::memcmp(magic, "FAB ", 4) == 0) {
+    int ch;
+    while ((ch = std::fgetc(f)) != EOF && ch != '\n') {
+    }
+  } else if (std::fseek(f, long(offset), SEEK_SET) != 0) {
     std::fclose(f);
     return -1;
   }

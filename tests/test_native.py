@@ -93,12 +93,19 @@ def test_fab_roundtrip():
 
 
 def test_fab_fortran_order_on_disk():
-    # byte-level check: payload is Fortran-order per component (AMReX native)
+    # byte-level check: payload is Fortran-order per component (AMReX
+    # native), and the returned offset locates the FAB HEADER (VisMF
+    # FabOnDisk semantics — AMReX/yt seek there and skip the header line)
     data = np.arange(24, dtype=np.float64).reshape(1, 4, 6)
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "fab")
         off = native.write_fab(p, data, (0, 0), (3, 5))
-        raw = np.fromfile(p, dtype=np.float64, offset=off)
+        with open(p, "rb") as f:
+            f.seek(off)
+            assert f.read(4) == b"FAB "
+            f.seek(off)
+            f.readline()  # what yt does: skip the header line
+            raw = np.frombuffer(f.read(), dtype=np.float64)
         np.testing.assert_array_equal(
             raw.reshape(6, 4).T, data[0]
         )
