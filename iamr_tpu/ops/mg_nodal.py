@@ -695,6 +695,35 @@ def _nodal_vcycle(rhs, levels, bc, lev_idx, nu1, nu2, nu_bottom, binv=None):
     return phi
 
 
+def _nodal_fmg(rhs, levels, bc, nu1, nu2, nu_bottom, binv=None):
+    """Full-multigrid start: restrict the rhs to every level, bottom-solve,
+    then prolong + one V-cycle per level on the way up. Costs ~1.5 finest
+    V-cycles but contracts like 2-3 — used as the opening correction of a
+    tolerance-driven solve (the reference MLMG's do_fmg option;
+    SURVEY.md L2)."""
+    from iamr_tpu.parallel.context import constrain
+
+    rhss = [rhs]
+    for k in range(len(levels) - 1):
+        rhss.append(
+            constrain(_restrict_node(levels[k].mask * rhss[-1], bc))
+        )
+    bot = len(levels) - 1
+    if binv is not None:
+        phi = _bottom_solve_nodal(levels[bot].mask * rhss[bot], levels[bot],
+                                  bc, binv)
+    else:
+        phi = _nodal_vcycle(rhss[bot], levels, bc, bot, nu1, nu2, nu_bottom,
+                            binv)
+    for k in range(bot - 1, -1, -1):
+        lev = levels[k]
+        phi = constrain(lev.mask * _prolong_node(phi, lev.sigma.ndim))
+        r = lev.mask * (rhss[k] - apply_nodal(phi, lev.sigma, lev.dx, bc))
+        e = _nodal_vcycle(r, levels, bc, k, nu1, nu2, nu_bottom, binv)
+        phi = constrain(phi + lev.mask * e)
+    return phi
+
+
 def nodal_solve(
     rhs,
     sigma,
@@ -849,6 +878,15 @@ def nodal_solve(
         return body
 
     if use_mixed:
+        # FMG opening: one F-cycle replaces the first 2-3 V-cycles at
+        # ~1.5 V-cycles of cost (exp_mlmg_df32.py)
+        r0 = residual_df(phi)
+        e = _nodal_fmg(
+            r0.astype(jnp.float32), levels32, bc, nu1, nu2, nu_bottom, binv
+        ).astype(rhs.dtype)
+        phi = phi + lev0.mask * e
+        if singular:
+            phi = demean(phi)
         # phase A: df32-residual-driven cycles down to ~1e-7*bnorm — the
         # expensive f64 residual stays out of the loop while the V-cycles
         # do the bulk of the contraction
