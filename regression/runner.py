@@ -20,6 +20,10 @@ Benchmarks are stored as npz files under regression/benchmarks/ (f64 CPU
 runs; COMMITTED, like the reference's stored benchmark plotfiles, so the
 suite proves parity against a fixed answer instead of only detecting
 change). Multilevel configs store both levels' fields (crse_*/fine_*).
+
+Run lengths: 10 steps single-level / 5 subcycled coarse steps 2-level, so
+the goldens exercise the sync machinery (reflux + mac_sync + composite
+sync projection) well past startup, not just the first transient.
 """
 
 from __future__ import annotations
@@ -47,47 +51,47 @@ REF = "/root/reference"
 TESTS = [
     ("lid_driven_cavity_2d",
      f"{REF}/Tutorials/LidDrivenCavity/inputs.2d.lid_driven_cavity",
-     ("max_step=3",), 1e-8),
+     ("max_step=10",), 1e-8),
     ("poiseuille_2d", f"{REF}/Exec/run2d/regtest.2d.poiseuille",
-     ("max_step=3", "amr.max_level=0"), 1e-8),
+     ("max_step=10", "amr.max_level=0"), 1e-8),
     ("hotspot_2d", f"{REF}/Exec/run2d/regtest.2d.hotspot",
-     ("max_step=3", "amr.max_level=0"), 1e-8),
+     ("max_step=10", "amr.max_level=0"), 1e-8),
     ("hotspot_rz", f"{REF}/Exec/run2d/regtest.2d.hotspot_rz",
-     ("max_step=3", "amr.max_level=0", "amr.n_cell=32 64"), 1e-8),
+     ("max_step=10", "amr.max_level=0", "amr.n_cell=32 64"), 1e-8),
     ("traceradvect_bds_2d", f"{REF}/Exec/run2d/regtest.2d.traceradvect_bds",
-     ("max_step=3", "amr.max_level=0"), 1e-8),
+     ("max_step=10", "amr.max_level=0"), 1e-8),
     ("euler_3d", f"{REF}/Exec/run3d/regtest.3d.euler",
-     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-8),
+     ("max_step=10", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-8),
     ("taylorgreen_3d", f"{REF}/Exec/run3d/regtest.3d.taylorgreen",
-     ("max_step=2", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-8),
+     ("max_step=10", "amr.max_level=0", "amr.n_cell=16 16 16"), 1e-8),
     ("flow_past_cylinder_2d",
      f"{REF}/Tutorials/FlowPastCylinder/inputs.2d.flow_past_cylinder-x",
-     ("max_step=2", "stop_time=-1", "amr.max_level=0", "amr.n_cell=64 64",
+     ("max_step=10", "stop_time=-1", "amr.max_level=0", "amr.n_cell=64 64",
       "ns.init_iter=1"), 1e-8),
     ("double_shear_layer_2d",
      f"{REF}/Tutorials/DoubleShearLayer/inputs.2d.double_shear_layer-rotate",
-     ("max_step=2", "amr.max_level=0", "eb2.geom_type=all_regular"), 1e-8),
+     ("max_step=10", "amr.max_level=0", "eb2.geom_type=all_regular"), 1e-8),
     # --- 2-level AMR configs (subcycled; the sync machinery is exercised:
     # reflux + mac_sync + composite sync projection) ----------------------
     ("rayleigh_taylor_2d_2lev",
      f"{REF}/Tutorials/RayleighTaylor/inputs.2d.rayleightaylor",
-     ("max_step=3", "amr.max_level=1", "amr.n_cell=32 64",
+     ("max_step=5", "amr.max_level=1", "amr.n_cell=32 64",
       "amr.regrid_int=0"), 1e-8),
     ("euler_3d_2lev", f"{REF}/Exec/run3d/regtest.3d.euler",
-     ("max_step=2", "amr.max_level=1", "amr.n_cell=16 16 16",
+     ("max_step=5", "amr.max_level=1", "amr.n_cell=16 16 16",
       "amr.regrid_int=0"), 1e-8),
     ("hotspot_2d_2lev", f"{REF}/Exec/run2d/regtest.2d.hotspot",
-     ("max_step=2", "amr.max_level=1", "amr.regrid_int=0"), 1e-8),
+     ("max_step=5", "amr.max_level=1", "amr.regrid_int=0"), 1e-8),
     # 2-level vorticity-tagged AMR with 30 tracer particles (the reference
     # particle regression, Exec/run_2d_particles/regtest.inputs)
     ("particles_2d_2lev", f"{REF}/Exec/run_2d_particles/regtest.inputs",
-     ("max_step=3", "particles.timestamp_dir=/tmp/iamr_regr_particles"),
+     ("max_step=5", "particles.timestamp_dir=/tmp/iamr_regr_particles"),
      1e-8),
     # EB + AMR: cut-cell cylinder with a refined level over it
     # (Exec/eb_run2d regtests run 2-level with EB natively)
     ("eb_flow_past_cylinder_2lev",
      f"{REF}/Exec/eb_run2d/regtest.2d.flow_past_cylinder-x",
-     ("max_step=2", "ns.init_iter=1"), 1e-8),
+     ("max_step=5", "ns.init_iter=1"), 1e-8),
 ]
 
 BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")
