@@ -1,25 +1,30 @@
-"""Time the mixed-precision nodal MLMG-to-1e-11 solve phase by phase.
+"""Break the 256^3 mixed-precision nodal MLMG solve into its per-cycle
+components and time each ON CHIP, jitted separately:
 
-Diagnoses the round-2 regression: after the phase-B incremental-residual
-restructure the bench MLMG number moved 2.3 s -> 13.3 s. Times each
-component op (f64 residual apply, df32 residual, f32 V-cycle) and the full
-solve, printing cycle counts. Run on the TPU: python exp_mlmg_phases.py [n]
-(x64 process; IAMR_ENABLE_PALLAS/IAMR_FUSED forced off like bench.py).
+    vcycle_f32    one f32 V-cycle (smoothers, restrict/prolong, bottom)
+    fmg_f32       the FMG opening F-cycle
+    resid_df      compensated-f32 residual (phase-A driver)
+    resid_f64     true f64 residual (emulated f64 on TPU)
+    demean        invariant-sum mean projection (singular systems)
+    maxabs        the while_loop's convergence-norm reduction
+
+The tolerance solve (exp_mlmg_df32.py) runs ~8 cycles in ~1.2 s =
+~150 ms/cycle, ~100x above the f32 V-cycle roofline (~1 GB of traffic)
+— this attributes where the per-cycle time actually goes so the <0.6 s
+target is optimization, not guessing.
+
+Run: IAMR_ENABLE_PALLAS=0 IAMR_FUSED=0 python exp_mlmg_phases.py [n]
 """
 
 import os
 import sys
 import time
 
-os.environ.setdefault("IAMR_ENABLE_PALLAS", "0")
-os.environ.setdefault("IAMR_FUSED", "0")
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-cache = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
@@ -28,69 +33,82 @@ jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 import numpy as np
 
+from iamr_tpu.ops.mg_nodal import (
+    NodalBC,
+    N_PERIODIC,
+    _bottom_dense_inv_nodal,
+    _nodal_fmg,
+    _nodal_vcycle,
+    _smooth2,
+    build_nodal_hierarchy,
+    div_cell_to_node,
+)
+from iamr_tpu.ops.df32 import residual_nodal_df
+from iamr_tpu.parallel.reduce import invariant_sum
 
-def timeit(f, *args, reps=3, name=""):
+
+def timeit(f, *args, reps=10):
     out = f(*args)
-    jax.block_until_ready(out)
+    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    # true sync: scalar device->host transfer
+    _ = float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(out)[0])))
     t0 = time.perf_counter()
     for _ in range(reps):
         out = f(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / reps
-    print(f"  {name}: {dt*1e3:.1f} ms", flush=True)
-    return dt
+    _ = float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(out)[0])))
+    return (time.perf_counter() - t0) / reps * 1e3
 
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-    from iamr_tpu.ops.mg_nodal import (
-        NodalBC, N_PERIODIC, div_cell_to_node, nodal_solve,
-        build_nodal_hierarchy, _smooth2, _nodal_vcycle,
-    )
-    from iamr_tpu.ops.df32 import residual_nodal_df
-
     dx = (1.0 / n,) * 3
     bc = NodalBC((N_PERIODIC,) * 3, (N_PERIODIC,) * 3)
     rng = np.random.RandomState(11)
     x = (np.arange(n) + 0.5) / n
-    X, Y, _Z = np.meshgrid(x, x, x, indexing="ij")
+    X, Y, _ = np.meshgrid(x, x, x, indexing="ij")
     rho = 1.0 + 0.5 * np.sin(2 * np.pi * X) * np.cos(2 * np.pi * Y)
-    sigma = jnp.asarray(1.0 / rho, jnp.float64)
-    u = tuple(jnp.asarray(rng.rand(n, n, n) - 0.5, jnp.float64)
-              for _ in range(3))
-    rhs = jax.jit(lambda uu: div_cell_to_node(uu, dx, bc))(u)
-    jax.block_until_ready(rhs)
+    sigma64 = jnp.asarray(1.0 / rho, jnp.float64)
+    u = tuple(
+        jnp.asarray(rng.rand(n, n, n) - 0.5, jnp.float64) for _ in range(3)
+    )
+    rhs64 = div_cell_to_node(u, dx, bc)
+    rhs32 = rhs64.astype(jnp.float32)
 
-    levels = build_nodal_hierarchy(sigma, dx, bc)
-    lev0 = levels[0]
-    levels32 = build_nodal_hierarchy(sigma.astype(jnp.float32), dx, bc)
+    levels64 = build_nodal_hierarchy(sigma64, dx, bc, stop_dofs=1000)
+    levels32 = build_nodal_hierarchy(
+        sigma64.astype(jnp.float32), dx, bc, stop_dofs=1000
+    )
+    binv = _bottom_dense_inv_nodal(levels32[-1], bc)
+    lev0_64 = levels64[0]
 
-    phi = jnp.zeros(lev0.nshape, jnp.float64)
-
-    # NOTE: rhs/sigma/hierarchy must be jit ARGUMENTS — captured as jit
-    # constants they embed 134MB f64 literals in the HLO and the axon
-    # remote-compile endpoint rejects the request (HTTP 413).
-    f64res = jax.jit(lambda p, r, lv: _smooth2(p, r, lv, bc, 0, True)[1])
-    dfres = jax.jit(lambda p, r, lv: residual_nodal_df(
-        p, r, lv.sigma, lv.mask, lv.dx, bc))
-    vcyc = jax.jit(lambda r, lvs: _nodal_vcycle(
-        r.astype(jnp.float32), lvs, bc, 0, 2, 2, 40, None))
-
-    timeit(f64res, phi, rhs, lev0, name="f64 residual apply (27pt FEM)")
-    timeit(dfres, phi, rhs, lev0, name="df32 compensated residual")
-    timeit(vcyc, rhs, levels32, name="f32 V-cycle (incl f64->f32 cast)")
-
-    solve = jax.jit(lambda r, s: nodal_solve(
-        r, s, dx, bc, rtol=1e-11, atol=0.0, mixed=True))
-    phi1, res, it = solve(rhs, sigma)
-    jax.block_until_ready(phi1)
-    t0 = time.perf_counter()
-    phi1, res, it = solve(rhs, sigma)
-    jax.block_until_ready(phi1)
-    dt = time.perf_counter() - t0
-    bnorm = float(jnp.max(jnp.abs(rhs)))
-    print(f"  full mixed solve: {dt:.2f} s, cycles={int(it)}, "
-          f"rel={float(res)/bnorm:.2e}", flush=True)
+    phases = {
+        "vcycle_f32": (jax.jit(
+            lambda r: _nodal_vcycle(r, levels32, bc, 0, 2, 2, 40, binv)
+        ), (rhs32,)),
+        "fmg_f32": (jax.jit(
+            lambda r: _nodal_fmg(r, levels32, bc, 2, 2, 40, binv)
+        ), (rhs32,)),
+        "resid_df": (jax.jit(
+            lambda p: residual_nodal_df(
+                p, rhs64, lev0_64.sigma, lev0_64.mask, lev0_64.dx, bc
+            )
+        ), (rhs64 * 0.1,)),
+        "resid_f64": (jax.jit(
+            lambda p: _smooth2(p, rhs64, lev0_64, bc, 0, True)[1]
+        ), (rhs64 * 0.1,)),
+        "demean_f64": (jax.jit(
+            lambda r: r - invariant_sum(r) / float(np.prod(r.shape))
+        ), (rhs64,)),
+        "maxabs_f64": (jax.jit(lambda r: jnp.max(jnp.abs(r))), (rhs64,)),
+        "maxabs_f32": (jax.jit(lambda r: jnp.max(jnp.abs(r))), (rhs32,)),
+        "cast_f64_f32": (jax.jit(lambda r: r.astype(jnp.float32)), (rhs64,)),
+    }
+    for name, (f, args) in phases.items():
+        try:
+            t = timeit(f, *args)
+            print(f"{name}: {t:.2f} ms", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

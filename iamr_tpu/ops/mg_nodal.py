@@ -878,57 +878,67 @@ def nodal_solve(
         return body
 
     if use_mixed:
+        # The whole contraction runs on INCREMENTAL residuals with plain
+        # f32 operator applies: r <- r - L32(e). The f32 apply error is
+        # relative to |L(e)| ~ |r| (NOT to bnorm) and |r| decays
+        # geometrically, so the accumulated estimate drift is
+        # ~2e-7 * |r_at_last_refresh|. Two refreshes bound it below tol:
+        # one df32 residual at 1e-7*bnorm (drift then <= ~2e-14*bnorm)
+        # and one true-f64 residual at the end to verify (plus a full-f64
+        # cleanup loop if the margin was eaten). Per-cycle cost drops from
+        # V-cycle + df32 residual (~43 + ~65 ms at 256^3 on one chip,
+        # exp_mlmg_phases.py) to V-cycle + one f32 sweep (~50 ms); total
+        # expensive evaluations per solve: 1 df32 + ~2 f64.
+        f32 = jnp.float32
+
+        def apply_f32(e32):
+            # mask * L(e) on the f32 hierarchy (= -residual with rhs = 0)
+            return -_smooth2(
+                e32, jnp.zeros_like(e32), levels32[0], bc, 0, True
+            )[1]
+
+        # opening residual: EXACTLY rhs when starting from zero (phi_bc
+        # lifting already folded into rhs in f64 above); df32 otherwise
+        r0 = rhs if phi0 is None else residual_df(phi)
+
         # FMG opening: one F-cycle replaces the first 2-3 V-cycles at
-        # ~1.5 V-cycles of cost (exp_mlmg_df32.py)
-        r0 = residual_df(phi)
-        e = _nodal_fmg(
-            r0.astype(jnp.float32), levels32, bc, nu1, nu2, nu_bottom, binv
-        ).astype(rhs.dtype)
-        phi = phi + lev0.mask * e
-        if singular:
-            phi = demean(phi)
-        # phase A: df32-residual-driven cycles down to ~1e-7*bnorm — the
-        # expensive f64 residual stays out of the loop while the V-cycles
-        # do the bulk of the contraction
+        # ~1.35 V-cycles of cost (exp_mlmg_phases.py)
+        e32 = _nodal_fmg(
+            r0.astype(f32), levels32, bc, nu1, nu2, nu_bottom, binv
+        )
+        phi = phi + lev0.mask * e32.astype(rhs.dtype)
+        r0 = lev0.mask * (r0 - apply_f32(e32).astype(rhs.dtype))
+
+        def body_incr(state):
+            phi, r, _, it = state
+            e32 = _nodal_vcycle(
+                r.astype(f32), levels32, bc, 0, nu1, nu2, nu_bottom, binv
+            )
+            # phi demean deferred to the refresh points: constants are in
+            # L's nullspace, so they change neither r nor the corrections
+            phi = phi + lev0.mask * e32.astype(rhs.dtype)
+            r = lev0.mask * (r - apply_f32(e32).astype(rhs.dtype))
+            return phi, r, jnp.max(jnp.abs(r)), it + 1
+
+        # phase A: incremental-f32 cycles down to ~1e-7*bnorm (estimate)
         switch = jnp.maximum(tol, 1e-7 * bnorm)
-        r0 = residual_df(phi)
         phi, _, _, itA = jax.lax.while_loop(
-            cond_phase(switch), body_with(residual_df),
+            cond_phase(switch), body_incr,
             (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
         )
 
-        # phase B: INCREMENTAL residual carried from one true f64 apply:
-        # r <- r - L(e) with L(e) in df32. The df32 apply error is
-        # relative to |L(e)| ~ |r| (NOT to bnorm), so the drift over the
-        # few phase-B cycles is ~1e-8 * |r_entry| << tol; a final f64
-        # residual verifies, and a full-f64 cleanup loop runs only if the
-        # drift ate the 2x margin. Total FULL f64 applies per solve: ~2.
-        from iamr_tpu.ops.df32 import residual_nodal_df as _rdf
-
-        def apply_df(e):
-            # mask * L(e) via the df32 residual with rhs = 0
-            return -_rdf(e, jnp.zeros_like(e), lev0.sigma, lev0.mask,
-                         lev0.dx, bc)
-
-        def bodyB(state):
-            phi, r, _, it = state
-            e = _nodal_vcycle(
-                r.astype(jnp.float32), levels32, bc, 0, nu1, nu2, nu_bottom,
-                binv,
-            ).astype(rhs.dtype)
-            phi = phi + lev0.mask * e
-            if singular:
-                phi = demean(phi)  # constants are in L's nullspace: r unchanged
-            r = lev0.mask * (r - apply_df(e))
-            return phi, r, jnp.max(jnp.abs(r)), it + 1
-
-        rB = residual_f64(phi)
+        # refresh: ONE df32 residual re-anchors the estimate
+        if singular:
+            phi = demean(phi)
+        rB = residual_df(phi)
         phi, _, _, itB = jax.lax.while_loop(
-            cond_phase(0.5 * tol), bodyB,
+            cond_phase(0.5 * tol), body_incr,
             (phi, rB, jnp.max(jnp.abs(rB)), jnp.asarray(0)),
         )
         # verify against the truth; clean up with full f64 residuals if
         # the incremental estimate drifted
+        if singular:
+            phi = demean(phi)
         rV = residual_f64(phi)
         phi, _, res, itC = jax.lax.while_loop(
             cond_phase(tol), body_with(residual_f64),
