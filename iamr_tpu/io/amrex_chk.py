@@ -183,6 +183,23 @@ def read_checkpoint_amrex(path: str, cfg):
     )
     dt_level = _floats(header[7]) or [0.0] * (finest + 1)
     steps = [int(float(x)) for x in _floats(header[10])] or [0]
+    # Validate the positional parse (Amr::checkPoint writes ref_ratio,
+    # dt_level, dt_min, n_cycle, level_steps on fixed lines after the
+    # one-line-per-hierarchy geometry dump) — an AMReX version that
+    # inserts/reorders Header lines must fail loudly, not mis-parse.
+    if len(dt_level) < finest + 1 or any(
+        not (d >= 0.0) for d in dt_level[: finest + 1]
+    ):
+        raise ValueError(
+            f"{path}: Header line 8 does not parse as dt_level for "
+            f"finest_level={finest} (got {dt_level!r}); unsupported "
+            f"checkpoint Header layout"
+        )
+    if len(steps) < finest + 1 or any(s < 0 for s in steps[: finest + 1]):
+        raise ValueError(
+            f"{path}: Header line 11 does not parse as level_steps "
+            f"(got {steps!r}); unsupported checkpoint Header layout"
+        )
 
     dtype = cfg.jdtype
     states, specs = [], []

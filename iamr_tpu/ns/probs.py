@@ -214,9 +214,22 @@ def init_state(cfg: NSConfig) -> NSState:
                 f"Could not find velocity fields in supplied "
                 f"velocity_plotfile (looked for {xname!r})"
             )
-        idx = names.index(xname)
+        # look each component up BY NAME (x_velocity/y_velocity/z_velocity,
+        # or whatever prefix scheme the configured xvel name uses) rather
+        # than assuming they are stored contiguously after x_velocity
+        comp_names = [xname]
+        for axis in "yz"[: dim - 1]:
+            comp_names.append(
+                axis + xname[1:] if xname[:1] in "xXuU" else xname + axis
+            )
+        missing = [nm for nm in comp_names if nm not in names]
+        if missing:
+            raise ValueError(
+                f"velocity_plotfile is missing components {missing} "
+                f"(has {names})"
+            )
         for d in range(dim):
-            v = np.asarray(fields_pf[names[idx + d]])
+            v = np.asarray(fields_pf[comp_names[d]])
             if v.shape != vel[d].shape:
                 raise ValueError(
                     f"velocity_plotfile grid {v.shape} != problem grid "
