@@ -200,12 +200,15 @@ def _state_arrays(state: NSState):
     return out
 
 
-def save_checkpoint_ml(path: str, states, specs, step: int = 0):
+def save_checkpoint_ml(path: str, states, specs, step: int = 0,
+                       boxlists=None):
     """Multilevel checkpoint: every level's NSState plus the LevelSpec
     nesting metadata in one npz (the reference writes one Level_N dir per
     level + the grids in the Header, Amr::checkPoint; same content,
     single-writer form). states: [lev0..levN]; specs[k] nests level k+1
-    inside level k."""
+    inside level k. boxlists[k]: optional TRUE box list of level k+1
+    (multi-box union levels) so a restart reconstructs the BoxArray, not
+    just its bounding box."""
     os.makedirs(path, exist_ok=True)
     arrays = {}
     for lev, s in enumerate(states):
@@ -224,6 +227,14 @@ def save_checkpoint_ml(path: str, states, specs, step: int = 0):
             for sp in specs
         ],
     }
+    if boxlists is not None:
+        meta["boxlists"] = [
+            None if bl is None else [
+                {"lo": list(b.lo), "ncell": list(b.ncell), "ratio": b.ratio}
+                for b in bl
+            ]
+            for bl in boxlists
+        ]
     _atomic_write_text(os.path.join(path, "meta.json"), json.dumps(meta))
 
 
@@ -267,3 +278,26 @@ def load_checkpoint_ml(path: str, cfg: NSConfig):
         for s in meta["specs"]
     ]
     return states, specs, int(meta["step"])
+
+
+def load_boxlists(path: str):
+    """Per-level true box lists saved by save_checkpoint_ml(boxlists=...),
+    or None for older / AMReX-format checkpoints."""
+    from iamr_tpu.amr.hierarchy import LevelSpec
+
+    mp = os.path.join(path, "meta.json")
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        meta = json.load(f)
+    raw = meta.get("boxlists")
+    if raw is None:
+        return None
+    return [
+        None if bl is None else tuple(
+            LevelSpec(lo=tuple(b["lo"]), ncell=tuple(b["ncell"]),
+                      ratio=int(b["ratio"]))
+            for b in bl
+        )
+        for bl in raw
+    ]
