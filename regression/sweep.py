@@ -53,11 +53,6 @@ SKIP = {
     # at a checkpoint that does not exist in a fresh tree
     "regtest.3d.euler-restart",
 }
-# configs whose native AMR hierarchy is forced back to max_level=0 here
-# (everything else sweeps at the file's OWN max_level / tagging wiring)
-AMR_SKIP = {}
-
-
 def _amr_overrides(f, cap_cells):
     """Run each file at its NATIVE amr.max_level (its own
     refinement_indicators / tagging wiring), capping the coarse grid so a
@@ -68,9 +63,6 @@ def _amr_overrides(f, cap_cells):
     pp = ParmParse.from_file(f)
     max_lvl = int(pp.query("amr.max_level", 0))
     out = []
-    if os.path.basename(f) in AMR_SKIP:
-        out.append("amr.max_level=0")
-        max_lvl = 0
     ncell = [int(v) for v in pp.getarr("amr.n_cell")]
     capped = list(ncell)
     while True:
@@ -145,7 +137,7 @@ def main():
             status = "OK " if ok else "BAD"
             if not ok:
                 failures.append(tag)
-            print(f"[{status}] {tag}: max|u|={m:.3g} dt={float(state.dt):.3g}"
+            print(f"[{status}] {tag}: max|u|={m:.3g} dt={dt0:.3g}"
                   f" ({time.time() - t0:.0f}s)", flush=True)
         except Exception as e:  # noqa: BLE001 - report and continue
             failures.append(tag)
