@@ -23,8 +23,11 @@ Round 2: the composite machinery is genuine —
   * implicit sync diffusion (diffuse_Vsync/diffuse_Ssync) lives in
     iamr_tpu.solvers.tensor and is applied in amr.multilevel.
   * velocity advective + viscous reflux feed Vsync (amr.multilevel).
-Remaining deviations: EB hierarchies use the coarse-only sync projection;
-SyncInterp is the piecewise-constant variant.
+SyncInterp implements the reference's full variant dispatch
+(NavierStokesBase.cpp:3087-3108): PC / CellCons (the default every in-tree
+call site uses, NavierStokesBase.H:372) / CellConsLin (joint
+multi-component limiting) / CellConsProt (positivity-protected, used here
+for density) — see sync_interp().
 
 Union (multi-box) fine levels: the *_union primitives generalize every
 register/reflux/sync operation to an arbitrary union of boxes advanced as
@@ -215,14 +218,92 @@ def sync_project(
 
 def interp_cell_to_fine(a, spec: LevelSpec):
     """SyncInterp: coarse correction -> fine patch increments with
-    MC-limited cell-conservative-linear interpolation (the reference's
-    CellConsLin default; NavierStokesBase::SyncInterp, cpp:3071-3263 —
-    prolong_cell is exactly conservative with limited slopes)."""
+    MC-limited cell-conservative interpolation (the reference's CellCons_T
+    default, cell_cons_interp; NavierStokesBase::SyncInterp cpp:3071-3263,
+    default arg NavierStokesBase.H:372 — prolong_cell is exactly
+    conservative with limited slopes)."""
     return prolong_cell(a, spec.ratio)[
         tuple(
             slice(spec.lo[d], spec.lo[d] + spec.ncell[d]) for d in range(spec.dim)
         )
     ]
+
+
+def _patch(spec: LevelSpec):
+    return tuple(
+        slice(spec.lo[d], spec.lo[d] + spec.ncell[d]) for d in range(spec.dim)
+    )
+
+
+def interp_cell_to_fine_lincc(fields, spec: LevelSpec):
+    """CellConsLin_T (lincc_interp): conservative linear interpolation with
+    JOINT limiting across components — one scale factor per coarse cell
+    (the min over components of limited/unlimited slope ratio) multiplies
+    every component's central slope, so the interpolation commutes with
+    linear combinations of the components (the property lincc_interp
+    exists for; reference dispatch NavierStokesBase.cpp:3103).
+
+    fields: [ncomp, ...] coarse corrections. Returns [ncomp, fine patch].
+    """
+    from iamr_tpu.amr.hierarchy import _mc_slope
+
+    r = spec.ratio
+    dim = spec.dim
+    out = fields
+    for d in range(dim):
+        out = jnp.repeat(out, r, axis=1 + d)
+    for d in range(dim):
+        m = fields.shape[1 + d]
+        idx_c = [slice(None)] * dim
+        idx_l = [slice(None)] * dim
+        idx_h = [slice(None)] * dim
+        idx_c[d] = slice(1, m - 1)
+        idx_l[d] = slice(0, m - 2)
+        idx_h[d] = slice(2, m)
+        # per-component: unlimited central slope + MC-limited slope
+        # (interior cells; boundary cells keep zero slope = PC there,
+        # matching _mc_slope's zero-padded ends)
+        cen = jnp.zeros_like(fields)
+        cen = cen.at[(slice(None), *idx_c)].set(
+            0.5 * (fields[(slice(None), *idx_h)]
+                   - fields[(slice(None), *idx_l)])
+        )
+        lim = jnp.stack(
+            [_mc_slope(fields[c], d) for c in range(fields.shape[0])]
+        )
+        ratio_c = jnp.where(
+            jnp.abs(cen) > 0.0,
+            jnp.abs(lim) / jnp.maximum(jnp.abs(cen), 1e-300),
+            1.0,
+        )
+        alpha = jnp.min(ratio_c, axis=0)  # shared per-cell scale
+        slope = cen * alpha[None]
+        for e in range(dim):
+            slope = jnp.repeat(slope, r, axis=1 + e)
+        n_f = slope.shape[1 + d]
+        pos = (jnp.arange(n_f) % r).astype(fields.dtype)
+        off = (pos + 0.5) / r - 0.5
+        shape = [1] * dim
+        shape[d] = n_f
+        out = out + slope * off.reshape(shape)[None]
+    return out[(slice(None), *_patch(spec))]
+
+
+def sync_interp(a, spec: LevelSpec, which: str = "cellcons", fine_field=None):
+    """SyncInterp variant dispatch (NavierStokesBase.cpp:3087-3108):
+    'pc' (pc_interp), 'cellcons' (cell_cons_interp, the reference default
+    NavierStokesBase.H:372), 'cellconslin' (lincc_interp; `a` must be
+    [ncomp, ...]), 'protected' (protected_interp; needs `fine_field`)."""
+    if which == "pc":
+        return prolong_cell(a, spec.ratio, limited=False)[_patch(spec)]
+    if which == "cellcons":
+        return interp_cell_to_fine(a, spec)
+    if which == "cellconslin":
+        return interp_cell_to_fine_lincc(a, spec)
+    if which == "protected":
+        assert fine_field is not None
+        return interp_cell_to_fine_protected(a, fine_field, spec)
+    raise ValueError(f"unknown SyncInterp variant {which!r}")
 
 
 def interp_cell_to_fine_protected(inc_c, fine_field, spec: LevelSpec):
@@ -337,6 +418,8 @@ def sync_project_composite(
     n_fac: int = 2,
     union=None,
     vcorr=None,
+    eb_c=None,
+    eb_f=None,
 ):
     """Genuine 2-level composite sync projection (Projection::MLsyncProject,
     Projection.cpp:457-614): solve
@@ -350,6 +433,16 @@ def sync_project_composite(
     re-solve the coarse residual equation. Each FAC sweep contracts the
     composite error; n_fac=2 reduces it below the correction's own
     truncation error. rhnd: the sync-register RHS (sync_register_rhs).
+
+    eb_c / eb_f: per-level EBData — the FAC solves then run the EB nodal
+    operator exactly as Projection::MLsyncProject does with the
+    MLNodeLaplacian over an EB factory (Projection.cpp:457-614): operator
+    coefficient sigma * vfrac (scaleVar zeroes sigma in covered regions,
+    Projection.cpp:1238-1466), divergence of vfrac-weighted corrections,
+    and fluid-masked projected output. refine_cutcells (the reference
+    default) keeps every cut cell on the finest level, so the C-F
+    interface faces feeding rhnd are regular fluid faces and the
+    sync-register RHS needs no EB weighting.
 
     Returns (vsync_proj, vcorr_proj, phi_c, phi_f): the projected coarse /
     fine velocity corrections and the per-level pressure increments."""
@@ -370,13 +463,19 @@ def sync_project_composite(
     bc_f = _fine_sync_nodal_bc(cfg_f, spec, cfg.geom)
     sigma_c = 1.0 / rho_c
     sigma_f = 1.0 / rho_f
+    # EB: the operator runs vfrac-weighted sigma; the final velocity
+    # correction uses the raw 1/rho (level_project's EB convention)
+    vf_c = eb_c.vfrac if eb_c is not None else None
+    vf_f = eb_f.vfrac if eb_f is not None else None
+    sig_op_c = sigma_c * vf_c if vf_c is not None else sigma_c
+    sig_op_f = sigma_f * vf_f if vf_f is not None else sigma_f
     fmask = nodemask_f = None
     if union is not None:
         # level-wide multi-box fine level: hole cells/nodes are interior
         # Dirichlet (nodal_proj union semantics); coarse restriction only
         # from nodes interior to the union
         fmask, nodemask_f = union
-        sigma_f = sigma_f * fmask
+        sig_op_f = sig_op_f * fmask
 
     if vcorr is None:
         # SyncInterp Vsync -> fine V_corr (NavierStokesBase.cpp:1993-1994)
@@ -387,12 +486,20 @@ def sync_project_composite(
     # projects each level's OWN acceleration dU/dt, Projection.cpp:970-1191)
 
     rhs_c = div_cell_to_node(
-        tuple(vsync[d] / dt for d in range(dim)), dxc, bc_c
+        tuple(
+            (vf_c * vsync[d] if vf_c is not None else vsync[d]) / dt
+            for d in range(dim)
+        ),
+        dxc, bc_c,
     )
     if rhnd is not None:
         rhs_c = rhs_c + rhnd
     rhs_f = div_cell_to_node(
-        tuple(vcorr[d] / dt for d in range(dim)), dxf, bc_f
+        tuple(
+            (vf_f * vcorr[d] if vf_f is not None else vcorr[d]) / dt
+            for d in range(dim)
+        ),
+        dxf, bc_f,
     )
 
     phi_c = jnp.zeros_like(rhs_c)
@@ -407,19 +514,22 @@ def sync_project_composite(
                 phi_c = avg_down_node(phi_c, phi_f, spec)
             else:
                 r = spec.ratio
-                node_cmask = nodemask_f[tuple(
+                # restriction uses the node CLOSURE (box-boundary nodes
+                # restrict like the single-patch path); only the SOLVE
+                # uses the free-node mask
+                node_cmask = node_closure_mask(fmask)[tuple(
                     slice(None, None, r) for _ in range(dim)
                 )]
                 phi_c = avg_down_node_union(phi_c, phi_f, spec, node_cmask)
-            r_c = rhs_c - apply_nodal(phi_c, sigma_c, dxc, bc_c)
+            r_c = rhs_c - apply_nodal(phi_c, sig_op_c, dxc, bc_c)
         e_c, _, _ = nodal_solve(
-            r_c, sigma_c, dxc, bc_c, rtol=1e-10, atol=1e-14,
+            r_c, sig_op_c, dxc, bc_c, rtol=1e-10, atol=1e-14,
             fixed_cycles=fixed_cycles,
         )
         phi_c = phi_c + e_c
         phi_b = _prolong_node_patch(phi_c, spec)
         phi_f, _, _ = nodal_solve(
-            rhs_f, sigma_f, dxf, bc_f, rtol=1e-10, atol=1e-14,
+            rhs_f, sig_op_f, dxf, bc_f, rtol=1e-10, atol=1e-14,
             fixed_cycles=fixed_cycles, phi_bc=phi_b,
             interior_mask=nodemask_f,
         )
@@ -432,6 +542,10 @@ def sync_project_composite(
     vcorr_p = jnp.stack(
         [vcorr[d] - dt * sigma_f * gf[d] for d in range(dim)]
     )
+    if eb_c is not None:
+        vsync_p = vsync_p * eb_c.fluid
+    if eb_f is not None:
+        vcorr_p = vcorr_p * eb_f.fluid
     return vsync_p, vcorr_p, phi_c, phi_f
 
 
@@ -544,8 +658,57 @@ def avg_down_union(crse, fine, bbox: LevelSpec, cmask_box):
     )
 
 
+def mask_umac_to_union(umac, fmask):
+    """Zero MAC components on faces NOT interior to the union (a face
+    survives iff both adjacent cells are covered; array-boundary faces iff
+    their single adjacent cell is). Used when a level that is itself a
+    multi-box union acts as the PARENT of a sync coupling: its holes are
+    not part of the level (the reference's BoxArray simply has no cells
+    there), so the sync correction velocity must carry no flux across the
+    union interface — conservation over covered cells then telescopes
+    exactly as on a single-patch level."""
+    out = []
+    dim = fmask.ndim
+    for d, u in enumerate(umac):
+        pad = [(0, 0)] * dim
+        pad[d] = (1, 1)
+        mp = jnp.pad(fmask, pad, mode="edge")
+        lo = [slice(None)] * dim
+        hi = [slice(None)] * dim
+        lo[d] = slice(0, fmask.shape[d] + 1)
+        hi[d] = slice(1, fmask.shape[d] + 2)
+        out.append(u * jnp.minimum(mp[tuple(lo)], mp[tuple(hi)]))
+    return tuple(out)
+
+
+def node_closure_mask(fmask):
+    """1 on fine nodes adjacent to ANY in-union cell — the union's node
+    CLOSURE, the nodes the reference's nodal average_down restricts
+    (including C-F interface / box-boundary nodes), as opposed to the
+    FREE-node mask (all adjacent cells in-union) the elliptic solves use.
+    On a fully-tiled bbox this is every node, making the union restriction
+    identical to the single-patch avg_down_node (round-4 fix: using the
+    free mask here skipped the patch-boundary nodes and left the coarse p
+    O(1e-4) off the single-patch result at depth >= 2)."""
+    import itertools
+
+    dim = fmask.ndim
+    mp = jnp.pad(fmask, 1, constant_values=0.0)
+    out = None
+    for t in itertools.product((0, 1), repeat=dim):
+        sl_ = tuple(
+            slice(t[d], t[d] + fmask.shape[d] + 1) for d in range(dim)
+        )
+        v = mp[sl_]
+        out = v if out is None else jnp.maximum(out, v)
+    return out
+
+
 def avg_down_node_union(crse_p, fine_p, bbox: LevelSpec, node_cmask_box):
-    """avg_down_node restricted to nodes interior to the union."""
+    """avg_down_node restricted to the given node mask (callers pass the
+    node CLOSURE mask, node_closure_mask(fmask)[::r], so box-boundary
+    nodes restrict like the single-patch path; hole-interior nodes keep
+    the coarse solution)."""
     from iamr_tpu.amr.hierarchy import restrict_node
 
     reg = tuple(
