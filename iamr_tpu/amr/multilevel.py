@@ -234,6 +234,7 @@ def _interp_states(crse_old, crse_new, theta):
 def _couple_levels(
     cfg, cfg_f, spec, crse_new, crse_aux, fine_new, fine_avg,
     dt_c, fixed_mg_cycles, eb_c=None, eb_f=None, union=None,
+    parent_cmask=None,
 ):
     """Parent/child post-subcycle coupling: avgDown + advective reflux +
     the sync machinery (mac_sync + sync projection; SURVEY section 3.3).
@@ -291,9 +292,13 @@ def _couple_levels(
     )
     temp_c = _avg(crse_new.temp, fine_new.temp)
     if union is not None:
-        from iamr_tpu.amr.sync import avg_down_node_union
+        from iamr_tpu.amr.sync import avg_down_node_union, node_closure_mask
 
-        node_cmask = union["nodemask"][tuple(
+        # node CLOSURE mask (any adjacent cell covered), not the elliptic
+        # free-node mask: box-boundary nodes restrict like the
+        # single-patch avg_down_node (amrex nodal average_down includes
+        # the C-F interface nodes)
+        node_cmask = node_closure_mask(union["fmask"])[tuple(
             slice(None, None, spec.ratio) for _ in range(dim)
         )]
         p_c = avg_down_node_union(crse_new.p, fine_new.p, spec, node_cmask)
@@ -391,6 +396,14 @@ def _couple_levels(
         cfg, crse_out.rho, deltas, spec, fixed_cycles=fixed_mg_cycles,
         cmask=cmask,
     )
+    if parent_cmask is not None:
+        # the COARSE level of this pair is itself a multi-box union: kill
+        # sync-correction flux across its union interface so conservation
+        # over covered cells telescopes like on a single-patch level (the
+        # reference's BoxArray has no hole cells at all)
+        from iamr_tpu.amr.sync import mask_umac_to_union
+
+        ucorr = mask_umac_to_union(ucorr, parent_cmask)
 
     # Ssync: re-advect scalars with Ucorr (explicit, convective for tracers,
     # conservative for rho). The conservative rho correction stays in flux
@@ -445,9 +458,13 @@ def _couple_levels(
         vel_sync = crse_out.vel + vsync
         p_sync = crse_out.p
         fine_out = fine_new
-    elif eb_c is None and eb_f is None:
+    elif (eb_c is None) == (eb_f is None):
         # genuine 2-level composite sync projection with the nodal
-        # sync-register RHS (MLsyncProject + SyncRegister::InitRHS)
+        # sync-register RHS (MLsyncProject + SyncRegister::InitRHS); EB
+        # hierarchies run it with the EB nodal operator (the reference's
+        # MLsyncProject over an EB MLNodeLaplacian, Projection.cpp:457-614
+        # — refine_cutcells keeps the C-F interface in regular fluid, so
+        # the register RHS itself needs no EB weighting)
         from iamr_tpu.amr.sync import (
             sync_project_composite,
             sync_register_rhs,
@@ -468,6 +485,7 @@ def _couple_levels(
         vsync_p, vcorr_p, phi_sync, phi_f = sync_project_composite(
             cfg, cfg_f, spec, vsync, crse_out.rho, fine_new.rho, dt_c,
             rhnd=rhnd, fixed_cycles=fixed_mg_cycles, union=u_arg,
+            eb_c=eb_c, eb_f=eb_f,
         )
         from iamr_tpu.amr.sync import interp_cell_to_fine_protected
 
@@ -507,7 +525,7 @@ def _couple_levels(
 
 def advance_subtree(
     cfgs, specs, states, lev, dt, fixed_mg_cycles=None, hit=None, bcp=None,
-    ebs=None,
+    ebs=None, boxlists=None, boxes=None,
 ):
     """The Amr::timeStep recursion: advance level `lev` by dt, then take
     specs[lev].ratio subcycles of level lev+1 (which recurse further), then
@@ -516,12 +534,24 @@ def advance_subtree(
     config (make_fine_config cumulatively). Returns (new states, aux of
     this level's advance, per-level subcycle-time-averaged umacs for
     levels lev.. — the composite MAC velocity field tracer particles
-    advect with)."""
+    advect with).
+
+    boxlists: optional per-level TRUE box lists — boxlists[k] is the tuple
+    of LevelSpec boxes making up level k+1 (fine index units relative to
+    level k's patch), with specs[k] their union bounding box. A level with
+    >1 box advances as a UNION level (UnionBCProvider: hole cells carry
+    coarse-interpolated data, the elliptic solves run union-masked across
+    the whole BoxArray like the reference's level-wide MLMG, and congruent
+    boxes run the hyperbolic phases batched per box via UnionBoxExec) at
+    ANY depth — the reference's BoxArray-of-many-grids data model
+    (Docs/Software.rst:356-401) instead of a bounding-box collapse.
+    boxes: UnionBoxExec for THIS level's advance (threaded by the parent).
+    """
     crse_old = states[lev]
     eb_l = ebs[lev] if ebs else None
     crse_new, aux = advance(
         crse_old._replace(dt=dt), cfgs[lev], fixed_mg_cycles, hit=hit,
-        bcp=bcp, return_aux=True, eb=eb_l,
+        bcp=bcp, return_aux=True, eb=eb_l, boxes=boxes,
     )
     out = list(states)
     out[lev] = crse_new
@@ -529,6 +559,11 @@ def advance_subtree(
     if lev + 1 < len(states):
         spec = specs[lev]
         r = spec.ratio
+        blist = (
+            tuple(boxlists[lev]) if boxlists is not None and boxlists[lev]
+            else None
+        )
+        is_union_child = blist is not None and len(blist) > 1
 
         def _acc(sums, tree, w):
             """Accumulate w * tree into sums (matching None-preserving
@@ -544,17 +579,36 @@ def advance_subtree(
             return w * tree if sums is None else sums + w * tree
 
         fine_avg = {}
+        u_masks = None
+        bexec_f = None
+        if is_union_child:
+            from iamr_tpu.amr.boxbatch import UnionBoxExec, congruent
+
+            if congruent(blist):
+                bexec_f = UnionBoxExec(cfgs[lev].geom, blist, bbox=spec)
         for k in range(r):
-            bcp_f = CoarseFineBCProvider(
-                cfgs[lev + 1], spec, cfgs[lev].geom,
-                _interp_states(crse_old, crse_new, k / r),
-                _interp_states(crse_old, crse_new, (k + 1) / r),
-                crse_p=crse_new.p, crse_mac_phi=aux["mac_phi"],
-                crse_umac=aux["umac"],
-            )
+            if is_union_child:
+                from iamr_tpu.ns.bcprovider import UnionBCProvider
+
+                bcp_f = UnionBCProvider(
+                    cfgs[lev + 1], spec, blist, cfgs[lev].geom,
+                    _interp_states(crse_old, crse_new, k / r),
+                    _interp_states(crse_old, crse_new, (k + 1) / r),
+                    crse_p=crse_new.p, crse_mac_phi=aux["mac_phi"],
+                    crse_umac=aux["umac"],
+                )
+                u_masks = (bcp_f.cellmask, bcp_f.nodemask)
+            else:
+                bcp_f = CoarseFineBCProvider(
+                    cfgs[lev + 1], spec, cfgs[lev].geom,
+                    _interp_states(crse_old, crse_new, k / r),
+                    _interp_states(crse_old, crse_new, (k + 1) / r),
+                    crse_p=crse_new.p, crse_mac_phi=aux["mac_phi"],
+                    crse_umac=aux["umac"],
+                )
             out, aux_f, sub_umacs = advance_subtree(
                 cfgs, specs, out, lev + 1, dt / r, fixed_mg_cycles, hit,
-                bcp=bcp_f, ebs=ebs,
+                bcp=bcp_f, ebs=ebs, boxlists=boxlists, boxes=bexec_f,
             )
             # subcycle time-average of every deeper level's umac
             for j, um in enumerate(sub_umacs):
@@ -574,10 +628,27 @@ def advance_subtree(
             fine_avg["vel_new"] = _acc(
                 fine_avg.get("vel_new"), out[lev + 1].vel, 1.0 / r
             )
+        u_arg = None
+        if is_union_child and u_masks is not None:
+            from iamr_tpu.amr.multipatch import union_covered_mask_np
+
+            u_arg = {
+                "cmask": jnp.asarray(
+                    union_covered_mask_np(blist, cfgs[lev].geom.ncell),
+                    crse_new.rho.dtype,
+                ),
+                "fmask": u_masks[0],
+                "nodemask": u_masks[1],
+            }
         crse_out, fine_out = _couple_levels(
             cfgs[lev], cfgs[lev + 1], spec, crse_new, aux, out[lev + 1],
             fine_avg, dt, fixed_mg_cycles,
-            eb_c=eb_l, eb_f=ebs[lev + 1] if ebs else None,
+            eb_c=eb_l, eb_f=ebs[lev + 1] if ebs else None, union=u_arg,
+            parent_cmask=(
+                bcp.cellmask
+                if bcp is not None and getattr(bcp, "is_union", False)
+                else None
+            ),
         )
         out[lev] = crse_out
         out[lev + 1] = fine_out
@@ -594,16 +665,19 @@ def hierarchy_configs(cfg: NSConfig, specs):
 
 def advance_hierarchy_subcycled(
     states, cfg: NSConfig, specs, fixed_mg_cycles=None, hit=None, ebs=None,
-    return_umacs: bool = False,
+    return_umacs: bool = False, boxlists=None,
 ):
     """One coarse step of an arbitrary-depth subcycled hierarchy (levels
     0..len(specs)); computeNewDt-style min over levels with n_factor.
     return_umacs: also return the per-level (subcycle-time-averaged) MAC
-    velocities, the field tracer particles advect with."""
+    velocities, the field tracer particles advect with.
+    boxlists: per-level true box lists (multi-box union levels at any
+    depth; see advance_subtree)."""
     cfgs = hierarchy_configs(cfg, specs)
     dt_c = states[0].dt
     out, _, umacs = advance_subtree(
-        cfgs, specs, list(states), 0, dt_c, fixed_mg_cycles, hit, ebs=ebs
+        cfgs, specs, list(states), 0, dt_c, fixed_mg_cycles, hit, ebs=ebs,
+        boxlists=boxlists,
     )
     # next dt: min over levels of (prod of ratios up to lev) * est(lev)
     dt_next = est_time_step(cfgs[0], out[0])

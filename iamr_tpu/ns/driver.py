@@ -103,16 +103,14 @@ def initialize(
 
 
 def steady_norm(prev: NSState, new: NSState):
-    """max_d | max|u_d^{n+1}| - max|u_d^n| | (steadyState semantics)."""
-    out = jnp.asarray(0.0, dtype=new.vel.dtype)
-    for d in range(new.vel.shape[0]):
-        out = jnp.maximum(
-            out,
-            jnp.abs(
-                jnp.max(jnp.abs(new.vel[d])) - jnp.max(jnp.abs(prev.vel[d]))
-            ),
-        )
-    return out
+    """max over CELLS of | ||U^{n+1}||_2 - ||U^n||_2 | — the pointwise
+    velocity-magnitude change (NavierStokesBase::steadyState,
+    NavierStokesBase.cpp:2230-2283). The per-cell form matters: comparing
+    only the global max|u_d| can report "steady" while the rest of the
+    field is still converging (e.g. parabolic-profile tails)."""
+    mag_new = jnp.sqrt(jnp.sum(new.vel * new.vel, axis=0))
+    mag_old = jnp.sqrt(jnp.sum(prev.vel * prev.vel, axis=0))
+    return jnp.max(jnp.abs(mag_new - mag_old))
 
 
 def _plot_fields(cfg: NSConfig, state: NSState, extra=None, derives=None):
@@ -736,13 +734,19 @@ def run_hierarchy(
     error_tags=None,
     regrid_int: int = 0,
     particle_out=None,
+    boxlists=None,
 ):
     """Arbitrary-depth subcycled hierarchy run (amr.max_level >= 2) with
     nested patches — from amr.regrid_file (`specs`), dynamic regridding
     (error_tags + regrid_int: every level re-tagged and re-nested out of
     band, Amr::regrid for lbase=0), or default centered ones.
     Tracer particles advect with the composite finest-containing-level MAC
-    velocities (subcycle time-averaged)."""
+    velocities (subcycle time-averaged).
+    boxlists[k]: optional TRUE box list of level k+1 (a multi-box level is
+    carried as its bounding-box array but advanced as a UNION level — hole
+    cells hold coarse-interpolated data, elliptic solves run union-masked
+    across the BoxArray, congruent boxes batch the hyperbolic phases;
+    amr/multilevel.advance_subtree)."""
     from iamr_tpu.amr.hierarchy import LevelSpec
     from iamr_tpu.amr.multilevel import (
         advance_hierarchy_subcycled,
@@ -758,6 +762,11 @@ def run_hierarchy(
 
         states_r, specs_r, step0 = load_checkpoint_ml(str(restart), cfg)
         specs = specs_r
+        from iamr_tpu.io.checkpoint import load_boxlists
+
+        bl_r = load_boxlists(str(restart))
+        if bl_r is not None:
+            boxlists = bl_r
         cfgs = hierarchy_configs(cfg, specs)
         states = tuple(states_r)
         if particles is not None:
@@ -788,7 +797,9 @@ def run_hierarchy(
     step_cache = {}
 
     def get_step(ss, cc):
-        key = tuple(ss)
+        key = (tuple(ss), None if boxlists is None else tuple(
+            None if b is None else tuple(b) for b in boxlists
+        ))
         if key in step_cache:
             return step_cache[key]
         if particles is not None:
@@ -799,7 +810,7 @@ def run_hierarchy(
                 dt = sts[0].dt
                 out, umacs = advance_hierarchy_subcycled(
                     sts, cfg, list(ss), fixed_mg_cycles, hit=hit,
-                    return_umacs=True,
+                    return_umacs=True, boxlists=boxlists,
                 )
                 levels = [(um, c.geom) for um, c in zip(umacs, cc)]
                 parts = advect_with_umac_levels(parts, levels, dt)
@@ -807,7 +818,8 @@ def run_hierarchy(
         else:
             step_fn = jax.jit(
                 lambda sts: advance_hierarchy_subcycled(
-                    sts, cfg, list(ss), fixed_mg_cycles, hit=hit
+                    sts, cfg, list(ss), fixed_mg_cycles, hit=hit,
+                    boxlists=boxlists,
                 )
             )
         step_cache[key] = step_fn
@@ -831,6 +843,7 @@ def run_hierarchy(
                 specs = new_specs
                 states = new_states
                 cfgs = hierarchy_configs(cfg, specs)
+                boxlists = None  # dynamic regrid produces single patches
                 if verbose:
                     print(
                         f"REGRID at step {step}: "
@@ -848,7 +861,8 @@ def run_hierarchy(
             from iamr_tpu.io.checkpoint import save_checkpoint_ml, save_particles
 
             save_checkpoint_ml(
-                f"{check_file}{step:05d}", list(states), list(specs), step
+                f"{check_file}{step:05d}", list(states), list(specs), step,
+                boxlists=boxlists,
             )
             if particles is not None:
                 save_particles(f"{check_file}{step:05d}", particles)
@@ -934,9 +948,9 @@ def run_from_inputs(path: str, overrides=(), **kw):
         if pout:
             kw["particle_out"] = str(pout)
     # amr.regrid_file: fixed grids per level (boxes in the COARSER level's
-    # index space, Box::refine semantics). Multi-box levels collapse to
-    # their bounding box outside the 2-level multipatch path (a superset
-    # refinement — documented approximation).
+    # index space, Box::refine semantics). Multi-box levels at ANY depth
+    # advance as UNION levels over their true BoxArray (boxlists threading
+    # below; amr/multilevel.advance_subtree).
     fixed_grids = None
     rgf = pp.scoped("amr").query("regrid_file")
     if rgf:
@@ -951,12 +965,18 @@ def run_from_inputs(path: str, overrides=(), **kw):
         fixed_grids = read_fixed_grids(fpath, cfg.dim)
 
     def _specs_from_grids(grids):
-        """LevelSpecs (bbox per level) from the raw per-level box lists;
-        deeper-level lo is relative to the parent patch."""
+        """(LevelSpecs, boxlists) from the raw per-level box lists: specs[k]
+        is level k+1's union BOUNDING BOX (lo relative to the parent patch,
+        fine index units) — the carried array shape — and boxlists[k] the
+        TRUE box list in the same units (None for single-box levels), which
+        advance_subtree uses to run multi-box levels as union levels (the
+        reference's BoxArray-of-grids data model, Docs/Software.rst:356-401)
+        instead of silently widening them to the bbox."""
         from iamr_tpu.amr.hierarchy import LevelSpec
 
         r = cfg.ref_ratio
         out = []
+        blists = []
         parent_lo = (0,) * cfg.dim  # parent-patch origin in its level's space
         for lev_boxes in grids:
             lo = tuple(min(b[0][d] for b in lev_boxes) for d in range(cfg.dim))
@@ -967,16 +987,36 @@ def run_from_inputs(path: str, overrides=(), **kw):
                 ncell=tuple(r * (hi[d] - lo[d]) for d in range(cfg.dim)),
                 ratio=r,
             ))
+            if len(lev_boxes) > 1:
+                blists.append(tuple(
+                    LevelSpec(
+                        lo=tuple(
+                            r * (b[0][d] - parent_lo[d])
+                            for d in range(cfg.dim)
+                        ),
+                        ncell=tuple(
+                            r * (b[1][d] - b[0][d]) for d in range(cfg.dim)
+                        ),
+                        ratio=r,
+                    )
+                    for b in lev_boxes
+                ))
+            else:
+                blists.append(None)
             parent_lo = tuple(r * x for x in lo)
-        return out
+        return out, blists
 
     from iamr_tpu.amr.tagging import parse_refinement_indicators
 
     if cfg.max_level >= 2:
+        specs_h, blists_h = (
+            _specs_from_grids(fixed_grids) if fixed_grids else (None, None)
+        )
         return run_hierarchy(
             cfg,
             verbose=kw.get("verbose", False),
-            specs=_specs_from_grids(fixed_grids) if fixed_grids else None,
+            specs=specs_h,
+            boxlists=blists_h if blists_h and any(blists_h) else None,
             particles=kw.get("particles"),
             particle_hooks=kw.get("particle_hooks"),
             particle_out=kw.get("particle_out"),
@@ -1026,7 +1066,7 @@ def run_from_inputs(path: str, overrides=(), **kw):
             plot_int=hooks.plot_int,
             plot_file=hooks.plot_file,
             fixed_spec=(
-                _specs_from_grids(fixed_grids)[0] if fixed_grids else None
+                _specs_from_grids(fixed_grids)[0][0] if fixed_grids else None
             ),
             particles=kw.get("particles"),
             particle_hooks=kw.get("particle_hooks"),

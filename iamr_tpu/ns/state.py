@@ -309,6 +309,12 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         stop_when_steady=bool(int(ns.query("stop_when_steady", 0))),
         steady_tol=float(ns.query("steady_tol", 1e-10)),
         advection_scheme=str(ns.query("advection_scheme", "Godunov_PLM")),
+        # godunov.use_forces_in_trans (NavierStokesBase.cpp:556-557):
+        # forces enter the normal-predictor states feeding the transverse
+        # terms instead of the final face states
+        use_forces_in_trans=bool(int(
+            pp.scoped("godunov").query("use_forces_in_trans", 0)
+        )),
         redist_type=str(ns.query("redistribution_type", "StateRedist")),
         velocity_plotfile=str(ns.query("velocity_plotfile", "")),
         velocity_plotfile_xvel_name=str(

@@ -1,0 +1,173 @@
+"""Multi-box union levels at depth >= 2 (advance_subtree boxlists): the
+reference's data model is a BoxArray of many grids per level at EVERY
+depth (Docs/Software.rst:356-401; 3-level multi-box fixture
+Tutorials/Particles/fixed_grids_ml). Contracts:
+
+  * two adjacent congruent boxes tiling the same union as one patch match
+    the single-patch 3-level hierarchy to roundoff (the union-masked
+    machinery reduces exactly to the single-patch one when there are no
+    holes);
+  * scattered boxes (true holes) stay finite and conserve composite mass;
+  * the multi-box hierarchy is layout-invariant: sharded == unsharded
+    under the 1e-8 max-norm contract (test_parallel.py rationale).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from iamr_tpu.amr.hierarchy import LevelSpec
+from iamr_tpu.amr.multilevel import (
+    advance_hierarchy_subcycled,
+    hierarchy_configs,
+    init_fine_from_coarse,
+)
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.ns.driver import initialize
+from iamr_tpu.ns.state import config_from_inputs
+
+
+def _setup(lev1_boxes=None):
+    pp = ParmParse.from_string(
+        """
+        ns.cfl = 0.5
+        ns.init_iter = 1
+        amr.n_cell = 16 16
+        geometry.prob_lo = 0. 0.
+        geometry.prob_hi = 1. 1.
+        geometry.is_periodic = 1 1
+        prob.probtype = 5
+        prob.density_ic = 1.0
+        """
+    )
+    cfg = config_from_inputs(pp)
+    # level-1 bbox: central 8^2 coarse cells -> 16^2 fine;
+    # level-2 patch: central 8^2 of the level-1 bbox -> 16^2 finer
+    # (LevelSpec lo/ncell are FINE index units relative to the parent
+    # patch, like test_three_level.py)
+    specs = [
+        LevelSpec(lo=(8, 8), ncell=(16, 16), ratio=2),
+        LevelSpec(lo=(8, 8), ncell=(16, 16), ratio=2),
+    ]
+    cfgs = hierarchy_configs(cfg, specs)
+    s0 = initialize(cfg, fixed_mg_cycles=4)
+    s1 = init_fine_from_coarse(cfg, specs[0], s0)
+    s2 = init_fine_from_coarse(cfgs[1], specs[1], s1)
+    boxlists = [lev1_boxes, None]
+    return cfg, cfgs, specs, [s0, s1, s2], boxlists
+
+
+def test_depth3_adjacent_boxes_match_single_patch():
+    """Level 1 = two adjacent congruent 16x32 (fine-cell) boxes tiling the
+    32^2 bbox: identical to the single-patch hierarchy to roundoff."""
+    boxes = (
+        LevelSpec(lo=(8, 8), ncell=(8, 16), ratio=2),
+        LevelSpec(lo=(16, 8), ncell=(8, 16), ratio=2),
+    )
+    cfg, cfgs, specs, states, boxlists = _setup(boxes)
+
+    step_ref = jax.jit(
+        lambda sts: advance_hierarchy_subcycled(
+            sts, cfg, specs, fixed_mg_cycles=4
+        )
+    )
+    step_mb = jax.jit(
+        lambda sts: advance_hierarchy_subcycled(
+            sts, cfg, specs, fixed_mg_cycles=4, boxlists=boxlists
+        )
+    )
+    ref = states
+    out = states
+    for _ in range(2):
+        ref = step_ref(ref)
+        out = step_mb(out)
+    for lev in range(3):
+        for fld in ("vel", "rho", "p"):
+            a = np.asarray(getattr(out[lev], fld))
+            b = np.asarray(getattr(ref[lev], fld))
+            d = float(np.max(np.abs(a - b)))
+            assert d < 1e-6, (lev, fld, d)
+
+
+def test_depth3_scattered_boxes_health():
+    """Level 1 = two SEPARATED congruent boxes (true holes in the bbox):
+    finite everywhere, and composite mass is conserved across the step
+    (the union advance + union-masked avg-down/reflux preserve it)."""
+    boxes = (
+        LevelSpec(lo=(8, 8), ncell=(4, 16), ratio=2),
+        LevelSpec(lo=(20, 8), ncell=(4, 16), ratio=2),
+    )
+    # proper nesting: the level-2 patch must sit inside level 1's TRUE
+    # boxes, not its bbox holes — and STRICTLY interior to box0 (level-1
+    # patch coords: box0 = array cells x [0,4)): a nested patch whose C-F
+    # interface coincides with the parent's own boundary leaks O(1e-6)
+    # mass through the coinciding interfaces on the single-patch path
+    # too (probed round 4), so exact conservation is only contractual for
+    # interior nesting
+    cfg, cfgs, specs, states, boxlists = _setup(boxes)
+    specs[1] = LevelSpec(lo=(2, 8), ncell=(4, 16), ratio=2)
+    cfgs = hierarchy_configs(cfg, specs)
+    states[2] = init_fine_from_coarse(cfgs[1], specs[1], states[1])
+
+    step_mb = jax.jit(
+        lambda sts: advance_hierarchy_subcycled(
+            sts, cfg, specs, fixed_mg_cycles=4, boxlists=boxlists
+        )
+    )
+
+    def coarse_mass(st):
+        # periodic composite: level-0 integral of rho is conserved because
+        # avg-down overwrites covered cells with the fine average
+        return float(jnp.sum(st.rho)) * cfg.geom.cell_volume
+
+    m0 = coarse_mass(states[0])
+    out = states
+    for _ in range(2):
+        out = step_mb(out)
+    for lev in range(3):
+        assert bool(jnp.all(jnp.isfinite(out[lev].vel))), lev
+        assert bool(jnp.all(jnp.isfinite(out[lev].rho))), lev
+    m1 = coarse_mass(out[0])
+    assert abs(m1 - m0) < 1e-9 * abs(m0), (m0, m1)
+
+
+@pytest.mark.slow
+def test_depth3_multibox_sharded_matches():
+    """Sharded == unsharded on the depth-3 multi-box hierarchy at the
+    1e-8 max-norm layout-invariance contract (8-device mesh on level 0;
+    the union batches/masks are trace-time constants, so sharding only
+    changes layouts, not semantics)."""
+    from iamr_tpu.parallel import SpatialMesh, shard_state, use_mesh
+
+    boxes = (
+        LevelSpec(lo=(8, 8), ncell=(8, 16), ratio=2),
+        LevelSpec(lo=(16, 8), ncell=(8, 16), ratio=2),
+    )
+    cfg, cfgs, specs, states, boxlists = _setup(boxes)
+
+    def run(sts, pmesh=None):
+        step = jax.jit(
+            lambda x: advance_hierarchy_subcycled(
+                x, cfg, specs, fixed_mg_cycles=4, boxlists=boxlists
+            )
+        )
+        if pmesh is None:
+            for _ in range(2):
+                sts = step(sts)
+            return sts
+        with use_mesh(pmesh):
+            sts = [shard_state(s, pmesh) for s in sts]
+            for _ in range(2):
+                sts = step(sts)
+            sts[0].vel.block_until_ready()
+        return sts
+
+    ref = run(states)
+    out = run(states, SpatialMesh.create(8, dim=2))
+    for lev in range(3):
+        for fld in ("vel", "rho", "p"):
+            a = np.asarray(getattr(out[lev], fld))
+            b = np.asarray(getattr(ref[lev], fld))
+            d = float(np.max(np.abs(a - b)))
+            assert d <= 1e-8, (lev, fld, d)
