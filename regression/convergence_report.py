@@ -140,7 +140,15 @@ def convected_vortex(ns=(64, 128, 256), t_final=0.25):
     """Inviscid vortex in a uniform stream: exact solution is translation;
     error = L2 of u against the initial field sampled at the shifted
     positions (periodic wrap makes the shift exact on the grid when
-    u0 * t_final * n is an integer: 1.0 * 0.25 * n with n % 4 == 0)."""
+    u0 * t_final * n is an integer: 1.0 * 0.25 * n with n % 4 == 0).
+
+    rvort=0.14 so the Gaussian core is RESOLVED at the coarsest ladder
+    point (~9 cells across): the controlled diagnostic
+    (bench_experiments/exp_cv_order.py) showed the sub-1.9 fitted orders at
+    the tutorial's rvort=0.07 are purely core under-resolution (4.5 cells
+    at n=64 -> pre-asymptotic 1.82; halving dt, init_iter=2, and weaker
+    vortices leave it unchanged, a 2x-wider core restores 2.09/2.06) —
+    the scheme is design-2nd-order once the feature is resolved."""
     errs = []
     for n in ns:
         dt = 0.125 / n
@@ -156,6 +164,7 @@ def convected_vortex(ns=(64, 128, 256), t_final=0.25):
             geometry.is_periodic = 1 1
             prob.probtype = 8
             prob.density_ic = 1.0
+            prob.rvort = 0.14
             prob.forcevort = 0.05
             prob.meanFlowDir = 1
             prob.meanFlowMag = 1.0
@@ -182,8 +191,12 @@ def poiseuille(ns=(16, 32, 64)):
     nu, g = 0.1, 1.0
     errs = []
     for n in ns:
+        # step budget scales with n: dt ~ dx/u halves per refinement, so a
+        # FIXED max_step truncates fine runs at half the physical time —
+        # the round-3 n=64 anomaly (6.8e-5 vs 3.5e-7) was exactly this
+        # (t_steady ~ 16 viscous units; 800 steps at n=64 reach only ~9)
         cfg = _cfg(f"""
-            max_step = 800
+            max_step = {50 * n}
             amr.n_cell = {n} {n}
             ns.cfl = 0.9
             ns.init_dt = 0.002
