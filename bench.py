@@ -105,6 +105,66 @@ print("MLMG_JSON " + json.dumps([secs, int(it), resf / bnorm]))
     return -1.0, -1, -1.0
 
 
+def _nodal_quality_ratio(n: int = 32, steps: int = 3):
+    """Post-step normalized nodal divergence of the f32 step vs an f64 run
+    of the SAME config (round-3 VERDICT item 9: pin the approximate
+    projection's f32 quality against f64 so a quiet degradation cannot
+    hide behind an absolute number that still 'looks small'). Mirrors
+    tests/test_nodal_quality.py at bench time. Returns (d32, d64) or
+    (-1.0, -1.0) on failure."""
+    import json as _json
+    import subprocess
+
+    code = f"""
+import json, sys, dataclasses
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+import jax
+jax.config.update("jax_enable_x64", True)
+import jax.numpy as jnp
+from iamr_tpu.config.parmparse import ParmParse
+from iamr_tpu.ns.advance import advance, make_hit_forcing
+from iamr_tpu.ns.probs import init_state
+from iamr_tpu.ns.state import config_from_inputs
+from iamr_tpu.ops.mg_nodal import NodalBC, N_PERIODIC, div_cell_to_node
+n = {n}
+def run(dtype):
+    pp = ParmParse.from_string(
+        "amr.n_cell = %d %d %d\\n ns.cfl = 0.7\\n ns.init_iter = 0\\n"
+        "ns.vel_visc_coef = 1.e-4\\n geometry.prob_lo = -0.5 -0.5 -0.5\\n"
+        "geometry.prob_hi = 0.5 0.5 0.5\\n geometry.is_periodic = 1 1 1\\n"
+        "ns.lo_bc = 0 0 0\\n ns.hi_bc = 0 0 0\\n prob.probtype = 100\\n"
+        "turb.nmodes = 4\\n turb.div_free_force = 1" % (n, n, n))
+    cfg = config_from_inputs(pp)
+    cfg = dataclasses.replace(cfg, dtype=dtype)
+    state = init_state(cfg)
+    state = state._replace(dt=jnp.asarray(5e-3, cfg.jdtype))
+    hit = make_hit_forcing(cfg)
+    for _ in range({steps}):
+        state = advance(state, cfg, fixed_mg_cycles=4, hit=hit)
+    bc = NodalBC((N_PERIODIC,) * 3, (N_PERIODIC,) * 3)
+    div = div_cell_to_node(tuple(state.vel[d] for d in range(3)),
+                           cfg.geom.dx, bc)
+    umax = float(jnp.max(jnp.abs(state.vel)))
+    return float(jnp.max(jnp.abs(div))) / (umax / float(cfg.geom.dx[0]))
+print("NQ_JSON " + json.dumps([run("float32"), run("float64")]))
+"""
+    env = dict(os.environ)
+    env["IAMR_ENABLE_PALLAS"] = "0"  # Mosaic + x64 don't mix (see above)
+    env["IAMR_FUSED"] = "0"
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=1200, env=env,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("NQ_JSON "):
+                d32, d64 = _json.loads(line[len("NQ_JSON "):])
+                return d32, d64
+    except Exception:
+        pass
+    return -1.0, -1.0
+
+
 def _arm_watchdog(minutes: float = 20.0):
     """The axon compile tunnel can wedge for hours (observed: an abandoned
     f64 FFT compile blocked every subsequent device op). If the bench makes
@@ -257,11 +317,33 @@ def main():
     max_div = float(jnp.max(jnp.abs(div)))
     umax = max(checksum, 1e-30)
 
+    # --- second path: the fixed-cycle MG step (the path every wall/inflow
+    # config uses — spectral eligibility needs all-periodic + uniform rho;
+    # round-3 VERDICT asked for BOTH numbers) ----------------------------
+    @jax.jit
+    def step_mg(state, parts):
+        new_state, umac = advance(
+            state, cfg, fixed_mg_cycles=4, hit=hit, return_umac=True,
+            spectral=False,
+        )
+        parts = advect_with_umac(parts, umac, state.dt, cfg.geom)
+        return new_state, parts
+
+    s2, p2 = step_mg(state, parts)
+    _ = float(jnp.max(jnp.abs(s2.vel)))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s2, p2 = step_mg(s2, p2)
+    _ = float(jnp.max(jnp.abs(s2.vel)))
+    dt_wall_mg = time.perf_counter() - t0
+
     disarm_watchdog()  # main metric measured; MLMG runs in a subprocess
     mlmg_secs, mlmg_cycles, mlmg_resid = _mlmg_to_tolerance(n)
+    nq32, nq64 = _nodal_quality_ratio()
 
     cells = n**3
     cups = cells * steps / dt_wall
+    cups_mg = cells * steps / dt_wall_mg
     print(
         json.dumps(
             {
@@ -280,6 +362,12 @@ def main():
                     " reference publishes NO throughput numbers (BASELINE.md)"
                     " and could not be built here (no AMReX sources, no"
                     " network) — treat value (cells/s) as the primary metric"
+                ),
+                "mg_path_cells_per_s": cups_mg,
+                "nodal_div_norm_f32_32cubed": nq32,
+                "nodal_div_norm_f64_32cubed": nq64,
+                "nodal_div_f32_over_f64": (
+                    nq32 / nq64 if nq64 > 0 else -1.0
                 ),
                 "mlmg_rtol1e11_seconds": mlmg_secs,
                 "mlmg_rtol1e11_cycles": mlmg_cycles,

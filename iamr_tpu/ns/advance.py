@@ -471,8 +471,15 @@ def advance(
     if cfg.do_temp:
         _fields.append((t_g, False, None))
 
+    if eb is not None and cfg.use_forces_in_trans:
+        # match the reference abort (NavierStokesBase.cpp:566-567)
+        raise NotImplementedError(
+            "use_forces_in_trans not implemented within EB Godunov. "
+            "Set godunov.use_forces_in_trans=0."
+        )
     adv_pre = None
-    if not adv_batched and boxes is None and eb is None and rz is None:
+    if (not adv_batched and boxes is None and eb is None and rz is None
+            and not cfg.use_forces_in_trans):
         from iamr_tpu.ops.pallas_godunov import (
             godunov_multi_ok,
             godunov_plm_fused_multi,
@@ -507,6 +514,7 @@ def advance(
         return advect_field(
             s_g_, umac, umac_g, dt, dx, cfg.geom.ncell, icons, s_cc=s_cc_,
             force_g=fg_, periodic=periodic, scheme=scheme, rz=rz, eb=eb,
+            use_forces_in_trans=cfg.use_forces_in_trans,
         )
 
     # --- 3. velocity advection -------------------------------------------

@@ -182,18 +182,45 @@ def _trim(a, keep_ng, have_ng, dims=None):
     return a[tuple(idx)]
 
 
-def _riemann_self(ul, ur):
-    """Upwind state for self-advected normal velocity (Burgers Riemann)."""
+#: tie band for the upwind selectors — 100x the reference's small_vel=1e-8
+#: (AMReX-Hydro hydro_constants; Godunov edge states fall back to the
+#: average/zero inside |u| < small_vel). Outside the band our selects are
+#: bitwise the thresholded pick; INSIDE it we blend linearly in the speed
+#: instead of thresholding, so an ulp-level speed difference between two
+#: compilations (sharded vs unsharded layouts) perturbs the edge state by
+#: noise/eps * |sl-sr|, not by an O(slope) tie-flip jump
+#: (tests/test_parallel.py layout-invariance rationale). The width sets
+#: the amplification of that noise (and of the step-to-step compounding
+#: of the differences it creates: a face that SITS in the band, e.g. on a
+#: persistent stagnation line, multiplies a velocity difference by
+#: ~|sl-sr|/(2 eps) every subcycle). 1e-6 holds the compounded
+#: sharded==unsharded difference of the 2-level subcycled step under the
+#: 1e-8 max-norm contract (tests/test_parallel.py); faces inside the band
+#: carry |flux| <= eps * O(q), physically negligible, and the blend's
+#: O(eps * |sl-sr|) consistency error sits far below the scheme's
+#: O(dx^2) truncation on every convergence ladder (REPORT.md).
+EPS_UPWIND = 4e-6
+
+
+def _riemann_self(ul, ur, eps=EPS_UPWIND):
+    """Upwind state for self-advected normal velocity (Burgers Riemann):
+    ul if compression moves right, ur if left, 0 at expansions/ties —
+    ramped continuously to the reference's tie value 0 inside |ul+ur|<eps."""
     avg = ul + ur
     out = jnp.where((ul > 0.0) & (avg > 0.0), ul, 0.0)
     out = jnp.where((ur < 0.0) & (avg < 0.0), ur, out)
-    return out
+    w = jnp.clip(avg * (1.0 / eps), -1.0, 1.0)
+    out_l = jnp.where(ul > 0.0, ul, 0.0)
+    out_r = jnp.where(ur < 0.0, ur, 0.0)
+    blend = jnp.maximum(w, 0.0) * out_l + jnp.maximum(-w, 0.0) * out_r
+    return jnp.where(jnp.abs(avg) >= eps, out, blend)
 
 
-def _upwind(sl_, sr, speed, eps=1e-14):
-    small = jnp.abs(speed) < eps
+def _upwind(sl_, sr, speed, eps=EPS_UPWIND):
     out = jnp.where(speed > 0.0, sl_, sr)
-    return jnp.where(small, 0.5 * (sl_ + sr), out)
+    w = jnp.clip(speed * (1.0 / eps), -1.0, 1.0)
+    blend = 0.5 * (sl_ + sr) + (0.5 * w) * (sl_ - sr)
+    return jnp.where(jnp.abs(speed) >= eps, out, blend)
 
 
 def extrap_vel_to_faces(
@@ -224,10 +251,11 @@ def extrap_vel_to_faces(
     ng = 3
     n = tuple(ncell)
 
-    # use_forces_in_trans is accepted-but-unimplemented on both paths (the
-    # reference default is false, NavierStokesBase.cpp:556); keep the fused
-    # kernel out when it is set so any future XLA-path implementation can't
-    # silently diverge from the fused one
+    # use_forces_in_trans=true moves the 0.5*dt*f term from the final face
+    # states into the normal-predictor (hat) states feeding the transverse
+    # terms (AMReX-Hydro Godunov semantics; IAMR plumbs it at
+    # NavierStokesBase.cpp:556-557,4491). The fused kernel implements only
+    # the default-false form, so it is gated out when set.
     if fused and dim == 3 and scheme == "plm" and not use_forces_in_trans:
         from iamr_tpu.ops.pallas_godunov import (
             extrap_plm_fused,
@@ -284,6 +312,14 @@ def extrap_vel_to_faces(
             qL = qL_c + 0.5 * (1.0 - cfl_L) * sL
             qR = qR_c - 0.5 * (1.0 + cfl_R) * sR
             hat[d][c] = (qL, qR)
+        if use_forces_in_trans:
+            # forces enter the predictor states (and thus the transverse
+            # terms) instead of the final face states
+            for c in range(dim):
+                qL, qR = hat[d][c]
+                fL = _shift(force_g[c], d, 0, m - 1)
+                fR = _shift(force_g[c], d, 1, m - 1)
+                hat[d][c] = (qL + 0.5 * dt * fL, qR + 0.5 * dt * fR)
 
     # Riemann-resolved hat values (advective face velocities + upwinded
     # transverse components)
@@ -353,18 +389,23 @@ def extrap_vel_to_faces(
             corr_L = corr_L + _shift(t, d, 0, n[d] + 1)
             corr_R = corr_R + _shift(t, d, 1, n[d] + 1)
 
-        # forces (dt/2 * f), force has ng=1: cells at ng=1 index k
-        fcomp = force_g[d]
-        f_real = fcomp[
-            tuple(
-                slice(None) if e == d else slice(1, 1 + n[e]) for e in range(dim)
-            )
-        ]
-        f_L = _shift(f_real, d, 0, n[d] + 1)
-        f_R = _shift(f_real, d, 1, n[d] + 1)
-
-        uL_full = uL + corr_L + 0.5 * dt * f_L
-        uR_full = uR + corr_R + 0.5 * dt * f_R
+        if use_forces_in_trans:
+            # force already entered via the hat/predictor states
+            uL_full = uL + corr_L
+            uR_full = uR + corr_R
+        else:
+            # forces (dt/2 * f), force has ng=1: cells at ng=1 index k
+            fcomp = force_g[d]
+            f_real = fcomp[
+                tuple(
+                    slice(None) if e == d else slice(1, 1 + n[e])
+                    for e in range(dim)
+                )
+            ]
+            f_L = _shift(f_real, d, 0, n[d] + 1)
+            f_R = _shift(f_real, d, 1, n[d] + 1)
+            uL_full = uL + corr_L + 0.5 * dt * f_L
+            uR_full = uR + corr_R + 0.5 * dt * f_R
 
         face = _riemann_self(uL_full, uR_full)
         u_mac.append(_pin_faces(face, d, bcrecs[d], bcvals_lo, bcvals_hi))
@@ -430,6 +471,7 @@ def advect_field(
     rz=None,
     eb=None,
     umac_gn=None,
+    use_forces_in_trans: bool = False,
 ):
     """Edge states + fluxes + advective tendency for one field.
 
@@ -446,7 +488,7 @@ def advect_field(
         godunov_plm_fused,
     )
 
-    if umac_gn is None and godunov_fused_ok(
+    if umac_gn is None and not use_forces_in_trans and godunov_fused_ok(
         tuple(ncell), s_g.dtype, scheme, rz, eb
     ):
         return godunov_plm_fused(
@@ -462,6 +504,7 @@ def advect_field(
     edges = compute_edge_states(
         s_g, umac_g, dt, dx, ncell, iconserv, force_g=force_g,
         periodic=periodic, scheme=scheme, fluid_g=fluid_g, umac_gn=umac_gn,
+        use_forces_in_trans=use_forces_in_trans,
     )
     return compute_fluxes_and_aofs(edges, umac, dx, iconserv, s_cc=s_cc, rz=rz)
 
@@ -478,6 +521,7 @@ def compute_edge_states(
     scheme: str = "plm",
     fluid_g=None,
     umac_gn=None,
+    use_forces_in_trans: bool = False,
 ):
     """Predict scalar edge states on all faces given time-centered u_mac.
 
@@ -517,22 +561,30 @@ def compute_edge_states(
     s_1 = _trim(s_g, 1, ng)
 
     def _predict(d):
-        """Normal-predictor L/R states on the faces of the ng=1 region."""
+        """Normal-predictor L/R states on the faces of the ng=1 region.
+        With use_forces_in_trans the 0.5*dt*f term joins here (feeding the
+        transverse terms via the hat states) instead of the final face
+        states (AMReX-Hydro Godunov; NavierStokesBase.cpp:4715)."""
         u_f = umac_grown[d]  # extent n_d+1 in d, n_e+2 transverse
         if scheme == "ppm":
             q3 = _trim(s_g, 1, ng, dims=[e for e in range(dim) if e != d])
             cl = dt / dx[d] * jnp.maximum(u_f, 0.0)
             cr = dt / dx[d] * jnp.maximum(-u_f, 0.0)
-            return ppm_lr(q3, d, cl, cr)
-        q = s_1
-        m = q.shape[d]
-        qL = _shift(q, d, 0, m - 1)
-        qR = _shift(q, d, 1, m - 1)
-        sL = _shift(slopes[d], d, 0, m - 1)
-        sR = _shift(slopes[d], d, 1, m - 1)
-        cfl = dt / dx[d] * u_f
-        pL = qL + 0.5 * (1.0 - cfl) * sL
-        pR = qR - 0.5 * (1.0 + cfl) * sR
+            pL, pR = ppm_lr(q3, d, cl, cr)
+        else:
+            q = s_1
+            m = q.shape[d]
+            qL = _shift(q, d, 0, m - 1)
+            qR = _shift(q, d, 1, m - 1)
+            sL = _shift(slopes[d], d, 0, m - 1)
+            sR = _shift(slopes[d], d, 1, m - 1)
+            cfl = dt / dx[d] * u_f
+            pL = qL + 0.5 * (1.0 - cfl) * sL
+            pR = qR - 0.5 * (1.0 + cfl) * sR
+        if use_forces_in_trans and force_g is not None:
+            mf = force_g.shape[d]
+            pL = pL + 0.5 * dt * _shift(force_g, d, 0, mf - 1)
+            pR = pR + 0.5 * dt * _shift(force_g, d, 1, mf - 1)
         return pL, pR
 
     # hat states on faces of the ng=1 region (extent n_d+1 in d, n_e+2 else)
@@ -646,7 +698,7 @@ def compute_edge_states(
             corr_L = corr_L + _shift(t, d, 0, n[d] + 1)
             corr_R = corr_R + _shift(t, d, 1, n[d] + 1)
 
-        if force_g is not None:
+        if force_g is not None and not use_forces_in_trans:
             f_real = force_g[
                 tuple(
                     slice(None) if e == d else slice(1, 1 + n[e]) for e in range(dim)

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
 
 _T = 8  # slab rows (f32 sublane tiling)
-_EPS_UPWIND = 1e-14
+_EPS_UPWIND = 4e-6  # tie band, 100x reference small_vel (godunov.EPS_UPWIND)
 
 
 def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
@@ -81,9 +81,13 @@ def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
 
 
 def _upw(sl_, sr, speed):
-    small = jnp.abs(speed) < _EPS_UPWIND
+    # thresholded pick outside |speed| >= eps (bitwise the classic upwind);
+    # linear-in-speed blend inside so layout-level ulp noise cannot flip an
+    # O(slope) jump (mirrors godunov._upwind exactly)
     out = jnp.where(speed > 0.0, sl_, sr)
-    return jnp.where(small, 0.5 * (sl_ + sr), out)
+    w = jnp.clip(speed * (1.0 / _EPS_UPWIND), -1.0, 1.0)
+    blend = 0.5 * (sl_ + sr) + (0.5 * w) * (sl_ - sr)
+    return jnp.where(jnp.abs(speed) >= _EPS_UPWIND, out, blend)
 
 
 def _pick_t1(n1: int) -> int:
@@ -185,41 +189,43 @@ def _advect_field_tile(
     pL = qL + 0.5 * (1.0 - cfl) * sL
     pR = qR - 0.5 * (1.0 + cfl) * sR
 
-    def corr0(cell_lo):
-        """Transverse correction at dim0 cells [g0-1+cell_lo offsetting];
-        cell_lo 0 -> cells [g0-1, g0+T), 1 -> [g0, g0+T+1); transverse
-        real."""
-        r0 = cell_lo  # h1/h2 dim0 row of cell (g0-1+...) is c-g0+1
+    def corr0_all():
+        """Transverse correction at ALL dim0 cells [g0-1, g0+T+1) (T+2
+        rows, transverse real), computed ONCE; the L/R face states slice
+        overlapping T+1-row windows out of it (the per-face recompute did
+        this whole body twice)."""
+        R = T + 2  # cells [g0-1, g0+T+1); h/u row of cell c is c-g0+1
         # e = 1
-        hq_lo = h1[r0:r0 + T + 1, 0:n1, 1:n2 + 1]
-        hq_hi = h1[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
-        uv_lo = u1[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
-        uv_hi = u1[r0:r0 + T + 1, 2:n1 + 2, 1:n2 + 1]
+        hq_lo = h1[0:R, 0:n1, 1:n2 + 1]
+        hq_hi = h1[0:R, 1:n1 + 1, 1:n2 + 1]
+        uv_lo = u1[0:R, 1:n1 + 1, 1:n2 + 1]
+        uv_hi = u1[0:R, 2:n1 + 2, 1:n2 + 1]
         if iconserv:
             t = -0.5 * dtdx[1] * (uv_hi * hq_hi - uv_lo * hq_lo)
         else:
             t = -0.5 * dtdx[1] * 0.5 * (uv_lo + uv_hi) * (hq_hi - hq_lo)
         # e = 2
-        hq_lo = h2[r0:r0 + T + 1, 1:n1 + 1, 0:n2]
-        hq_hi = h2[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
-        uv_lo = u2[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
-        uv_hi = u2[r0:r0 + T + 1, 1:n1 + 1, 2:n2 + 2]
+        hq_lo = h2[0:R, 1:n1 + 1, 0:n2]
+        hq_hi = h2[0:R, 1:n1 + 1, 1:n2 + 1]
+        uv_lo = u2[0:R, 1:n1 + 1, 1:n2 + 1]
+        uv_hi = u2[0:R, 1:n1 + 1, 2:n2 + 2]
         if iconserv:
             t = t - 0.5 * dtdx[2] * (uv_hi * hq_hi - uv_lo * hq_lo)
         else:
             t = t - 0.5 * dtdx[2] * 0.5 * (uv_lo + uv_hi) * (hq_hi - hq_lo)
         if iconserv:
             # -dt/2 * s * d(u0)/dx0 at the cell
-            q_cc = sg[2 + r0:2 + r0 + T + 1, 3:n1 + 3, 3:n2 + 3]
-            du = (u0[r0 + 1:r0 + T + 2, 1:n1 + 1, 1:n2 + 1]
-                  - u0[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]) * (1.0 / dx[0])
+            q_cc = sg[2:2 + R, 3:n1 + 3, 3:n2 + 3]
+            du = (u0[1:R + 1, 1:n1 + 1, 1:n2 + 1]
+                  - u0[0:R, 1:n1 + 1, 1:n2 + 1]) * (1.0 / dx[0])
             t = t - 0.5 * dt * q_cc * du
         if has_force:
-            t = t + 0.5 * dt * fg[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+            t = t + 0.5 * dt * fg[0:R, 1:n1 + 1, 1:n2 + 1]
         return t
 
-    sLf = pL + corr0(0)
-    sRf = pR + corr0(1)
+    t0 = corr0_all()
+    sLf = pL + t0[0:T + 1]
+    sRf = pR + t0[1:T + 2]
     edge0 = _upw(sLf, sRf, uf)
     fx0 = uf * edge0
     f0 = fx0[0:T]
@@ -235,38 +241,40 @@ def _advect_field_tile(
     pL = qL + 0.5 * (1.0 - cfl) * sL
     pR = qR - 0.5 * (1.0 + cfl) * sR
 
-    def corr1(c1_lo):
-        """dim1 cells [c1_lo-1 .. ] -> per face shift; cells real in dim0."""
-        # e = 0: hat0 at 0-faces of dim1 cells [c1_lo-1 + ...]
-        c1 = c1_lo  # dim1 cell index (-1-based -> h col c+1)
-        hq_lo = h0[0:T, c1:c1 + n1 + 1, 1:n2 + 1]
-        hq_hi = h0[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
-        uv_lo = u0[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
-        uv_hi = u0[2:T + 2, c1:c1 + n1 + 1, 1:n2 + 1]
+    def corr1_all():
+        """Transverse correction at ALL dim1 cells [-1, n1+1) (n1+2 cols,
+        dim0 real), computed once and sliced per face side."""
+        C = n1 + 2  # dim1 cells [-1, n1+1); h/u col of cell c is c+1
+        # e = 0: hat0 at 0-faces
+        hq_lo = h0[0:T, 0:C, 1:n2 + 1]
+        hq_hi = h0[1:T + 1, 0:C, 1:n2 + 1]
+        uv_lo = u0[1:T + 1, 0:C, 1:n2 + 1]
+        uv_hi = u0[2:T + 2, 0:C, 1:n2 + 1]
         if iconserv:
             t = -0.5 * dtdx[0] * (uv_hi * hq_hi - uv_lo * hq_lo)
         else:
             t = -0.5 * dtdx[0] * 0.5 * (uv_lo + uv_hi) * (hq_hi - hq_lo)
         # e = 2
-        hq_lo = h2[1:T + 1, c1:c1 + n1 + 1, 0:n2]
-        hq_hi = h2[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
-        uv_lo = u2[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
-        uv_hi = u2[1:T + 1, c1:c1 + n1 + 1, 2:n2 + 2]
+        hq_lo = h2[1:T + 1, 0:C, 0:n2]
+        hq_hi = h2[1:T + 1, 0:C, 1:n2 + 1]
+        uv_lo = u2[1:T + 1, 0:C, 1:n2 + 1]
+        uv_hi = u2[1:T + 1, 0:C, 2:n2 + 2]
         if iconserv:
             t = t - 0.5 * dtdx[2] * (uv_hi * hq_hi - uv_lo * hq_lo)
         else:
             t = t - 0.5 * dtdx[2] * 0.5 * (uv_lo + uv_hi) * (hq_hi - hq_lo)
         if iconserv:
-            q_cc = sg[3:T + 3, 2 + c1:2 + c1 + n1 + 1, 3:n2 + 3]
-            du = (u1[1:T + 1, c1 + 1:c1 + n1 + 2, 1:n2 + 1]
-                  - u1[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]) * (1.0 / dx[1])
+            q_cc = sg[3:T + 3, 2:2 + C, 3:n2 + 3]
+            du = (u1[1:T + 1, 1:C + 1, 1:n2 + 1]
+                  - u1[1:T + 1, 0:C, 1:n2 + 1]) * (1.0 / dx[1])
             t = t - 0.5 * dt * q_cc * du
         if has_force:
-            t = t + 0.5 * dt * fg[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+            t = t + 0.5 * dt * fg[1:T + 1, 0:C, 1:n2 + 1]
         return t
 
-    sLf = pL + corr1(0)
-    sRf = pR + corr1(1)
+    t1 = corr1_all()
+    sLf = pL + t1[:, 0:n1 + 1, :]
+    sRf = pR + t1[:, 1:n1 + 2, :]
     edge1 = _upw(sLf, sRf, uf)
     fx1 = uf * edge1
     f1 = fx1[:, 0:n1, :]   # faces [g1, g1+T1); face n1 covered by
@@ -283,37 +291,39 @@ def _advect_field_tile(
     pL = qL + 0.5 * (1.0 - cfl) * sL
     pR = qR - 0.5 * (1.0 + cfl) * sR
 
-    def corr2(c2_lo):
-        c2 = c2_lo
+    def corr2_all():
+        """Transverse correction at ALL dim2 cells [-1, n2+1), once."""
+        C = n2 + 2
         # e = 0
-        hq_lo = h0[0:T, 1:n1 + 1, c2:c2 + n2 + 1]
-        hq_hi = h0[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
-        uv_lo = u0[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
-        uv_hi = u0[2:T + 2, 1:n1 + 1, c2:c2 + n2 + 1]
+        hq_lo = h0[0:T, 1:n1 + 1, 0:C]
+        hq_hi = h0[1:T + 1, 1:n1 + 1, 0:C]
+        uv_lo = u0[1:T + 1, 1:n1 + 1, 0:C]
+        uv_hi = u0[2:T + 2, 1:n1 + 1, 0:C]
         if iconserv:
             t = -0.5 * dtdx[0] * (uv_hi * hq_hi - uv_lo * hq_lo)
         else:
             t = -0.5 * dtdx[0] * 0.5 * (uv_lo + uv_hi) * (hq_hi - hq_lo)
         # e = 1
-        hq_lo = h1[1:T + 1, 0:n1, c2:c2 + n2 + 1]
-        hq_hi = h1[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
-        uv_lo = u1[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
-        uv_hi = u1[1:T + 1, 2:n1 + 2, c2:c2 + n2 + 1]
+        hq_lo = h1[1:T + 1, 0:n1, 0:C]
+        hq_hi = h1[1:T + 1, 1:n1 + 1, 0:C]
+        uv_lo = u1[1:T + 1, 1:n1 + 1, 0:C]
+        uv_hi = u1[1:T + 1, 2:n1 + 2, 0:C]
         if iconserv:
             t = t - 0.5 * dtdx[1] * (uv_hi * hq_hi - uv_lo * hq_lo)
         else:
             t = t - 0.5 * dtdx[1] * 0.5 * (uv_lo + uv_hi) * (hq_hi - hq_lo)
         if iconserv:
-            q_cc = sg[3:T + 3, 3:n1 + 3, 2 + c2:2 + c2 + n2 + 1]
-            du = (u2[1:T + 1, 1:n1 + 1, c2 + 1:c2 + n2 + 2]
-                  - u2[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]) * (1.0 / dx[2])
+            q_cc = sg[3:T + 3, 3:n1 + 3, 2:2 + C]
+            du = (u2[1:T + 1, 1:n1 + 1, 1:C + 1]
+                  - u2[1:T + 1, 1:n1 + 1, 0:C]) * (1.0 / dx[2])
             t = t - 0.5 * dt * q_cc * du
         if has_force:
-            t = t + 0.5 * dt * fg[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+            t = t + 0.5 * dt * fg[1:T + 1, 1:n1 + 1, 0:C]
         return t
 
-    sLf = pL + corr2(0)
-    sRf = pR + corr2(1)
+    t2 = corr2_all()
+    sLf = pL + t2[:, :, 0:n2 + 1]
+    sRf = pR + t2[:, :, 1:n2 + 2]
     edge2 = _upw(sLf, sRf, uf)
     fx2 = uf * edge2
     f2 = fx2
@@ -731,10 +741,16 @@ def _slope4_dimt(sg, d, r_lo, r_n, o_t, t_n, u_lo, u_n):
 
 
 def _rself(ul, ur):
-    """Self-advected normal-velocity Riemann (godunov._riemann_self)."""
+    """Self-advected normal-velocity Riemann (godunov._riemann_self),
+    tie-ramped to 0 inside |ul+ur| < eps like the XLA path."""
     avg = ul + ur
     out = jnp.where((ul > 0.0) & (avg > 0.0), ul, 0.0)
-    return jnp.where((ur < 0.0) & (avg < 0.0), ur, out)
+    out = jnp.where((ur < 0.0) & (avg < 0.0), ur, out)
+    w = jnp.clip(avg * (1.0 / _EPS_UPWIND), -1.0, 1.0)
+    out_l = jnp.where(ul > 0.0, ul, 0.0)
+    out_r = jnp.where(ur < 0.0, ur, 0.0)
+    blend = jnp.maximum(w, 0.0) * out_l + jnp.maximum(-w, 0.0) * out_r
+    return jnp.where(jnp.abs(avg) >= _EPS_UPWIND, out, blend)
 
 
 def _extrap_kernel(
@@ -840,23 +856,26 @@ def _extrap_kernel(
     pL = unL + 0.5 * (1.0 - cL) * sl0[0][0:T + 1, 1:n1 + 1, 1:n2 + 1]
     pR = unR - 0.5 * (1.0 + cR) * sl0[0][1:T + 2, 1:n1 + 1, 1:n2 + 1]
 
-    def corr0(r0):
-        """Transverse increments at dim0 cells [g0-1+r0, g0+T+r0)."""
-        hq_lo = hq10[r0:r0 + T + 1, 0:n1, 1:n2 + 1]
-        hq_hi = hq10[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
-        hv_lo = hv1[r0:r0 + T + 1, 0:n1, 1:n2 + 1]
-        hv_hi = hv1[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+    def corr0_all():
+        """Transverse increments at ALL dim0 cells [g0-1, g0+T+1) (T+2
+        rows), computed once; L/R slice overlapping T+1-row windows."""
+        R = T + 2
+        hq_lo = hq10[0:R, 0:n1, 1:n2 + 1]
+        hq_hi = hq10[0:R, 1:n1 + 1, 1:n2 + 1]
+        hv_lo = hv1[0:R, 0:n1, 1:n2 + 1]
+        hv_hi = hv1[0:R, 1:n1 + 1, 1:n2 + 1]
         t = -0.5 * dtdx[1] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
-        hq_lo = hq20[r0:r0 + T + 1, 1:n1 + 1, 0:n2]
-        hq_hi = hq20[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
-        hv_lo = hv2[r0:r0 + T + 1, 1:n1 + 1, 0:n2]
-        hv_hi = hv2[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+        hq_lo = hq20[0:R, 1:n1 + 1, 0:n2]
+        hq_hi = hq20[0:R, 1:n1 + 1, 1:n2 + 1]
+        hv_lo = hv2[0:R, 1:n1 + 1, 0:n2]
+        hv_hi = hv2[0:R, 1:n1 + 1, 1:n2 + 1]
         t = t - 0.5 * dtdx[2] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
         if has_force:
-            t = t + 0.5 * dt * fg0[r0:r0 + T + 1, 1:n1 + 1, 1:n2 + 1]
+            t = t + 0.5 * dt * fg0[0:R, 1:n1 + 1, 1:n2 + 1]
         return t
 
-    o0[...] = _rself(pL + corr0(0), pR + corr0(1))[0:T]
+    t0 = corr0_all()
+    o0[...] = _rself(pL + t0[0:T + 1], pR + t0[1:T + 2])[0:T]
 
     # d = 1: faces [g1, g1+T1+1), store first T1 cols
     unL = sg1[3:T + 3, 2:n1 + 3, 3:n2 + 3]
@@ -866,22 +885,24 @@ def _extrap_kernel(
     pL = unL + 0.5 * (1.0 - cL) * sl1[1][1:T + 1, 0:n1 + 1, 1:n2 + 1]
     pR = unR - 0.5 * (1.0 + cR) * sl1[1][1:T + 1, 1:n1 + 2, 1:n2 + 1]
 
-    def corr1(c1):
-        hq_lo = hq01[0:T, c1:c1 + n1 + 1, 1:n2 + 1]
-        hq_hi = hq01[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
-        hv_lo = hv0[0:T, c1:c1 + n1 + 1, 1:n2 + 1]
-        hv_hi = hv0[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+    def corr1_all():
+        C = n1 + 2
+        hq_lo = hq01[0:T, 0:C, 1:n2 + 1]
+        hq_hi = hq01[1:T + 1, 0:C, 1:n2 + 1]
+        hv_lo = hv0[0:T, 0:C, 1:n2 + 1]
+        hv_hi = hv0[1:T + 1, 0:C, 1:n2 + 1]
         t = -0.5 * dtdx[0] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
-        hq_lo = hq21[1:T + 1, c1:c1 + n1 + 1, 0:n2]
-        hq_hi = hq21[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
-        hv_lo = hv2[1:T + 1, c1:c1 + n1 + 1, 0:n2]
-        hv_hi = hv2[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+        hq_lo = hq21[1:T + 1, 0:C, 0:n2]
+        hq_hi = hq21[1:T + 1, 0:C, 1:n2 + 1]
+        hv_lo = hv2[1:T + 1, 0:C, 0:n2]
+        hv_hi = hv2[1:T + 1, 0:C, 1:n2 + 1]
         t = t - 0.5 * dtdx[2] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
         if has_force:
-            t = t + 0.5 * dt * fg1[1:T + 1, c1:c1 + n1 + 1, 1:n2 + 1]
+            t = t + 0.5 * dt * fg1[1:T + 1, 0:C, 1:n2 + 1]
         return t
 
-    o1[...] = _rself(pL + corr1(0), pR + corr1(1))[:, 0:n1]
+    t1 = corr1_all()
+    o1[...] = _rself(pL + t1[:, 0:n1 + 1, :], pR + t1[:, 1:n1 + 2, :])[:, 0:n1]
 
     # d = 2: faces [0, n2+1), full extent
     unL = sg2[3:T + 3, 3:n1 + 3, 2:n2 + 3]
@@ -891,22 +912,24 @@ def _extrap_kernel(
     pL = unL + 0.5 * (1.0 - cL) * sl2[2][1:T + 1, 1:n1 + 1, 0:n2 + 1]
     pR = unR - 0.5 * (1.0 + cR) * sl2[2][1:T + 1, 1:n1 + 1, 1:n2 + 2]
 
-    def corr2(c2):
-        hq_lo = hq02[0:T, 1:n1 + 1, c2:c2 + n2 + 1]
-        hq_hi = hq02[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
-        hv_lo = hv0[0:T, 1:n1 + 1, c2:c2 + n2 + 1]
-        hv_hi = hv0[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+    def corr2_all():
+        C = n2 + 2
+        hq_lo = hq02[0:T, 1:n1 + 1, 0:C]
+        hq_hi = hq02[1:T + 1, 1:n1 + 1, 0:C]
+        hv_lo = hv0[0:T, 1:n1 + 1, 0:C]
+        hv_hi = hv0[1:T + 1, 1:n1 + 1, 0:C]
         t = -0.5 * dtdx[0] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
-        hq_lo = hq12[1:T + 1, 0:n1, c2:c2 + n2 + 1]
-        hq_hi = hq12[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
-        hv_lo = hv1[1:T + 1, 0:n1, c2:c2 + n2 + 1]
-        hv_hi = hv1[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+        hq_lo = hq12[1:T + 1, 0:n1, 0:C]
+        hq_hi = hq12[1:T + 1, 1:n1 + 1, 0:C]
+        hv_lo = hv1[1:T + 1, 0:n1, 0:C]
+        hv_hi = hv1[1:T + 1, 1:n1 + 1, 0:C]
         t = t - 0.5 * dtdx[1] * 0.5 * (hv_lo + hv_hi) * (hq_hi - hq_lo)
         if has_force:
-            t = t + 0.5 * dt * fg2[1:T + 1, 1:n1 + 1, c2:c2 + n2 + 1]
+            t = t + 0.5 * dt * fg2[1:T + 1, 1:n1 + 1, 0:C]
         return t
 
-    o2[...] = _rself(pL + corr2(0), pR + corr2(1))
+    t2 = corr2_all()
+    o2[...] = _rself(pL + t2[:, :, 0:n2 + 1], pR + t2[:, :, 1:n2 + 2])
 
 
 def extrap_plm_fused(

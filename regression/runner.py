@@ -92,18 +92,51 @@ TESTS = [
     ("eb_flow_past_cylinder_2lev",
      f"{REF}/Exec/eb_run2d/regtest.2d.flow_past_cylinder-x",
      ("max_step=5", "ns.init_iter=1"), 1e-8),
+    # --- 3D EB (the reference test matrix's four 3D EB entries,
+    # Test/IAMR-tests.ini:275-359 + Exec/eb_run3d/regtest.3d.*; short
+    # runs, reduced grids where the native size is CPU-prohibitive) ------
+    ("eb_flow_past_cylinder_3d",
+     f"{REF}/Exec/eb_run3d/regtest.3d.flow_past_cylinder-x",
+     ("max_step=5", "stop_time=-1", "ns.init_iter=1"), 1e-8),
+    ("eb_hotspot_3d_2lev", f"{REF}/Exec/eb_run3d/regtest.3d.hotspot",
+     ("max_step=5", "amr.max_level=1", "amr.regrid_int=0",
+      "amr.n_cell=16 16 16"), 1e-8),
+    ("eb_shock_past_sphere_3d",
+     f"{REF}/Exec/eb_run3d/regtest.3d.shock_past_sphere",
+     ("max_step=5", "stop_time=-1", "amr.regrid_int=0",
+      "amr.n_cell=32 16 16", "ns.init_iter=1"), 1e-8),
+    ("eb_double_shear_layer_3d",
+     f"{REF}/Exec/eb_run3d/regtest.3d.double_shear_layer",
+     ("max_step=5", "stop_time=-1", "amr.regrid_int=0",
+      "amr.n_cell=32 32 32", "ns.init_iter=1"), 1e-8),
 ]
 
 BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")
 
 
 def state_fields(state):
-    # multilevel runs return MLState (or (crse, fines, specs) tuples):
-    # store every level's fields
+    # multilevel runs return MLState, (crse, fines, specs) tuples, or a
+    # per-level state list (run_hierarchy): store every level's fields
     if hasattr(state, "crse"):
         out = {}
         for lev, s in (("crse", state.crse), ("fine", state.fine)):
             out.update({f"{lev}_{k}": v for k, v in state_fields(s).items()})
+        return out
+    if isinstance(state, (list, tuple)):
+        if (len(state) == 3 and hasattr(state[0], "vel")
+                and isinstance(state[1], (list, tuple))
+                and not hasattr(state[1], "vel")):
+            # run_multipatch: (crse, [fine boxes...], specs)
+            out = {f"lev0_{k}": v for k, v in state_fields(state[0]).items()}
+            for i, f in enumerate(state[1]):
+                out.update({
+                    f"lev1_box{i}_{k}": v for k, v in state_fields(f).items()
+                })
+            return out
+        # run_hierarchy: [lev0 state, lev1 state, ...]
+        out = {}
+        for lev, s in enumerate(state):
+            out.update({f"lev{lev}_{k}": v for k, v in state_fields(s).items()})
         return out
     out = {"vel": np.asarray(state.vel), "rho": np.asarray(state.rho),
            "trac": np.asarray(state.trac), "p": np.asarray(state.p)}
