@@ -271,11 +271,13 @@ def interp_cell_to_fine_lincc(fields, spec: LevelSpec):
         lim = jnp.stack(
             [_mc_slope(fields[c], d) for c in range(fields.shape[0])]
         )
-        ratio_c = jnp.where(
-            jnp.abs(cen) > 0.0,
-            jnp.abs(lim) / jnp.maximum(jnp.abs(cen), 1e-300),
-            1.0,
-        )
+        # safe-divide: mask the denominator BEFORE dividing (1e-300
+        # underflows to 0 in f32, and 0/0 in the unselected branch would
+        # poison gradients through jnp.where)
+        tiny = jnp.finfo(fields.dtype).tiny
+        nonzero = jnp.abs(cen) > 0.0
+        denom = jnp.where(nonzero, jnp.abs(cen), tiny)
+        ratio_c = jnp.where(nonzero, jnp.abs(lim) / denom, 1.0)
         alpha = jnp.min(ratio_c, axis=0)  # shared per-cell scale
         slope = cen * alpha[None]
         for e in range(dim):

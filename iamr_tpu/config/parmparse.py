@@ -124,6 +124,23 @@ class ParmParse:
             return default
         return self.get(name, n)
 
+    def query_bool(self, name: str, default: bool = False) -> bool:
+        """Boolean lookup accepting the reference ParmParse forms: integer
+        (0/1) or the strings true/false (amrex::ParmParse::query(bool&);
+        e.g. `godunov.use_forces_in_trans = true`,
+        Exec/run2d/regtest.2d.poiseuille:24)."""
+        v = self.query(name, None)
+        if v is None:
+            return bool(default)
+        if isinstance(v, str):
+            s = v.strip().lower()
+            if s in ("true", "t", "yes", "on"):
+                return True
+            if s in ("false", "f", "no", "off"):
+                return False
+            return bool(int(s))
+        return bool(int(v))
+
     def queryarr(self, name: str, default: Any = None) -> Any:
         key = self._key(name)
         if key not in self._table:

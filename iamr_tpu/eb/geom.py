@@ -439,19 +439,19 @@ def psi_from_inputs(pp, dim: int):
     if gt == "sphere":
         center = [float(x) for x in eb2.queryarr("sphere_center", [0.0] * dim)]
         radius = float(eb2.query("sphere_radius", 0.1))
-        inside = bool(int(eb2.query("sphere_has_fluid_inside", 1)))
+        inside = eb2.query_bool("sphere_has_fluid_inside", True)
         psi = sphere_if(center[:dim], radius, inside)
     elif gt == "cylinder":
         center = [float(x) for x in eb2.queryarr("cylinder_center", [0.0] * dim)]
         radius = float(eb2.query("cylinder_radius", 0.1))
         height = float(eb2.query("cylinder_height", -1.0))
         direction = int(eb2.query("cylinder_direction", dim - 1))
-        inside = bool(int(eb2.query("cylinder_has_fluid_inside", 1)))
+        inside = eb2.query_bool("cylinder_has_fluid_inside", True)
         psi = cylinder_if(center[:dim], radius, height, direction, inside)
     elif gt == "box":
         lo = [float(x) for x in eb2.queryarr("box_lo", [0.0] * dim)]
         hi = [float(x) for x in eb2.queryarr("box_hi", [1.0] * dim)]
-        inside = bool(int(eb2.query("box_has_fluid_inside", 1)))
+        inside = eb2.query_bool("box_has_fluid_inside", True)
         psi = box_if(lo[:dim], hi[:dim], inside)
     elif gt == "plane":
         point = [float(x) for x in eb2.queryarr("plane_point", [0.0] * dim)]
@@ -482,7 +482,7 @@ def psi_from_inputs(pp, dim: int):
         r1 = float(pipe.query("radius", 0.018))
         h1 = float(pipe.query("height", 0.01))
         c1 = [float(x) for x in pipe.getarr("center")]
-        internal = bool(int(pipe.query("internal_flow", 1)))
+        internal = pipe.query_bool("internal_flow", True)
         psi = cylinder_if(c1[:dim], r1, h1, d1, fluid_inside=internal)
     elif gt == "Square-Grid":
         # square-grid turbulence generator (NS_init_eb2.cpp:328-380;

@@ -915,7 +915,7 @@ def run_from_inputs(path: str, overrides=(), **kw):
     # tracer particles (particles.* namespace, NavierStokesBase.cpp:3754-3954)
     ppart = pp.scoped("particles")
     init_file = ppart.query("particle_init_file")
-    if init_file and bool(int(ppart.query("do_nspc", 1))):
+    if init_file and ppart.query_bool("do_nspc", True):
         import os
 
         from iamr_tpu.ns.particles import (

@@ -217,11 +217,15 @@ def init_state(cfg: NSConfig) -> NSState:
         # look each component up BY NAME (x_velocity/y_velocity/z_velocity,
         # or whatever prefix scheme the configured xvel name uses) rather
         # than assuming they are stored contiguously after x_velocity
+        # x-prefixed names substitute y/z; u-prefixed names follow the
+        # u/v/w convention (u_vel -> v_vel, w_vel), matching case
         comp_names = [xname]
-        for axis in "yz"[: dim - 1]:
-            comp_names.append(
-                axis + xname[1:] if xname[:1] in "xXuU" else xname + axis
-            )
+        sibling = {"x": "yz", "X": "YZ", "u": "vw", "U": "VW"}
+        for i in range(dim - 1):
+            if xname[:1] in sibling:
+                comp_names.append(sibling[xname[:1]][i] + xname[1:])
+            else:
+                comp_names.append(xname + "yz"[i])
         missing = [nm for nm in comp_names if nm not in names]
         if missing:
             raise ValueError(

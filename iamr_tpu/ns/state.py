@@ -293,28 +293,26 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
         gravity=float(ns.query("gravity", 0.0)),
         vel_visc_coef=float(ns.query("vel_visc_coef", 0.0)),
         scal_diff_coefs=tuple(float(x) for x in diff),
-        do_temp=bool(int(ns.query("do_temp", 0))),
+        do_temp=ns.query_bool("do_temp", False),
         temp_cond_coef=float(ns.query("temp_cond_coef", 0.0)),
-        do_les=bool(int(ns.query("do_LES", 0))),
+        do_les=ns.query_bool("do_LES", False),
         les_model=str(ns.query("LES_model", "Smagorinsky")),
         smago_cs=float(ns.query("smago_Cs_cst", 0.18)),
         sigma_cs=float(ns.query("sigma_Cs_cst", 1.5)),
         be_cn_theta=float(ns.query("be_cn_theta", 0.5)),
-        do_init_proj=bool(int(ns.query("do_init_proj", 1))),
-        do_mom_diff=bool(int(ns.query("do_mom_diff", 0))),
-        do_cons_trac=bool(int(ns.query("do_cons_trac", 0))),
-        do_denminmax=bool(int(ns.query("do_denminmax", 0))),
+        do_init_proj=ns.query_bool("do_init_proj", True),
+        do_mom_diff=ns.query_bool("do_mom_diff", False),
+        do_cons_trac=ns.query_bool("do_cons_trac", False),
+        do_denminmax=ns.query_bool("do_denminmax", False),
         fft_solve=int(ns.query("fft_solve", -1)),
-        do_scalminmax=bool(int(ns.query("do_scalminmax", 0))),
-        stop_when_steady=bool(int(ns.query("stop_when_steady", 0))),
+        do_scalminmax=ns.query_bool("do_scalminmax", False),
+        stop_when_steady=ns.query_bool("stop_when_steady", False),
         steady_tol=float(ns.query("steady_tol", 1e-10)),
         advection_scheme=str(ns.query("advection_scheme", "Godunov_PLM")),
         # godunov.use_forces_in_trans (NavierStokesBase.cpp:556-557):
         # forces enter the normal-predictor states feeding the transverse
         # terms instead of the final face states
-        use_forces_in_trans=bool(int(
-            pp.scoped("godunov").query("use_forces_in_trans", 0)
-        )),
+        use_forces_in_trans=pp.scoped("godunov").query_bool("use_forces_in_trans", False),
         redist_type=str(ns.query("redistribution_type", "StateRedist")),
         velocity_plotfile=str(ns.query("velocity_plotfile", "")),
         velocity_plotfile_xvel_name=str(
@@ -349,13 +347,13 @@ def config_from_inputs(pp: ParmParse, dim_hint: Optional[int] = None) -> NSConfi
             float(pp.scoped("mac").query("mac_sync_tol", 1e-10)),
             3e-6 if dtype == "float32" else 0.0,
         ),
-        do_reflux=bool(int(ns.query("do_reflux", 1))),
-        do_sync_proj=bool(int(ns.query("do_sync_proj", 1))),
-        do_mac_proj=bool(int(ns.query("do_mac_proj", 1))),
-        debug=bool(int(ns.query("debug", 0))),
-        refine_cutcells=bool(int(ns.query("refine_cutcells", 1))),
-        do_refine_outflow=bool(int(ns.query("do_refine_outflow", 0))),
-        do_derefine_outflow=bool(int(ns.query("do_derefine_outflow", 1))),
+        do_reflux=ns.query_bool("do_reflux", True),
+        do_sync_proj=ns.query_bool("do_sync_proj", True),
+        do_mac_proj=ns.query_bool("do_mac_proj", True),
+        debug=ns.query_bool("debug", False),
+        refine_cutcells=ns.query_bool("refine_cutcells", True),
+        do_refine_outflow=ns.query_bool("do_refine_outflow", False),
+        do_derefine_outflow=ns.query_bool("do_derefine_outflow", True),
         nbuf_outflow=int(ns.query("Nbuf_outflow", 1)),
         init_vel_iter=int(ns.query("init_vel_iter", 1)),
         rho_wgt_vel_proj=bool(

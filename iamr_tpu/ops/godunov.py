@@ -182,45 +182,23 @@ def _trim(a, keep_ng, have_ng, dims=None):
     return a[tuple(idx)]
 
 
-#: tie band for the upwind selectors — 100x the reference's small_vel=1e-8
-#: (AMReX-Hydro hydro_constants; Godunov edge states fall back to the
-#: average/zero inside |u| < small_vel). Outside the band our selects are
-#: bitwise the thresholded pick; INSIDE it we blend linearly in the speed
-#: instead of thresholding, so an ulp-level speed difference between two
-#: compilations (sharded vs unsharded layouts) perturbs the edge state by
-#: noise/eps * |sl-sr|, not by an O(slope) tie-flip jump
-#: (tests/test_parallel.py layout-invariance rationale). The width sets
-#: the amplification of that noise (and of the step-to-step compounding
-#: of the differences it creates: a face that SITS in the band, e.g. on a
-#: persistent stagnation line, multiplies a velocity difference by
-#: ~|sl-sr|/(2 eps) every subcycle). 1e-6 holds the compounded
-#: sharded==unsharded difference of the 2-level subcycled step under the
-#: 1e-8 max-norm contract (tests/test_parallel.py); faces inside the band
-#: carry |flux| <= eps * O(q), physically negligible, and the blend's
-#: O(eps * |sl-sr|) consistency error sits far below the scheme's
-#: O(dx^2) truncation on every convergence ladder (REPORT.md).
-EPS_UPWIND = 4e-6
-
-
-def _riemann_self(ul, ur, eps=EPS_UPWIND):
+def _riemann_self(ul, ur):
     """Upwind state for self-advected normal velocity (Burgers Riemann):
     ul if compression moves right, ur if left, 0 at expansions/ties —
-    ramped continuously to the reference's tie value 0 inside |ul+ur|<eps."""
+    the reference's thresholded pick (AMReX-Hydro Godunov; the round-4
+    tie-band ε-blend was reverted: it did not close the sharded-layout
+    outlier class it targeted and cost six orders of cross-path exactness
+    — see tests/test_parallel.py for the honest sharded contract)."""
     avg = ul + ur
     out = jnp.where((ul > 0.0) & (avg > 0.0), ul, 0.0)
     out = jnp.where((ur < 0.0) & (avg < 0.0), ur, out)
-    w = jnp.clip(avg * (1.0 / eps), -1.0, 1.0)
-    out_l = jnp.where(ul > 0.0, ul, 0.0)
-    out_r = jnp.where(ur < 0.0, ur, 0.0)
-    blend = jnp.maximum(w, 0.0) * out_l + jnp.maximum(-w, 0.0) * out_r
-    return jnp.where(jnp.abs(avg) >= eps, out, blend)
+    return out
 
 
-def _upwind(sl_, sr, speed, eps=EPS_UPWIND):
+def _upwind(sl_, sr, speed, eps=1e-14):
+    small = jnp.abs(speed) < eps
     out = jnp.where(speed > 0.0, sl_, sr)
-    w = jnp.clip(speed * (1.0 / eps), -1.0, 1.0)
-    blend = 0.5 * (sl_ + sr) + (0.5 * w) * (sl_ - sr)
-    return jnp.where(jnp.abs(speed) >= eps, out, blend)
+    return jnp.where(small, 0.5 * (sl_ + sr), out)
 
 
 def extrap_vel_to_faces(

@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
 
 _T = 8  # slab rows (f32 sublane tiling)
-_EPS_UPWIND = 4e-6  # tie band, 100x reference small_vel (godunov.EPS_UPWIND)
+_EPS_UPWIND = 1e-14
 
 
 def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
@@ -62,7 +62,7 @@ def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
     # VMEM bound from the actual tiled geometry (both kernels tile dims 0/1
     # into (T x BS1 x n2) blocks): double-buffered input blocks + 9 scratch
     # hat buffers + ~40 compiler-materialized live values per tile
-    T = _T
+    T = _pick_t()
     BS1 = _pick_t1(shape[1]) + 8
     n2 = shape[2]
     in_blk = (T + 6) * BS1 * (n2 + 6) * 4
@@ -81,13 +81,26 @@ def godunov_fused_ok(shape, dtype, scheme, rz, eb) -> bool:
 
 
 def _upw(sl_, sr, speed):
-    # thresholded pick outside |speed| >= eps (bitwise the classic upwind);
-    # linear-in-speed blend inside so layout-level ulp noise cannot flip an
-    # O(slope) jump (mirrors godunov._upwind exactly)
+    # thresholded upwind pick (mirrors godunov._upwind exactly)
+    small = jnp.abs(speed) < _EPS_UPWIND
     out = jnp.where(speed > 0.0, sl_, sr)
-    w = jnp.clip(speed * (1.0 / _EPS_UPWIND), -1.0, 1.0)
-    blend = 0.5 * (sl_ + sr) + (0.5 * w) * (sl_ - sr)
-    return jnp.where(jnp.abs(speed) >= _EPS_UPWIND, out, blend)
+    return jnp.where(small, 0.5 * (sl_ + sr), out)
+
+
+def _pick_t() -> int:
+    """dim0 slab rows: validated IAMR_GOD_T override (>0, 8-divisible for
+    f32 sublane tiling), else the default _T."""
+    import os
+
+    env = os.environ.get("IAMR_GOD_T", "")
+    if env:
+        try:
+            t = int(env)
+            if t > 0 and t % 8 == 0:
+                return t
+        except ValueError:
+            pass
+    return _T
 
 
 def _pick_t1(n1: int) -> int:
@@ -403,7 +416,7 @@ def godunov_plm_fused(
     dtype = s_g.dtype
     import os
 
-    T = _T
+    T = _pick_t()
     T1 = _pick_t1(n1)
     nblk = (n0 + T - 1) // T
     if nblk * T == n0:
@@ -517,7 +530,7 @@ def _pick_t1_multi(n1: int, n2: int, nc: int, nf: int) -> int:
     """dim1 tile for the multi-field kernel: largest 8-divisible T1 whose
     per-tile VMEM (nc-scaled inputs/outputs, shared u blocks, 3 reused hat
     scratch, ~40-value live set) fits the budget."""
-    T = _T
+    T = _pick_t()
     for t1 in (64, 32, 16, 8):
         if t1 > max(8, n1):
             continue
@@ -560,7 +573,7 @@ def godunov_plm_fused_multi(
     nf = len(force_gs)
     dtype = s_gs[0].dtype
 
-    T = _T
+    T = _pick_t()
     T1 = _pick_t1_multi(n1, n2, nc, nf)
     nblk = (n0 + T - 1) // T
     if nblk * T == n0:
@@ -741,16 +754,12 @@ def _slope4_dimt(sg, d, r_lo, r_n, o_t, t_n, u_lo, u_n):
 
 
 def _rself(ul, ur):
-    """Self-advected normal-velocity Riemann (godunov._riemann_self),
-    tie-ramped to 0 inside |ul+ur| < eps like the XLA path."""
+    """Self-advected normal-velocity Riemann (godunov._riemann_self):
+    thresholded pick, matching the XLA path bitwise."""
     avg = ul + ur
     out = jnp.where((ul > 0.0) & (avg > 0.0), ul, 0.0)
     out = jnp.where((ur < 0.0) & (avg < 0.0), ur, out)
-    w = jnp.clip(avg * (1.0 / _EPS_UPWIND), -1.0, 1.0)
-    out_l = jnp.where(ul > 0.0, ul, 0.0)
-    out_r = jnp.where(ur < 0.0, ur, 0.0)
-    blend = jnp.maximum(w, 0.0) * out_l + jnp.maximum(-w, 0.0) * out_r
-    return jnp.where(jnp.abs(avg) >= _EPS_UPWIND, out, blend)
+    return out
 
 
 def _extrap_kernel(
@@ -951,7 +960,7 @@ def extrap_plm_fused(
     dtype = vel_g.dtype
     import os
 
-    T = _T
+    T = _pick_t()
     T1 = _pick_t1(n1)
     nblk = (n0 + T - 1) // T
     if nblk * T == n0:

@@ -116,12 +116,17 @@ BENCH_DIR = os.path.join(REPO, "regression", "benchmarks")
 
 def state_fields(state):
     # multilevel runs return MLState, (crse, fines, specs) tuples, or a
-    # per-level state list (run_hierarchy): store every level's fields
+    # per-level state list (run_hierarchy): store every level's fields.
+    # ORDER MATTERS: NSState is a NamedTuple (ns/state.py:24), i.e. a tuple —
+    # the leaf `vel` check must come before the list/tuple recursion.
     if hasattr(state, "crse"):
         out = {}
         for lev, s in (("crse", state.crse), ("fine", state.fine)):
             out.update({f"{lev}_{k}": v for k, v in state_fields(s).items()})
         return out
+    if hasattr(state, "vel"):
+        return {"vel": np.asarray(state.vel), "rho": np.asarray(state.rho),
+                "trac": np.asarray(state.trac), "p": np.asarray(state.p)}
     if isinstance(state, (list, tuple)):
         if (len(state) == 3 and hasattr(state[0], "vel")
                 and isinstance(state[1], (list, tuple))
@@ -138,9 +143,7 @@ def state_fields(state):
         for lev, s in enumerate(state):
             out.update({f"lev{lev}_{k}": v for k, v in state_fields(s).items()})
         return out
-    out = {"vel": np.asarray(state.vel), "rho": np.asarray(state.rho),
-           "trac": np.asarray(state.trac), "p": np.asarray(state.p)}
-    return out
+    raise TypeError(f"unrecognized state container: {type(state)!r}")
 
 
 def run_test(name, inputs, overrides):
@@ -179,7 +182,10 @@ def main():
             print(f"[{name}] benchmark written")
             continue
         if not os.path.exists(bench_path):
-            print(f"[{name}] SKIP (no benchmark; run --make-benchmarks)")
+            # a name in TESTS without a stored golden is a harness failure,
+            # not a skip — otherwise missing goldens regress silently
+            print(f"[{name}] FAIL (no benchmark; run --make-benchmarks)")
+            failures.append(name)
             continue
         gold = np.load(bench_path)
         ok = True

@@ -67,55 +67,51 @@ def test_two_separated_boxes():
 
 def test_adjacent_boxes_match_single_patch():
     """Two adjacent boxes tiling the same union as one patch match the
-    single-patch multilevel result: the union advance solves every elliptic
-    problem level-wide (reference MLMG BoxArray semantics) and the
-    union-masked coupling reduces exactly to the single-patch machinery.
+    single-patch multilevel result to solver/roundoff tolerance: the union
+    advance solves every elliptic problem level-wide (reference MLMG
+    BoxArray semantics) and the union-masked coupling reduces exactly to
+    the single-patch machinery, so box seams introduce no error at all.
 
-    Tolerance: 1e-6, not roundoff. The layout-stable upwind tie band
-    (godunov.EPS_UPWIND = 1e-6) responds CONTINUOUSLY to the face speed
-    with Lipschitz constant 1/eps, so the ~1e-13 f64 reassociation noise
-    between the two compilations (different array extents -> different
-    vectorization/FMA contraction) is amplified to noise/eps * |sl-sr|
-    ~ 1e-7 on the handful of tie-band (stagnation) faces — the designed
-    trade against O(slope) threshold flips (see tests/test_parallel.py).
-    Outside the band every select is bitwise the thresholded pick, so the
-    bulk of the field still agrees to roundoff; a real seam bug shows up
-    orders of magnitude above 1e-6."""
+    TOLERANCE-mode solves (fixed_mg_cycles=None): with a fixed cycle
+    budget the two (equivalent) programs stop at slightly different
+    unconverged residuals (~1e-7 field-wide, measured round 5), which is
+    solver noise, not a seam error; driven to rtol 1e-12 they agree to
+    ~5e-15 — that equivalence is what this test locks."""
     cfg = _cfg()
     union = LevelSpec(lo=(8, 8), ncell=(48, 48), ratio=2)
     specs = (
         LevelSpec(lo=(8, 8), ncell=(24, 48), ratio=2),
         LevelSpec(lo=(32, 8), ncell=(24, 48), ratio=2),
     )
-    crse = initialize(cfg, fixed_mg_cycles=4)
+    crse = initialize(cfg, fixed_mg_cycles=None)
 
     fine_u = init_fine_from_coarse(cfg, union, crse)
     ml = MLState(crse=crse, fine=fine_u)
     step_u = jax.jit(
-        lambda m: advance_two_level_subcycled(m, cfg, union, fixed_mg_cycles=4)
+        lambda m: advance_two_level_subcycled(m, cfg, union, fixed_mg_cycles=None)
     )
     ml = step_u(ml)
 
     fines = tuple(init_fine_from_coarse(cfg, sp, crse) for sp in specs)
     step_m = jax.jit(
         lambda c, f: advance_two_level_multipatch(
-            c, f, cfg, specs, fixed_mg_cycles=4
+            c, f, cfg, specs, fixed_mg_cycles=None
         )
     )
     c_m, f_m = step_m(crse, fines)
 
     assert bool(jnp.all(jnp.isfinite(c_m.vel)))
     du = float(jnp.max(jnp.abs(c_m.vel - ml.crse.vel)))
-    assert du < 1e-6, du
+    assert du < 1e-12, du
     # stitched fine boxes reproduce the union patch
     left = np.asarray(f_m[0].vel)
     right = np.asarray(f_m[1].vel)
     whole = np.asarray(ml.fine.vel)
     dl = np.max(np.abs(left - whole[:, :24, :]))
     dr = np.max(np.abs(right - whole[:, 24:, :]))
-    assert max(dl, dr) < 1e-6, (dl, dr)
+    assert max(dl, dr) < 1e-12, (dl, dr)
     dp = float(jnp.max(jnp.abs(c_m.p - ml.crse.p)))
-    assert dp < 1e-6, dp
+    assert dp < 1e-12, dp
 
 
 def test_run_multipatch_with_br_regrid():

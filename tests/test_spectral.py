@@ -146,16 +146,12 @@ def test_step_spectral_matches_mg():
     dv = float(jnp.max(jnp.abs(s_mg.vel - s_sp.vel)))
     dr = float(jnp.max(jnp.abs(s_mg.rho - s_sp.rho)))
     dt_ = float(jnp.max(jnp.abs(s_mg.trac - s_sp.trac)))
-    # MG solves to rtol 1e-12; spectral is exact. The upwind tie band
-    # (godunov.EPS_UPWIND = 1e-6, 100x the reference small_vel) amplifies
-    # the ~1e-12 solver difference on faces inside the band by |sl-sr|/eps
-    # (the blend is Lipschitz with constant 1/eps — the price of a
-    # CONTINUOUS, layout-stable selector instead of a thresholded one that
-    # could flip by O(slope)), so the bound is 1e-12/1e-6 * O(slope) over
-    # a few steps, not the raw solver tolerance.
-    assert dv < 3e-5 * scale, dv
-    assert dr < 3e-5, dr
-    assert dt_ < 3e-5, dt_
+    # MG solves to rtol 1e-12; spectral is exact — agreement at solver tol
+    # (the round-4 ε-blend that amplified the solver difference to 3e-5
+    # was reverted; thresholded upwind restores solver-tolerance parity)
+    assert dv < 1e-8 * scale, dv
+    assert dr < 1e-8, dr
+    assert dt_ < 1e-8, dt_
     # spectral projection leaves no more divergence than the MG one
     from iamr_tpu.ops.mg_nodal import NodalBC, N_PERIODIC, div_cell_to_node
 
