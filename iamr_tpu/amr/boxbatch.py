@@ -79,487 +79,6 @@ def congruent_chop(boxes, box_size: Sequence[int]):
     return out
 
 
-class BoxBatch:
-    """Static geometry + precomputed fill maps for a congruent box batch.
-
-    specs: congruent fine boxes (fine index space, aligned to ratio).
-    cfg: the COARSE level's config; crse_geom = cfg.geom.
-    """
-
-    def __init__(self, cfg: NSConfig, specs: Sequence[LevelSpec]):
-        from iamr_tpu.amr.multilevel import make_fine_config
-
-        assert congruent(specs), "box batch requires congruent boxes"
-        self.cfg = cfg
-        self.specs = tuple(specs)
-        self.nbox = len(specs)
-        self.r = specs[0].ratio
-        self.dim = specs[0].dim
-        self.bshape = tuple(specs[0].ncell)
-        self.bbox = union_bbox_spec(specs)
-        self.cfg_box = make_fine_config(cfg, specs[0])
-        self.cfg_u = make_fine_config(cfg, self.bbox)
-        self.dom_ncell = tuple(
-            cfg.geom.ncell[d] * self.r for d in range(self.dim)
-        )
-        self.periodic = tuple(cfg.geom.periodic)
-        self.lo = np.array([sp.lo for sp in specs], np.int64)  # [nbox, dim]
-        # physical-domain contact per box face [nbox, dim, 2]
-        self.touch = np.zeros((self.nbox, self.dim, 2), bool)
-        for b, sp in enumerate(specs):
-            for d in range(self.dim):
-                self.touch[b, d, 0] = sp.lo[d] == 0
-                self.touch[b, d, 1] = sp.lo[d] + sp.ncell[d] == self.dom_ncell[d]
-        # coarse-cell owner grid (boxes are r-aligned with r-multiple sizes)
-        ncc = cfg.geom.ncell
-        self.owner_c = -np.ones(ncc, np.int32)
-        for b, sp in enumerate(specs):
-            self.owner_c[
-                tuple(
-                    slice(sp.crse_lo[d], sp.crse_lo[d] + sp.crse_ncell[d])
-                    for d in range(self.dim)
-                )
-            ] = b
-        self._cell_maps: Dict[int, Dict] = {}
-        self._face_maps: Dict[Tuple[int, int], Dict] = {}
-        self._scatter_idx: Dict[Tuple, np.ndarray] = {}
-        self._dbg_last_fill = None
-
-    # ------------------------------------------------------------------
-    # coordinate helpers (numpy, trace-time)
-
-    def _global_coords(self, ng: int, face_dim: Optional[int] = None):
-        """Per-box global fine coords of the grown window, per dim:
-        list of int arrays [nbox, bshape_d + 2ng (+1 if face_dim==d)]."""
-        out = []
-        for d in range(self.dim):
-            n = self.bshape[d] + (1 if face_dim == d else 0)
-            g = self.lo[:, d:d + 1] + np.arange(-ng, n + ng)[None, :]
-            out.append(g)
-        return out
-
-    def _wrap(self, g, d, extent):
-        """Periodic wrap / clamp of global coords to [0, extent)."""
-        if self.periodic[d]:
-            return np.mod(g, extent)
-        return np.clip(g, 0, extent - 1)
-
-    def _flat_idx(self, coords, shape):
-        """Flatten per-dim [nbox, m_d] coords into [nbox, prod(m)] int32."""
-        nbox = coords[0].shape[0]
-        idx = np.zeros((nbox,) + tuple(c.shape[1] for c in coords), np.int64)
-        stride = 1
-        for d in reversed(range(len(shape))):
-            sh = [nbox] + [1] * len(shape)
-            sh[1 + d] = coords[d].shape[1]
-            idx = idx + coords[d].reshape(sh) * stride
-            stride *= shape[d]
-        return idx.reshape(nbox, -1).astype(np.int32)
-
-    # ------------------------------------------------------------------
-    # fill maps
-
-    def cell_maps(self, ng: int) -> Dict:
-        """Maps for the cell-centered ghost fill at width ng."""
-        if ng in self._cell_maps:
-            return self._cell_maps[ng]
-        dim = self.dim
-        gshape = tuple(n + 2 * ng for n in self.bshape)
-        gc = self._global_coords(ng)
-        # in-domain global coords (wrapped periodic / clamped else; clamped
-        # cells are overwritten by the physical fill anyway)
-        gw = [self._wrap(gc[d], d, self.dom_ncell[d]) for d in range(dim)]
-        # sibling ownership: owner of the COARSE parent covers the fine cell
-        # (joint owner lookup: build [nbox, *gshape] by fancy indexing)
-        cidx = [gw[d] // self.r for d in range(dim)]
-        own = np.empty((self.nbox,) + gshape, np.int32)
-        for b in range(self.nbox):
-            own[b] = self.owner_c[np.ix_(*[cidx[d][b] for d in range(dim)])]
-        # out-of-domain (non-periodic, unclamped original coord outside):
-        # nobody owns those ghosts
-        for d in range(dim):
-            if not self.periodic[d]:
-                bad = (gc[d] < 0) | (gc[d] >= self.dom_ncell[d])
-                sh = [self.nbox] + [1] * dim
-                sh[1 + d] = gshape[d]
-                own = np.where(bad.reshape(sh), -1, own)
-        cover = own >= 0
-        # flat source index into batch.reshape(nbox * prod(bshape))
-        bcells = int(np.prod(self.bshape))
-        local = np.zeros((self.nbox,) + gshape, np.int64)
-        stride = 1
-        for d in reversed(range(dim)):
-            sh = [self.nbox] + [1] * dim
-            sh[1 + d] = gshape[d]
-            # local coord within the owner box along d
-            lo_owner = np.where(own >= 0, self.lo[np.maximum(own, 0), d], 0)
-            # build full-rank global coord along d
-            gd = np.broadcast_to(gw[d].reshape(sh), own.shape)
-            local = local + (gd - lo_owner) * stride
-            stride *= self.bshape[d]
-        src = np.where(cover, np.maximum(own, 0).astype(np.int64) * bcells
-                       + local, 0).astype(np.int32)
-        # coarse windows with 1 margin cell beyond slope support so the
-        # prolonged values match a level-wide (bbox) FillPatch exactly
-        ngc = (ng + self.r - 1) // self.r + 1
-        cw = []
-        for d in range(dim):
-            base = self.lo[:, d:d + 1] // self.r
-            idx = base + np.arange(-ngc, self.bshape[d] // self.r + ngc)[None]
-            cw.append(self._wrap(idx, d, self.cfg.geom.ncell[d]))
-        cwin_idx = self._flat_idx(cw, self.cfg.geom.ncell)
-        cwin_shape = tuple(c.shape[1] for c in cw)
-        phase = ngc * self.r - ng  # fine offset of the grown window in the
-        # prolonged window
-        m = {
-            "ng": ng,
-            "gshape": gshape,
-            "cover": jnp.asarray(cover),
-            "src": jnp.asarray(src),
-            "cwin_idx": jnp.asarray(cwin_idx),
-            "cwin_shape": cwin_shape,
-            "phase": phase,
-        }
-        self._cell_maps[ng] = m
-        return m
-
-    def face_maps(self, fd: int, ngt: int = 1) -> Dict:
-        """Maps for the MAC face fill: faces normal to fd, grown by ngt in
-        every TRANSVERSE dim (create_umac_grown) and by 1 in the normal dim
-        (the extra normal faces feed the conservative d(umac)/dx ghost
-        terms so box seams stay flux-consistent with a level-wide array)."""
-        key = (fd, ngt)
-        if key in self._face_maps:
-            return self._face_maps[key]
-        dim = self.dim
-        r = self.r
-        # grown face-window coords: normal dim has bshape+1 faces grown by 1
-        # (ng_norm=1), transverse dims grown by ngt cells
-        gshape = tuple(
-            (self.bshape[d] + 1 + 2 if d == fd else self.bshape[d] + 2 * ngt)
-            for d in range(dim)
-        )
-        gcs = []
-        for d in range(dim):
-            if d == fd:
-                g = self.lo[:, d:d + 1] + np.arange(-1, self.bshape[d] + 2)[None]
-            else:
-                g = self.lo[:, d:d + 1] + np.arange(
-                    -ngt, self.bshape[d] + ngt
-                )[None]
-            gcs.append(g)
-        nfaces_dom = tuple(
-            self.dom_ncell[d] + (1 if d == fd else 0) for d in range(dim)
-        )
-        # face ownership: a face belongs to box b if it is a face OF b
-        # (normal coord in [lo, lo+n], transverse in [lo, lo+n)); seam faces
-        # shared by two boxes carry identical data so either owner works.
-        # Use the coarse owner grid of the adjacent cells.
-        gw = []
-        for d in range(dim):
-            ext = nfaces_dom[d] if (d == fd and not self.periodic[d]) else \
-                self.dom_ncell[d]
-            if d == fd and self.periodic[d]:
-                gw.append(np.mod(gcs[d], self.dom_ncell[d]))
-            elif d == fd:
-                gw.append(np.clip(gcs[d], 0, self.dom_ncell[d]))
-            else:
-                gw.append(self._wrap(gcs[d], d, self.dom_ncell[d]))
-        # owner via the cell on the LO side of the face (clamped), else the
-        # HI side — a face is in the batch if either adjacent cell is owned
-        # by a box whose face set contains it
-        own = np.full((self.nbox,) + gshape, -1, np.int32)
-        for off in (0, -1):  # cell at face+off along fd
-            cidx = []
-            for d in range(dim):
-                if d == fd:
-                    c = gw[d] + off
-                    if self.periodic[d]:
-                        c = np.mod(c, self.dom_ncell[d])
-                    else:
-                        c = np.clip(c, 0, self.dom_ncell[d] - 1)
-                    cidx.append(c // r)
-                else:
-                    cidx.append(gw[d] // r)
-            cand = np.empty((self.nbox,) + gshape, np.int32)
-            for b in range(self.nbox):
-                cand[b] = self.owner_c[np.ix_(*[cidx[d][b] for d in range(dim)])]
-            own = np.where(own < 0, cand, own)
-        # out-of-domain invalidation (non-periodic)
-        for d in range(dim):
-            if not self.periodic[d]:
-                ext = nfaces_dom[d] if d == fd else self.dom_ncell[d]
-                bad = (gcs[d] < 0) | (gcs[d] >= ext)
-                sh = [self.nbox] + [1] * dim
-                sh[1 + d] = gshape[d]
-                own = np.where(bad.reshape(sh), -1, own)
-        cover = own >= 0
-        bfaces = int(np.prod([self.bshape[d] + (1 if d == fd else 0)
-                              for d in range(dim)]))
-        local = np.zeros((self.nbox,) + gshape, np.int64)
-        stride = 1
-        for d in reversed(range(dim)):
-            sh = [self.nbox] + [1] * dim
-            sh[1 + d] = gshape[d]
-            lo_owner = np.where(own >= 0, self.lo[np.maximum(own, 0), d], 0)
-            gd = np.broadcast_to(gw[d].reshape(sh), own.shape)
-            loc = gd - lo_owner
-            n_owner = self.bshape[d] + (1 if d == fd else 0)
-            loc = np.clip(loc, 0, n_owner - 1)
-            local = local + loc * stride
-            stride *= self.bshape[d] + (1 if d == fd else 0)
-        src = np.where(cover, np.maximum(own, 0).astype(np.int64) * bfaces
-                       + local, 0).astype(np.int32)
-        # coarse face windows (normal: linear interp nodes c0/c0+1; the
-        # gather takes a window with margin and interpolates in-device)
-        ngc = 2
-        cw = []
-        for d in range(dim):
-            base = self.lo[:, d:d + 1] // r
-            if d == fd:
-                idx = base + np.arange(
-                    -ngc, self.bshape[d] // r + 1 + ngc
-                )[None]
-                ext = self.cfg.geom.ncell[d] + 1
-                if self.periodic[d]:
-                    idx = np.mod(idx, self.cfg.geom.ncell[d])
-                else:
-                    idx = np.clip(idx, 0, ext - 1)
-            else:
-                idx = base + np.arange(-ngc, self.bshape[d] // r + ngc)[None]
-                idx = self._wrap(idx, d, self.cfg.geom.ncell[d])
-            cw.append(idx)
-        cshape = tuple(
-            self.cfg.geom.ncell[d] + (1 if d == fd else 0) for d in range(dim)
-        )
-        cwin_idx = self._flat_idx(cw, cshape)
-        cwin_shape = tuple(c.shape[1] for c in cw)
-        m = {
-            "fd": fd,
-            "ngt": ngt,
-            "gshape": gshape,
-            "cover": jnp.asarray(cover),
-            "src": jnp.asarray(src),
-            "cwin_idx": jnp.asarray(cwin_idx),
-            "cwin_shape": cwin_shape,
-            "ngc": ngc,
-        }
-        self._face_maps[key] = m
-        return m
-
-    # ------------------------------------------------------------------
-    # bbox scatter/gather
-
-    def _bbox_flat_idx(self, face_dim=None, node=False) -> np.ndarray:
-        key = (face_dim, node)
-        if key in self._scatter_idx:
-            return self._scatter_idx[key]
-        dim = self.dim
-        bshape = tuple(
-            self.bshape[d] + (1 if (node or face_dim == d) else 0)
-            for d in range(dim)
-        )
-        ushape = tuple(
-            self.bbox.ncell[d] + (1 if (node or face_dim == d) else 0)
-            for d in range(dim)
-        )
-        coords = []
-        for d in range(dim):
-            off = self.lo[:, d:d + 1] - self.bbox.lo[d]
-            coords.append(off + np.arange(bshape[d])[None])
-        idx = self._flat_idx(coords, ushape)
-        self._scatter_idx[key] = idx
-        return idx
-
-    def scatter_bbox(self, batch, background=None, face_dim=None, node=False):
-        """[nbox, ...] batch -> bbox array; holes from `background`
-        (default zeros). Shared seam faces/nodes carry identical data from
-        either writer."""
-        dim = self.dim
-        ushape = tuple(
-            self.bbox.ncell[d] + (1 if (node or face_dim == d) else 0)
-            for d in range(dim)
-        )
-        idx = jnp.asarray(self._bbox_flat_idx(face_dim, node))
-        if background is None:
-            out = jnp.zeros(ushape, batch.dtype)
-        else:
-            out = background.astype(batch.dtype)
-        out = out.reshape(-1).at[idx.reshape(-1)].set(
-            batch.reshape(-1), mode="drop"
-        )
-        return out.reshape(ushape)
-
-    def gather_bbox(self, u, face_dim=None, node=False):
-        """bbox array -> [nbox, ...] batch."""
-        dim = self.dim
-        bshape = tuple(
-            self.bshape[d] + (1 if (node or face_dim == d) else 0)
-            for d in range(dim)
-        )
-        idx = jnp.asarray(self._bbox_flat_idx(face_dim, node))
-        return u.reshape(-1)[idx].reshape((self.nbox,) + bshape)
-
-    # ------------------------------------------------------------------
-    # the batched fills
-
-    def _prolong_windows(self, crse, m):
-        """Gather per-box coarse windows and prolong them; returns the
-        [nbox, bshape+2ng] fine background (cell centering)."""
-        from iamr_tpu.amr.hierarchy import prolong_cell
-
-        win = crse.reshape(-1)[m["cwin_idx"]].reshape(
-            (self.nbox,) + m["cwin_shape"]
-        )
-        fine = jax.vmap(lambda w: prolong_cell(w, self.r))(win)
-        ph = m["phase"] + self.r  # +r for the 1-cell slope margin
-        sl_ = tuple(
-            slice(ph, ph + m["gshape"][d]) for d in range(self.dim)
-        )
-        return fine[(slice(None),) + sl_]
-
-    def fill_cell(self, batch, ng: int, crse_cc, bcrec: BCRec,
-                  vals_lo=None, vals_hi=None):
-        """Batched FillPatch: [nbox, *bshape] -> [nbox, *(bshape+2ng)].
-
-        Priority (reference FillPatchIterator): own/sibling interior data
-        where a box covers the ghost cell, else coarse interpolation of
-        crse_cc, then physical BC slabs on domain-touching sides."""
-        m = self.cell_maps(ng)
-        bg = self._prolong_windows(crse_cc, m).astype(batch.dtype)
-        sib = batch.reshape(-1)[m["src"]]
-        g = jnp.where(m["cover"], sib, bg)
-        # physical sides, dim-sequential like core.fill.fill_ghost
-        dim = self.dim
-        vals_lo = vals_lo or (0.0,) * dim
-        vals_hi = vals_hi or (0.0,) * dim
-        for d in range(dim):
-            for side in (0, 1):
-                bk = bcrec.lo[d] if side == 0 else bcrec.hi[d]
-                if bk == MathBC.int_dir:
-                    continue
-                tmask = self.touch[:, d, side]
-                if not tmask.any():
-                    continue
-                interior = g[
-                    (slice(None),) + tuple(
-                        slice(ng, g.shape[1 + e] - ng) if e == d
-                        else slice(None) for e in range(dim)
-                    )
-                ]
-                val = (vals_lo if side == 0 else vals_hi)[d]
-                # batched slab: _ghost_block is pure slicing -> vmap
-                slab = jax.vmap(
-                    lambda a: _ghost_block(a, d, side, ng, bk, val)
-                )(interior)
-                idx = [slice(None)] * dim
-                idx[d] = slice(0, ng) if side == 0 else slice(
-                    g.shape[1 + d] - ng, None
-                )
-                sel = jnp.asarray(tmask).reshape((self.nbox,) + (1,) * dim)
-                cur = g[(slice(None),) + tuple(idx)]
-                g = g.at[(slice(None),) + tuple(idx)].set(
-                    jnp.where(sel, slab, cur)
-                )
-        return g
-
-    def _face_background(self, crse_face, m):
-        """Coarse MAC faces interpolated onto the grown per-box face window
-        (face_linear_interp: linear in the normal dim, pc transverse)."""
-        fd = m["fd"]
-        win = crse_face.reshape(-1)[m["cwin_idx"]].reshape(
-            (self.nbox,) + m["cwin_shape"]
-        )
-        r = self.r
-        ngc = m["ngc"]
-
-        def interp(w):
-            out = w
-            for d in range(self.dim):
-                if d == fd:
-                    # fine faces at window offset: normal grown by 1 =>
-                    # global faces lo-1 .. lo+n+1; window starts at
-                    # (lo//r - ngc) coarse faces
-                    nfine = m["gshape"][d]
-                    gloc = np.arange(-1, nfine - 1) + ngc * r
-                    c0 = gloc // r
-                    wgt = (gloc - c0 * r) / r
-                    c1 = np.minimum(c0 + 1, out.shape[d] - 1)
-                    a = jnp.take(out, jnp.asarray(c0), axis=d)
-                    bb = jnp.take(out, jnp.asarray(c1), axis=d)
-                    sh = [1] * self.dim
-                    sh[d] = nfine
-                    out = a + (bb - a) * jnp.asarray(wgt, out.dtype).reshape(sh)
-                else:
-                    nfine = m["gshape"][d]
-                    gloc = np.arange(-m["ngt"], nfine - m["ngt"]) + ngc * r
-                    j = gloc // r
-                    out = jnp.take(out, jnp.asarray(j), axis=d)
-            return out
-
-        return jax.vmap(interp)(win)
-
-    def fill_umac(self, ubatch, fd: int, crse_umac_d=None):
-        """Batched create_umac_grown for MAC component fd:
-        [nbox, faces] -> grown by 1 transverse cell AND 1 normal face on
-        each side. Sibling faces from the batch; C-F from the parent's
-        face-linear interp (or edge copies when crse_umac_d is None);
-        physical sides follow grow_umac_transverse (periodic handled by
-        the wrap in the maps; non-periodic edge-copy applied per touch)."""
-        m = self.face_maps(fd)
-        if crse_umac_d is not None:
-            bg = self._face_background(crse_umac_d, m).astype(ubatch.dtype)
-        else:
-            bg = None
-        sib = ubatch.reshape(-1)[m["src"]]
-        if bg is None:
-            g = jnp.where(m["cover"], sib, 0.0)
-        else:
-            g = jnp.where(m["cover"], sib, bg)
-        # non-periodic domain sides: edge-copy rows (foextrap weights only);
-        # normal-dim domain faces beyond the boundary replicate the boundary
-        # face (they are never real faces)
-        dim = self.dim
-        for d in range(dim):
-            if self.periodic[d]:
-                continue
-            ngd = 1 if d == fd else m["ngt"]
-            for side in (0, 1):
-                tmask = self.touch[:, d, side]
-                if not tmask.any():
-                    continue
-                sel = jnp.asarray(tmask).reshape((self.nbox,) + (1,) * dim)
-                if side == 0:
-                    src = g[(slice(None),) + tuple(
-                        slice(ngd, ngd + 1) if e == d else slice(None)
-                        for e in range(dim)
-                    )]
-                    dst = tuple(
-                        slice(0, ngd) if e == d else slice(None)
-                        for e in range(dim)
-                    )
-                else:
-                    nn = g.shape[1 + d]
-                    src = g[(slice(None),) + tuple(
-                        slice(nn - ngd - 1, nn - ngd) if e == d
-                        else slice(None) for e in range(dim)
-                    )]
-                    dst = tuple(
-                        slice(nn - ngd, None) if e == d else slice(None)
-                        for e in range(dim)
-                    )
-                cur = g[(slice(None),) + dst]
-                g = g.at[(slice(None),) + dst].set(
-                    jnp.where(sel, jnp.broadcast_to(src, cur.shape), cur)
-                )
-        return g
-
-
-# ---------------------------------------------------------------------------
-# Stage-A execution: per-box windowed hyperbolic phases of a UNION advance
-# ---------------------------------------------------------------------------
-
-
 def grow_umac_normal_union(umac, periodic: Sequence[bool]):
     """MAC components grown by one face on each side of their OWN dim,
     reproducing exactly the union advance's d(umac)/dx ghost-row rule

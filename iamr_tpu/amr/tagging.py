@@ -399,7 +399,7 @@ def coalesce_specs(specs):
     return out
 
 
-def regrid_hierarchy(cfg, cfgs, specs, states, error_tags):
+def regrid_hierarchy(cfg, cfgs, specs, states, error_tags, boxlists=None):
     """Re-tag and re-nest an arbitrary-depth hierarchy (Amr::regrid for
     lbase=0: every level above the base is rebuilt from its parent's error
     tags, finest-first data transfer with overlap copy).
@@ -408,7 +408,18 @@ def regrid_hierarchy(cfg, cfgs, specs, states, error_tags):
     coordinates relative to the PARENT PATCH. Old child data transfers by
     expressing old and new child boxes in one absolute frame and copying
     the intersection (regrid_fine_state with the old spec rebased into the
-    new parent's frame). Returns (new_specs, new_states)."""
+    new parent's frame).
+
+    Dynamic MULTI-BOX levels (the reference's BoxArray-of-many-grids
+    regrid, Docs/Software.rst:356-401): each level's tags cluster with
+    native Berger-Rigoutsos into possibly-many boxes (cluster_to_patches);
+    a level with >1 box is carried as its bounding-box spec plus the TRUE
+    box list (advance_subtree union-level semantics). A deeper level that
+    would not nest inside the union's true boxes collapses its parent back
+    to the single bbox patch (proper-nesting guarantee).
+
+    Returns (new_specs, new_states, new_boxlists); new_boxlists[k] is None
+    for single-box levels."""
     import numpy as _np
 
     from iamr_tpu.amr.hierarchy import LevelSpec
@@ -426,32 +437,67 @@ def regrid_hierarchy(cfg, cfgs, specs, states, error_tags):
     new_specs = []
     new_states = [states[0]]
     new_cfgs = [cfg]
+    new_boxlists = []
     abs_new = [(0,) * dim]
     for k in range(len(specs)):
         parent_cfg = new_cfgs[k]
         tags = _np.asarray(
             tag_cells(cfgs[k], states[k], error_tags, level=k)
         )
-        s = cluster_to_patch(tags, r)
-        if s is None:
-            s = specs[k]  # nothing tagged: keep the old patch shape
-            child_abs = abs_old[k + 1]
+        boxes = cluster_to_patches(tags, r)
+        if not boxes:
+            # nothing tagged: keep the old patch shape (and box list)
+            boxes_abs = []
+            old_bl = boxlists[k] if boxlists is not None else None
+            for b in (old_bl if old_bl else (specs[k],)):
+                boxes_abs.append((
+                    tuple(r * a + l for a, l in zip(abs_old[k], b.lo)),
+                    b.ncell,
+                ))
         else:
-            # cluster_to_patch's lo is relative to the OLD level-k patch
-            child_abs = tuple(
-                r * a + l for a, l in zip(abs_old[k], s.lo)
-            )
-        # rebase into the NEW parent's frame and clip inside it
+            # cluster lo is relative to the OLD level-k patch
+            boxes_abs = [
+                (tuple(r * a + l for a, l in zip(abs_old[k], b.lo)), b.ncell)
+                for b in boxes
+            ]
+        # union bounding box in absolute child-level coordinates
+        bb_lo = tuple(
+            min(b[0][d] for b in boxes_abs) for d in range(dim)
+        )
+        bb_hi = tuple(
+            max(b[0][d] + b[1][d] for b in boxes_abs) for d in range(dim)
+        )
+        s = LevelSpec(
+            lo=bb_lo, ncell=tuple(h - l for l, h in zip(bb_lo, bb_hi)),
+            ratio=r,
+        )
+        # rebase the bbox into the NEW parent's frame and clip inside it
         parent_n = parent_cfg.geom.ncell
         ncell = tuple(
             min(s.ncell[d], r * parent_n[d]) for d in range(dim)
         )
         lo_rel = []
         for d in range(dim):
-            v = child_abs[d] - r * abs_new[k][d]
+            v = s.lo[d] - r * abs_new[k][d]
             v = max(0, min(v, r * parent_n[d] - ncell[d]))
             lo_rel.append((v // r) * r)  # keep coarse-cell alignment
         new_spec = LevelSpec(lo=tuple(lo_rel), ncell=ncell, ratio=r)
+        if len(boxes_abs) > 1:
+            # true boxes in the same (parent-patch-relative) frame as the
+            # spec, clipped into the parent
+            bl = []
+            for (alo, an) in boxes_abs:
+                blo = []
+                bn = list(an)
+                for d in range(dim):
+                    v = alo[d] - r * abs_new[k][d]
+                    bn[d] = min(bn[d], r * parent_n[d])
+                    v = max(0, min(v, r * parent_n[d] - bn[d]))
+                    blo.append((v // r) * r)
+                bl.append(LevelSpec(lo=tuple(blo), ncell=tuple(bn), ratio=r))
+            new_boxlists.append(tuple(bl))
+        else:
+            new_boxlists.append(None)
         # old child box in the new parent's frame (same child-level space)
         old_in_new = LevelSpec(
             lo=tuple(
@@ -469,7 +515,29 @@ def regrid_hierarchy(cfg, cfgs, specs, states, error_tags):
         abs_new.append(tuple(
             r * a + l for a, l in zip(abs_new[k], new_spec.lo)
         ))
-    return new_specs, tuple(new_states)
+    # proper nesting: a child patch must sit inside its parent's TRUE
+    # boxes; otherwise the parent collapses to the single bbox patch
+    for k in range(len(new_specs) - 1):
+        bl = new_boxlists[k]
+        if bl is None:
+            continue
+        child = new_specs[k + 1]
+        # child in level-(k+1) cells, relative to the bbox origin
+        c_lo = tuple(child.lo[d] // r for d in range(dim))
+        c_hi = tuple(c_lo[d] + child.ncell[d] // r for d in range(dim))
+        shape = tuple(new_specs[k].ncell)
+        cov = _np.zeros(shape, bool)
+        for b in bl:
+            sl = tuple(
+                slice(b.lo[d] - new_specs[k].lo[d],
+                      b.lo[d] - new_specs[k].lo[d] + b.ncell[d])
+                for d in range(dim)
+            )
+            cov[sl] = True
+        child_sl = tuple(slice(c_lo[d], c_hi[d]) for d in range(dim))
+        if not bool(cov[child_sl].all()):
+            new_boxlists[k] = None
+    return new_specs, tuple(new_states), new_boxlists
 
 
 def apply_outflow_tag_policy(

@@ -602,8 +602,18 @@ def run_multilevel(
 
         states_r, specs_r, step0 = load_checkpoint_ml(str(restart), cfg)
         crse = states_r[0]
-        if specs_r:
+        if specs_r and (fixed_spec is not None or not error_tags):
+            # pin the restored patch only for fixed-grid runs; dynamic
+            # (error_tags) runs re-tag at their regrid cadence like the
+            # reference's restart (amr.regrid_on_restart semantics)
             fixed_spec = specs_r[0]
+        restart_spec = specs_r[0] if specs_r else None
+        from iamr_tpu.io.checkpoint import load_boxlists
+
+        bl_r = load_boxlists(str(restart))
+        restart_boxlist = (
+            tuple(bl_r[0]) if bl_r is not None and bl_r[0] else None
+        )
         if particles is not None:
             from iamr_tpu.io.checkpoint import load_particles
 
@@ -621,8 +631,14 @@ def run_multilevel(
         )
 
     def spec_from_tags(crse_state, default_ok=True):
+        """(bbox spec, true box list | None) from the coarse tags. Dynamic
+        regrid clusters with native Berger-Rigoutsos into possibly-many
+        boxes (the reference's BoxArray regrid, Docs/Software.rst:356-401);
+        a multi-box result advances as a UNION level. EB and non-subcycled
+        runs keep the single bbox patch (union advance is wired for the
+        subcycled non-EB path)."""
         if fixed_spec is not None:
-            return fixed_spec
+            return fixed_spec, None
         tags = None
         if error_tags:
             tags = np.asarray(tag_cells(cfg, crse_state, error_tags))
@@ -633,19 +649,44 @@ def run_multilevel(
             cut = (vf > 0.0) & (vf < 1.0)
             tags = cut if tags is None else (tags | cut)
         if tags is not None:
-            from iamr_tpu.amr.tagging import apply_outflow_tag_policy
+            from iamr_tpu.amr.hierarchy import LevelSpec
+            from iamr_tpu.amr.tagging import (
+                apply_outflow_tag_policy,
+                cluster_to_patches,
+            )
 
             tags = apply_outflow_tag_policy(
                 cfg, tags, do_refine=cfg.do_refine_outflow,
                 do_derefine=cfg.do_derefine_outflow, nbuf=cfg.nbuf_outflow,
             )
-            s = cluster_to_patch(tags, cfg.ref_ratio)
+            boxes = cluster_to_patches(tags, cfg.ref_ratio)
+            if len(boxes) > 1 and eb0 is None and subcycle:
+                r = cfg.ref_ratio
+                lo = tuple(
+                    min(b.lo[d] for b in boxes) for d in range(cfg.dim)
+                )
+                hi = tuple(
+                    max(b.lo[d] + b.ncell[d] for b in boxes)
+                    for d in range(cfg.dim)
+                )
+                bbox = LevelSpec(
+                    lo=lo, ncell=tuple(h - l for l, h in zip(lo, hi)),
+                    ratio=r,
+                )
+                return bbox, tuple(boxes)
+            s = (boxes[0] if len(boxes) == 1
+                 else cluster_to_patch(tags, cfg.ref_ratio))
             if s is not None:
-                return s
-        return default_fine_spec(cfg) if default_ok else None
+                return s, None
+        return (default_fine_spec(cfg) if default_ok else None), None
 
-    spec = spec_from_tags(crse)
+    spec, boxlist = spec_from_tags(crse)
     if restart is not None and len(states_r) > 1:
+        # resume on the checkpointed grids (spec_from_tags would re-derive
+        # them from the restored state; the checkpoint is authoritative)
+        if restart_spec is not None:
+            spec = restart_spec
+        boxlist = restart_boxlist
         fine = states_r[1]
     else:
         fine = init_fine_from_coarse(cfg, spec, crse)
@@ -658,19 +699,54 @@ def run_multilevel(
     ml = MLState(crse=crse, fine=fine)
     step_cache = {}
 
-    def get_step(s):
-        if s not in step_cache:
-            ebs = [eb0, fine_eb(s)] if eb0 is not None else None
+    def get_step(s, bl=None):
+        key = (s, bl)
+        if key in step_cache:
+            return step_cache[key]
+        if bl is not None:
+            # multi-box fine level: subcycled UNION advance over the true
+            # BoxArray (advance_subtree boxlists semantics)
+            from iamr_tpu.amr.multilevel import (
+                advance_hierarchy_subcycled,
+                make_fine_config,
+            )
+
+            assert eb0 is None, "EB + multi-box union level not wired"
             if particles is not None:
-                assert ebs is None, "EB + particles multilevel not wired"
-                step_cache[s] = make_two_level_step_with_particles(
-                    cfg, s, fixed_mg_cycles, subcycle=subcycle
-                )
+                from iamr_tpu.ns.particles import advect_with_umac_levels
+
+                cfg_f = make_fine_config(cfg, s)
+
+                @jax.jit
+                def step_fn(m, parts):
+                    dt = m.crse.dt
+                    out, umacs = advance_hierarchy_subcycled(
+                        [m.crse, m.fine], cfg, [s], fixed_mg_cycles,
+                        return_umacs=True, boxlists=[bl],
+                    )
+                    levels = [(umacs[0], cfg.geom), (umacs[1], cfg_f.geom)]
+                    parts = advect_with_umac_levels(parts, levels, dt)
+                    return MLState(crse=out[0], fine=out[1]), parts
             else:
-                step_cache[s] = make_two_level_step(
-                    cfg, s, fixed_mg_cycles, subcycle=subcycle, ebs=ebs
-                )
-        return step_cache[s]
+                @jax.jit
+                def step_fn(m):
+                    out = advance_hierarchy_subcycled(
+                        [m.crse, m.fine], cfg, [s], fixed_mg_cycles,
+                        boxlists=[bl],
+                    )
+                    return MLState(crse=out[0], fine=out[1])
+            step_cache[key] = step_fn
+        elif particles is not None:
+            assert eb0 is None, "EB + particles multilevel not wired"
+            step_cache[key] = make_two_level_step_with_particles(
+                cfg, s, fixed_mg_cycles, subcycle=subcycle
+            )
+        else:
+            ebs = [eb0, fine_eb(s)] if eb0 is not None else None
+            step_cache[key] = make_two_level_step(
+                cfg, s, fixed_mg_cycles, subcycle=subcycle, ebs=ebs
+            )
+        return step_cache[key]
 
     nmax = max_steps if max_steps is not None else (
         cfg.max_step if cfg.max_step >= 0 else 10**9
@@ -680,19 +756,27 @@ def run_multilevel(
         if cfg.stop_time >= 0.0 and float(ml.crse.time) >= cfg.stop_time:
             break
         if error_tags and regrid_int > 0 and step > 0 and step % regrid_int == 0:
-            new_spec = spec_from_tags(ml.crse)
-            if new_spec != spec:
+            new_spec, new_bl = spec_from_tags(ml.crse)
+            if new_spec != spec or new_bl != boxlist:
+                # state transfer on the bounding-box arrays; union hole
+                # cells refresh from coarse data inside the next advance
+                # (UnionBCProvider), so a box-count change is safe
                 fine = regrid_fine_state(cfg, spec, new_spec, ml.crse, ml.fine)
                 spec = new_spec
+                boxlist = new_bl
                 ml = MLState(crse=ml.crse, fine=fine)
                 if verbose:
-                    print(f"REGRID at step {step}: patch lo={spec.lo} n={spec.ncell}")
+                    print(
+                        f"REGRID at step {step}: patch lo={spec.lo} "
+                        f"n={spec.ncell} boxes="
+                        f"{len(boxlist) if boxlist else 1}"
+                    )
         if particles is not None:
-            ml, particles = get_step(spec)(ml, particles)
+            ml, particles = get_step(spec, boxlist)(ml, particles)
             if particle_hooks is not None:
                 particle_hooks(step + 1, ml.crse, particles)
         else:
-            ml = get_step(spec)(ml)
+            ml = get_step(spec, boxlist)(ml)
         step += 1
         if plot_int > 0 and step % plot_int == 0:
             write_plotfile_for_hierarchy(
@@ -702,7 +786,8 @@ def run_multilevel(
             from iamr_tpu.io.checkpoint import save_checkpoint_ml, save_particles
 
             save_checkpoint_ml(
-                f"{check_file}{step:05d}", [ml.crse, ml.fine], [spec], step
+                f"{check_file}{step:05d}", [ml.crse, ml.fine], [spec], step,
+                boxlists=[boxlist],
             )
             if particles is not None:
                 save_particles(f"{check_file}{step:05d}", particles)
@@ -836,18 +921,27 @@ def run_hierarchy(
                 and step % regrid_int == 0):
             from iamr_tpu.amr.tagging import regrid_hierarchy
 
-            new_specs, new_states = regrid_hierarchy(
-                cfg, cfgs, specs, states, error_tags
+            new_specs, new_states, new_boxlists = regrid_hierarchy(
+                cfg, cfgs, specs, states, error_tags, boxlists=boxlists
             )
-            if new_specs != specs:
+            if new_specs != specs or new_boxlists != (
+                list(boxlists) if boxlists is not None
+                else [None] * len(new_specs)
+            ):
                 specs = new_specs
                 states = new_states
                 cfgs = hierarchy_configs(cfg, specs)
-                boxlists = None  # dynamic regrid produces single patches
+                # dynamic regrid carries multi-box levels as union levels
+                # (true BR box lists; reference BoxArray regrid semantics)
+                boxlists = (
+                    new_boxlists if any(b is not None for b in new_boxlists)
+                    else None
+                )
                 if verbose:
                     print(
                         f"REGRID at step {step}: "
-                        f"{[(s.lo, s.ncell) for s in specs]}"
+                        f"{[(s.lo, s.ncell) for s in specs]} "
+                        f"boxes/level {[len(b) if b else 1 for b in new_boxlists]}"
                     )
         step_fn = get_step(specs, cfgs)
         if particles is not None:

@@ -179,3 +179,58 @@ def test_depth3_multibox_sharded_matches():
             assert float(np.max(d)) <= 1e-3, (lev, fld, float(np.max(d)))
             assert float(np.median(d)) < 1e-8, (lev, fld)
             assert (d > 1e-6).mean() < 0.01, (lev, fld)
+
+
+@pytest.mark.slow
+def test_dynamic_regrid_multibox_and_restart_determinism(tmp_path):
+    """Dynamic multi-box regrid + restart (round-4 VERDICT items 5 and 7):
+    a vorticity-tagged DoubleShearLayer 2-level run clusters its two
+    separated shear layers into a >= 2-box level-1 BoxArray and advances
+    it as a UNION level (not one superset patch); the true box list is
+    persisted in checkpoints (save_checkpoint_ml(boxlists=)/load_boxlists)
+    and an Euler_restart-style restart (reference Test/IAMR-tests.ini:
+    115-127) reproduces the uninterrupted run to f64 roundoff."""
+    from iamr_tpu.amr.tagging import ErrorTag
+    from iamr_tpu.io.checkpoint import load_boxlists
+    from iamr_tpu.ns.driver import run_multilevel
+
+    pp = ParmParse.from_string(
+        """
+        ns.cfl = 0.5
+        ns.init_iter = 1
+        amr.n_cell = 32 32
+        geometry.prob_lo = 0. 0.
+        geometry.prob_hi = 1. 1.
+        geometry.is_periodic = 1 1
+        prob.probtype = 5
+        prob.density_ic = 1.0
+        """
+    )
+    cfg = config_from_inputs(pp)
+    tags = [ErrorTag(field="mag_vort", test="vorticity_greater",
+                     values=(3.0,))]
+    ck = str(tmp_path / "chk")
+    ml = run_multilevel(
+        cfg, max_steps=4, fixed_mg_cycles=4, subcycle=True,
+        error_tags=tags, regrid_int=2, check_int=2, check_file=ck,
+    )
+    # the run carried a true multi-box level-1 BoxArray
+    bl = load_boxlists(f"{ck}00004")
+    assert bl is not None and bl[0] is not None, bl
+    assert len(bl[0]) >= 2, bl[0]
+    # boxes are genuinely separated (not a rectangle union)
+    from iamr_tpu.amr.tagging import coalesce_specs
+
+    assert len(coalesce_specs(list(bl[0]))) >= 2
+
+    ml2 = run_multilevel(
+        cfg, max_steps=4, fixed_mg_cycles=4, subcycle=True,
+        error_tags=tags, regrid_int=2, restart=f"{ck}00002",
+    )
+    for fld in ("vel", "rho", "p"):
+        for lev, (a, b) in enumerate(
+            ((getattr(ml.crse, fld), getattr(ml2.crse, fld)),
+             (getattr(ml.fine, fld), getattr(ml2.fine, fld)))
+        ):
+            d = float(jnp.max(jnp.abs(jnp.asarray(a) - jnp.asarray(b))))
+            assert d < 1e-12, (fld, lev, d)

@@ -155,12 +155,12 @@ def test_hierarchy_dynamic_regrid_tracks_vortex():
         LevelSpec(lo=(16, 16), ncell=(32, 32), ratio=r),
     ]
     cfg, cfgs, states = states_for(0.30, specs0)
-    specs1, states1 = regrid_hierarchy(cfg, cfgs, specs0, states, tags)
+    specs1, states1, _bl1 = regrid_hierarchy(cfg, cfgs, specs0, states, tags)
     # then the vortex "moves" to x=0.60: patches must follow
     cfg2, cfgs1, _ = states_for(0.60, specs1)
     st2 = list(states1)
     st2[0] = init_state(cfg2)  # coarse field now tags around x=0.6
-    specs2, states2 = regrid_hierarchy(cfg2, cfgs1, specs1, tuple(st2), tags)
+    specs2, states2, _bl2 = regrid_hierarchy(cfg2, cfgs1, specs1, tuple(st2), tags)
 
     def abs_center_x(specs):
         # absolute center of the FINEST patch, in physical coords
