@@ -348,9 +348,14 @@ def _couple_levels(
     for c in range(dim):
         v = _mismatch(crse_aux["flux_vel"][c], fine_avg["flux_vel"][c])
         if crse_aux["vflux_vel"] is not None:
-            v = v + _mismatch(
+            vm = _mismatch(
                 crse_aux["vflux_vel"][c], fine_avg["vflux_vel"][c]
-            ) / rho_c
+            )
+            # convective form: viscous mismatch / rho here; momentum form
+            # (do_mom_diff): BOTH components stay momentum-units and the
+            # single / rho^{n+1} below converts them
+            # (NavierStokes.cpp:1751-1756)
+            v = v + (vm if cfg.do_mom_diff else vm / rho_c)
         vsync_reflux.append(v)
     ssync_reflux = []
     for t in range(cfg.ntrac):
@@ -444,9 +449,16 @@ def _couple_levels(
     vsync = jnp.stack(
         [
             uncovered(-dt_c * a + vsync_reflux[c])
-            for c, a in enumerate(sync_aofs_vel(cfg, crse_out.vel, ucorr))
+            for c, a in enumerate(sync_aofs_vel(
+                cfg, crse_out.vel, ucorr,
+                rho=crse_out.rho if cfg.do_mom_diff else None,
+            ))
         ]
     )
+    if cfg.do_mom_diff:
+        # momentum-units Vsync (reflux mismatch + Ucorr tendencies of
+        # rho*U) -> velocity correction (NavierStokes.cpp:1529-1546)
+        vsync = vsync / rho_sync
     if cfg.vel_visc_coef > 0.0 and eb_c is None:
         rho_half_c = 0.5 * (crse_new.rho + rho_sync)
         vsync = diffuse_vsync(

@@ -451,9 +451,15 @@ def advance_two_level_multipatch(
     vsync = jnp.stack(
         [
             (1.0 - covered) * (-dt_c * a)
-            for a in sync_aofs_vel(cfg, crse_out.vel, ucorr)
+            for a in sync_aofs_vel(
+                cfg, crse_out.vel, ucorr,
+                rho=crse_out.rho if cfg.do_mom_diff else None,
+            )
         ]
     )
+    if cfg.do_mom_diff:
+        # momentum-units Vsync -> velocity (NavierStokes.cpp:1529-1546)
+        vsync = vsync / (crse_out.rho + ssync_rho)
     vsync_p, phi_sync = sync_project(
         cfg, vsync, crse_out.rho, dt_c, specs[0], fixed_cycles=fixed_mg_cycles
     )

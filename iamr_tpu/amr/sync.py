@@ -159,8 +159,14 @@ def sync_aofs(cfg: NSConfig, s, ucorr, scomp: int, iconserv: bool):
     return a
 
 
-def sync_aofs_vel(cfg: NSConfig, vel, ucorr):
-    from iamr_tpu.ns.advance import fill_vel
+def sync_aofs_vel(cfg: NSConfig, vel, ucorr, rho=None):
+    """Advective sync tendencies of velocity with Ucorr as the fluxing
+    velocity (MacProj::mac_sync_compute, MacProj.cpp:490-789). With
+    ns.do_mom_diff=1 (pass rho) the advected state is the MOMENTUM
+    rho*U, conservatively (MacProj.cpp:601,686 uses `momenta`), and the
+    caller converts the momentum-units Vsync to velocity by dividing by
+    rho^{n+1} (NavierStokes.cpp:1529-1546)."""
+    from iamr_tpu.ns.advance import fill_scal, fill_vel
     from iamr_tpu.ops.godunov import (
         compute_edge_states,
         compute_fluxes_and_aofs,
@@ -168,16 +174,21 @@ def sync_aofs_vel(cfg: NSConfig, vel, ucorr):
     )
 
     periodic = tuple(cfg.geom.periodic)
+    mom = rho is not None and cfg.do_mom_diff
     vel_g = fill_vel(cfg, vel, 3)
+    if mom:
+        rho_g = fill_scal(cfg, rho, 3, 0)
+        vel_g = rho_g[None] * vel_g
     ug = grow_umac_transverse(ucorr, periodic)
     out = []
     for c in range(cfg.dim):
         edges = compute_edge_states(
-            vel_g[c], ug, 0.0, cfg.geom.dx, cfg.geom.ncell, iconserv=False,
+            vel_g[c], ug, 0.0, cfg.geom.dx, cfg.geom.ncell, iconserv=mom,
             periodic=periodic,
         )
         _, a = compute_fluxes_and_aofs(
-            edges, ucorr, cfg.geom.dx, False, s_cc=vel[c]
+            edges, ucorr, cfg.geom.dx, mom,
+            s_cc=None if mom else vel[c],
         )
         out.append(a)
     return jnp.stack(out)

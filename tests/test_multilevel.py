@@ -237,3 +237,37 @@ def test_debug_toggles_do_reflux_sync_proj():
         d = float(jnp.max(jnp.abs(out.crse.vel - base.crse.vel)))
         assert np.isfinite(d) and d > 0.0, (flag, d)
         assert bool(jnp.all(jnp.isfinite(out.crse.vel)))
+
+
+@pytest.mark.slow
+def test_mom_diff_multilevel_sync_units():
+    """ns.do_mom_diff=1 with LARGE density: the multilevel Vsync is
+    momentum-units (conservative rho*U advection in mac_sync_compute,
+    MacProj.cpp:601,686; momentum reflux) and must be divided by rho^{n+1}
+    before it corrects the velocity (NavierStokes.cpp:1529-1546,
+    reflux comment cpp:1751-1756). Before the round-5 fix the division was
+    missing, so any do_mom_diff multilevel run with rho != 1 blew up
+    within 2 coarse steps (found by regression/sweep.py on
+    regtest.3d.rayleightaylor: rho ~ 1.5e7, g = 1e9 -> NaN). Lock: the
+    reference regtest config itself, 2 coarse steps at reduced size, stays
+    finite at the problem's physical velocity scale."""
+    import jax.numpy as jnp
+
+    from iamr_tpu.ns.driver import run_from_inputs
+
+    st = run_from_inputs(
+        "/root/reference/Exec/run3d/regtest.3d.rayleightaylor",
+        overrides=(
+            "amr.n_cell=16 16 16", "amr.max_level=1", "max_step=2",
+            "amr.blocking_factor=8", "amr.max_grid_size=1024",
+            "amr.plot_int=-1", "amr.check_int=-1", "ns.sum_interval=-1",
+        ),
+    )
+    leaves = [st] if hasattr(st, "vel") else [s for s in st if hasattr(s, "vel")]
+    assert leaves
+    for s in leaves:
+        assert bool(jnp.all(jnp.isfinite(s.vel)))
+    # physical scale ~ sqrt(Atwood * g * L) ~ 1e4..1e5; the broken
+    # momentum-as-velocity sync reached 1e15 within 2 steps
+    umax = max(float(jnp.max(jnp.abs(s.vel))) for s in leaves)
+    assert umax < 1e7, umax
