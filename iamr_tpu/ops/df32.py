@@ -280,17 +280,38 @@ def residual_nodal_df(phi, rhs, sigma, mask, dx: Sequence[float], bc):
     with coef_o accumulated in df32 from pre-split sigma and statically
     split K entries, and the o-sum accumulated in df32 seeded with rhs*V.
     """
+    ph, pl = split_f64(phi)
+    sh, sl = split_f64(sigma)
+    rh, rl = split_f64(rhs)
+    oh, ol = residual_nodal_df_pair(ph, pl, rh, rl, sh, sl, mask, dx, bc)
+    return oh.astype(phi.dtype) + ol.astype(phi.dtype)
+
+
+def residual_nodal_df_pair(ph, pl, rh, rl, sh, sl, mask,
+                           dx: Sequence[float], bc):
+    """All-f32 pair core of residual_nodal_df: every operand arrives as a
+    df32 (hi, lo) pair and the masked residual returns as one. This is the
+    residual of the NON-x64 production solve (mg_nodal.nodal_solve_df),
+    where no f64 exists in-process at all — the pairs are split host-side
+    (numpy f64) or accumulated in df32 by the solver loop."""
+    import jax.lax as lax
+
     from iamr_tpu.ops.mg_nodal import _fem_element_matrix, _pad_cells, _pad_nodes
 
-    dim = phi.ndim
+    # the same rewrite fence split_f64 applies: without it, whole-module
+    # XLA optimization reassociates the compensated chains around the pair
+    # inputs (measured: the in-solve residual misreports 3.8e-11 while the
+    # numpy-f64 truth is 3e-8 — the exact documented failure mode); the
+    # barriers are free at runtime and restore the truth to ~1e-13
+    ph, pl = lax.optimization_barrier((ph, pl))
+    rh, rl = lax.optimization_barrier((rh, rl))
+    sh, sl = lax.optimization_barrier((sh, sl))
+
+    dim = ph.ndim
     vol = 1.0
     for h in dx:
         vol *= float(h)
     K = _fem_element_matrix(dx)
-
-    ph, pl = split_f64(phi)
-    sh, sl = split_f64(sigma)
-    rh, rl = split_f64(rhs)
 
     # pad once; splits of the padded arrays are reused by every tap
     php = _pad_nodes(ph, bc)
@@ -300,7 +321,7 @@ def residual_nodal_df(phi, rhs, sigma, mask, dx: Sequence[float], bc):
     ph1, ph2 = split(php)
     sh1, sh2 = split(shp)
 
-    nshape = tuple(s + 1 for s in sigma.shape)
+    nshape = tuple(s + 1 for s in sh.shape)
 
     # seed the accumulator with rhs * V (df32 x static-df product) so the
     # final division by V returns the residual directly
@@ -361,5 +382,8 @@ def residual_nodal_df(phi, rhs, sigma, mask, dx: Sequence[float], bc):
     p = acc_h * ivh
     e = ((a1 * ivh1 - p) + a1 * ivh2 + a2 * ivh1) + a2 * ivh2
     e = e + (acc_h * ivl + acc_l * ivh)
-    r = p.astype(phi.dtype) + e.astype(phi.dtype)
-    return mask * r
+    out_h, out_l = fast_two_sum(p, e)
+    if mask is not None:
+        out_h = mask * out_h  # mask is 0/1: exact on both components
+        out_l = mask * out_l
+    return out_h, out_l

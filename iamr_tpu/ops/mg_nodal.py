@@ -952,3 +952,144 @@ def nodal_solve(
         (phi, r0, jnp.max(jnp.abs(r0)), jnp.asarray(0)),
     )
     return finalize(phi), res, it
+
+
+def nodal_solve_df(rhs_h, rhs_l, sigma_h, sigma_l, dx, bc: NodalBC,
+                   rtol: float = 1e-11, atol: float = 0.0, nu1: int = 2,
+                   nu2: int = 2, nu_bottom: int = 8, max_vcycles: int = 60):
+    """f64-grade nodal solve for a NON-x64 process: iterative refinement
+    where the outer state (phi, rhs) lives as df32 (hi, lo) f32 pairs and
+    every residual refresh runs the fused compensated-f32 FEM apply
+    (ops/df32.residual_nodal_df_pair, ~1e-13 relative accuracy at f32
+    speed). No f64 array ever exists, so this runs in the same process as
+    the Mosaic kernels — the fused Pallas smoothers stay ENABLED, unlike
+    the x64-process mixed path (pallas_ok gates Mosaic off under x64: the
+    axon remote-compile helper crashes lowering any kernel there).
+
+    Matches the reference MLMG driven to Projection.cpp:17-36 tolerances
+    (proj_tol 1e-12-ish): returns (phi_h, phi_l, res, iters) with
+    phi_h + phi_l the refined solution and res the df32-computed
+    max-residual. Callers wanting independent ground truth verify host-side
+    with ops/np_nodal.np_residual_nodal (numpy f64) — bench.py does.
+
+    Caller contract: for the all-Neumann/periodic SINGULAR system the rhs
+    pair must arrive demeaned (host-side f64 demean — an f32 17M-point sum
+    cannot reach the 1e-12 relative accuracy the nullspace projection
+    needs). sigma pair likewise split host-side from the true f64 sigma.
+
+    Phase structure mirrors nodal_solve's mixed path (same contraction
+    analysis, mg_nodal.py:880-905): FMG opening, incremental-f32 phase A to
+    1e-6*bnorm (pure-f32 incremental r drifts ~1e-7*bnorm, one decade of
+    margin), df32 refresh, incremental phase B to 0.5*tol (drift from the
+    refreshed level is ~1e-7 * 1e-6*bnorm = 1e-13*bnorm, below tol), df32
+    verify, then a df32-per-cycle cleanup loop if the margin was eaten.
+    """
+    from iamr_tpu.ops.df32 import df_add, residual_nodal_df_pair
+    from iamr_tpu.ops.mg import _use_dense_bottom
+    from iamr_tpu.parallel.context import constrain
+
+    f32 = jnp.float32
+    dim = sigma_h.ndim
+    dense = _use_dense_bottom()
+    stop = NODAL_DENSE_BOTTOM_DOFS if dense else 0
+    levels32 = build_nodal_hierarchy(sigma_h, dx, bc, stop_dofs=stop)
+    lev0 = levels32[0]
+    binv = _bottom_dense_inv_nodal(levels32[-1], bc) if dense else None
+
+    singular = all(
+        bc.lo[d] != N_DIRICHLET and bc.hi[d] != N_DIRICHLET
+        for d in range(dim)
+    )
+    own = jnp.ones(lev0.nshape, dtype=f32)
+    for d in range(dim):
+        if bc.lo[d] == N_PERIODIC:
+            idx = [slice(None)] * dim
+            idx[d] = slice(-1, None)
+            own = own.at[tuple(idx)].set(0.0)
+
+    def demean32(x):
+        return x - invariant_sum(x * own) / invariant_sum(own)
+
+    rhs_h = constrain(lev0.mask * rhs_h)
+    rhs_l = constrain(lev0.mask * rhs_l)
+
+    bnorm = jnp.max(jnp.abs(rhs_h))
+    tol = jnp.maximum(f32(rtol) * bnorm, f32(atol))
+
+    def apply_f32(e32):
+        # mask * L(e) on the f32 hierarchy (= -residual with rhs = 0)
+        return -_smooth2(e32, jnp.zeros_like(e32), lev0, bc, 0, True)[1]
+
+    def refresh(yh, yl):
+        return residual_nodal_df_pair(
+            yh, yl, rhs_h, rhs_l, sigma_h, sigma_l, lev0.mask, dx, bc)[0]
+
+    # FMG opening (exp_mlmg_phases.py: one F-cycle ~ 2-3 V-cycles of
+    # contraction at ~1.35 V-cycles of cost)
+    e = lev0.mask * _nodal_fmg(rhs_h, levels32, bc, nu1, nu2, nu_bottom,
+                               binv)
+    yh, yl = e, jnp.zeros_like(e)
+    r = lev0.mask * (rhs_h - apply_f32(e))
+
+    def body_incr(state):
+        yh, yl, r, _, it = state
+        e = lev0.mask * _nodal_vcycle(r, levels32, bc, 0, nu1, nu2,
+                                      nu_bottom, binv)
+        yh, yl = df_add(yh, yl, e, jnp.zeros_like(e))
+        r = lev0.mask * (r - apply_f32(e))
+        return yh, yl, r, jnp.max(jnp.abs(r)), it + 1
+
+    def cond_phase(tol_phase):
+        def cond(state):
+            _, _, _, res, it = state
+            return jnp.logical_and(res > tol_phase, it < max_vcycles)
+        return cond
+
+    switch = jnp.maximum(tol, f32(1e-6) * bnorm)
+    yh, yl, _, _, itA = jax.lax.while_loop(
+        cond_phase(switch), body_incr,
+        (yh, yl, r, jnp.max(jnp.abs(r)), jnp.asarray(0)),
+    )
+
+    rB = refresh(yh, yl)
+    yh, yl, _, _, itB = jax.lax.while_loop(
+        cond_phase(0.5 * tol), body_incr,
+        (yh, yl, rB, jnp.max(jnp.abs(rB)), jnp.asarray(0)),
+    )
+
+    # verify with a fresh df32 residual; clean up with df32-per-cycle
+    # corrections if the incremental estimate drifted
+    rV = refresh(yh, yl)
+
+    def body_true(state):
+        yh, yl, r, _, it = state
+        e = lev0.mask * _nodal_vcycle(r, levels32, bc, 0, nu1, nu2,
+                                      nu_bottom, binv)
+        yh, yl = df_add(yh, yl, e, jnp.zeros_like(e))
+        rN = refresh(yh, yl)
+        return yh, yl, rN, jnp.max(jnp.abs(rN)), it + 1
+
+    def cond_cleanup(state):
+        # the cleanup loop pays one df32 refresh per cycle; if the df32
+        # noise floor sits above tol the estimate stops contracting, so a
+        # tight cap (not max_vcycles) bounds the thrash
+        _, _, _, res, it = state
+        return jnp.logical_and(res > tol, it < 12)
+
+    yh, yl, _, res, itC = jax.lax.while_loop(
+        cond_cleanup, body_true,
+        (yh, yl, rV, jnp.max(jnp.abs(rV)), jnp.asarray(0)),
+    )
+
+    if singular:
+        # pin the nullspace component near zero — as a COMPENSATED pair
+        # update: plain `yh - m` re-rounds every element of yh at
+        # eps*|phi| with the lo part no longer compensating, which
+        # perturbs the returned solution NON-uniformly (L(const)=0 but
+        # L(rounding noise)!=0) to ~4e-8*bnorm — measured: exactly the
+        # floor the host-f64 verification caught while the in-solve
+        # residual (refreshed before this line) read 4e-11
+        m = invariant_sum(yh * own) / invariant_sum(own)
+        yh, yl = df_add(yh, yl, -m + jnp.zeros_like(yh),
+                        jnp.zeros_like(yh))
+    return yh, yl, res, itA + itB + itC
